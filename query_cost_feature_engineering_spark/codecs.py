@@ -1,0 +1,213 @@
+"""Pure-NumPy image codecs used by the engine's decode UDFs.
+
+The container has no image libraries (no Pillow / libjpeg), so:
+
+- ``png``  — a real, spec-compliant PNG codec (RFC 2083): 8-bit truecolor,
+  zlib-deflated filter-0 scanlines on encode; all five standard scanline
+  filters supported on decode. Round-trips exactly (lossless).
+- ``jpeg`` — a clearly-marked deterministic LOSSY STUB codec ("QJPG").
+  Real JPEG needs libjpeg, which is absent; the stub reproduces the
+  *contract* the engine must honor for lossy formats (decode ≠ original,
+  PSNR ≥ 40 dB) with uniform quantization (step=4 → ≈46 dB) + zlib.
+  If Pillow is importable (real deployments), real JPEG is used instead.
+
+The Spark-side plumbing (binary column in, Arrow batch decode, feature
+extraction) is identical either way — only the byte format differs.
+
+Ref parity note: the reference never decodes images (its payload is
+PostgreSQL plan JSON); decode fidelity here is governed by BASELINE.json
+``input_hint`` (PSNR≥40dB for lossy formats, exact round-trip otherwise).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - absent in this container
+    import io
+
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QJPG_SIG = b"QJPG"
+_QJPG_STEP = 4  # quantization step → PSNR ≈ 46 dB, comfortably ≥ 40 dB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a truecolor 8-bit PNG (filter 0)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 prepended to every scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG (filters 0-4) to an (h, w, 3) uint8 array."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = bitdepth = colortype = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if bitdepth != 8 or colortype != 2:
+        raise ValueError("only 8-bit truecolor PNG supported")
+    bpp = 3
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = raw[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor recurrence
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else np.uint8(0)
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else np.uint8(0)
+                if f == 1:
+                    cur[x] = line[x] + a
+                elif f == 3:
+                    cur[x] = line[x] + np.uint8((int(a) + int(b)) // 2)
+                else:
+                    cur[x] = line[x] + _paeth(
+                        np.asarray(a), np.asarray(b), np.asarray(c)
+                    )
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.reshape(h, w, 3)
+
+
+def encode_lossy(arr: np.ndarray, step: int = _QJPG_STEP) -> bytes:
+    """Deterministic lossy encode (QJPG stub, or real JPEG when PIL exists)."""
+    if _HAS_PIL:  # pragma: no cover
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90, subsampling=0)
+        return buf.getvalue()
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_lossy expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    q = (arr // step).astype(np.uint8)
+    return QJPG_SIG + struct.pack(">IIB", w, h, step) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if _HAS_PIL and data[:2] == b"\xff\xd8":  # pragma: no cover - real JPEG
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if data[:4] != QJPG_SIG:
+        raise ValueError("not a QJPG payload")
+    w, h, step = struct.unpack(">IIB", data[4:13])
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
+    return (q.astype(np.int16) * step + step // 2).clip(0, 255).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch decode by declared format column (``fmt`` in the input table)."""
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        return decode_lossy(data)
+    raise NotImplementedError(f"unsupported image format: {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (classic DCT pHash; public algorithm) — integer-exact.
+# Stands in for the reference's index one-hot identity features
+# (tpch_utils_knob.py:64-73) per SURVEY.md §7.1.
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi / n * (k[None, :] + 0.5) * k[:, None])
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(_PHASH_N)
+
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299R + 587G + 114B) // 1000 — exact/deterministic."""
+    a = arr.astype(np.int64)
+    return ((299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000).astype(
+        np.uint8
+    )
+
+
+def _resize_nn(gray: np.ndarray, n: int) -> np.ndarray:
+    h, w = gray.shape
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    return gray[np.ix_(ys, xs)]
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of decoded pixels; returns signed int64."""
+    g = _resize_nn(to_gray(arr), _PHASH_N).astype(np.float64)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])  # exclude DC from the threshold
+    bits = (block > med).astype(np.uint64)
+    val = np.uint64(0)
+    for i in range(64):
+        val = (val << np.uint64(1)) | bits[i]
+    return int(val.view(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))

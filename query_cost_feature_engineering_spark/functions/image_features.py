@@ -1,0 +1,102 @@
+"""Per-image featurizers — the engine's analog of the reference's A4 layer.
+
+Semantic graft (SURVEY.md §7.1, citing /root/reference file:line):
+
+- ``with_basics``       ↔ ``get_basics`` (tpch_utils_knob.py:60-61): the
+  3-slot numeric prefix [w, h, nbytes] plus the format one-hot
+  (↔ ``get_rel_one_hot``, tpch_utils_knob.py:64-67).
+- ``with_image_features`` ↔ ``get_rel_attr_one_hot`` masked min/med/max
+  statistics (tpch_utils_knob.py:76-86): per-channel min/median/max of the
+  *decoded* pixels + an 8-bin grayscale histogram. This is the only Python
+  step in the pipeline and runs as one Arrow-batched scalar pandas UDF
+  (input_hint: "no per-row Python" — per-element codec work happens inside
+  the Arrow batch, the accepted vectorized-UDF pattern).
+- ``with_phash_bits``   ↔ ``get_index_one_hot`` identity bits
+  (tpch_utils_knob.py:70-73): 64 bit-columns unpacked from the stored
+  ``phash`` int64 entirely JVM-side (shiftright/bitand — no UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from query_cost_feature_engineering_spark.codecs import decode_image, to_gray
+
+STAT_COLS = [
+    "px_min_r", "px_min_g", "px_min_b",
+    "px_med_r", "px_med_g", "px_med_b",
+    "px_max_r", "px_max_g", "px_max_b",
+]
+HIST_BINS = 8
+HIST_COLS = [f"hist_{i}" for i in range(HIST_BINS)]
+DECODE_COLS = STAT_COLS + HIST_COLS + ["px_mean"]
+
+_DECODE_SCHEMA = T.StructType(
+    [T.StructField(c, T.DoubleType()) for c in DECODE_COLS]
+)
+
+FMTS = ["png", "jpeg"]
+
+
+def decode_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Pure-pandas decode+stats core — shared by the Spark UDF and the
+    golden single-process oracle (tests compare them with allclose)."""
+    out = np.empty((len(data), len(DECODE_COLS)), dtype=np.float64)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        arr = decode_image(bytes(b), f)
+        flat = arr.reshape(-1, 3).astype(np.float64)
+        gray = to_gray(arr).ravel()
+        hist = np.bincount(gray >> 5, minlength=HIST_BINS).astype(np.float64)
+        out[i, 0:3] = flat.min(axis=0)
+        out[i, 3:6] = np.median(flat, axis=0)
+        out[i, 6:9] = flat.max(axis=0)
+        out[i, 9 : 9 + HIST_BINS] = hist / gray.size
+        out[i, 9 + HIST_BINS] = gray.mean()
+    return pd.DataFrame(out, columns=DECODE_COLS)
+
+
+@F.pandas_udf(_DECODE_SCHEMA)
+def _decode_stats_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return decode_stats_pandas(data, fmt)
+
+
+def with_image_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append decoded-pixel statistic columns; drops the heavy binary column
+    afterwards so downstream shuffles never carry image payloads."""
+    df = df.withColumn("_px", _decode_stats_udf(F.col(bytes_col), F.col("fmt")))
+    # single withColumns pass — chained withColumn is O(n²) in the analyzer
+    return df.withColumns({c: F.col(f"_px.{c}") for c in DECODE_COLS}).drop("_px")
+
+
+def with_basics(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """[w, h, nbytes] + format one-hot — all JVM-side expressions."""
+    cols = {"nbytes": F.length(F.col(bytes_col)).cast("double")}
+    for f in FMTS:
+        cols[f"fmt_{f}"] = F.when(F.col("fmt") == f, 1.0).otherwise(0.0)
+    return df.withColumns(cols)
+
+
+def with_phash_bits(df: DataFrame, phash_col: str = "phash") -> DataFrame:
+    """Unpack the 64-bit perceptual hash into bit columns JVM-side."""
+    return df.withColumns(
+        {
+            f"ph_{i}": F.shiftright(F.col(phash_col), 63 - i)
+            .bitwiseAND(F.lit(1))
+            .cast("double")
+            for i in range(64)
+        }
+    )
+
+
+def phash_bits_pandas(phash: pd.Series) -> pd.DataFrame:
+    """Golden-oracle twin of ``with_phash_bits``."""
+    v = phash.to_numpy().astype(np.int64).view(np.uint64)
+    cols = {
+        f"ph_{i}": ((v >> np.uint64(63 - i)) & np.uint64(1)).astype(np.float64)
+        for i in range(64)
+    }
+    return pd.DataFrame(cols)

@@ -1,0 +1,51 @@
+"""Single-process pandas/NumPy golden oracle (FIXTURES.md F3).
+
+Independent re-implementation of the full feature semantics the Spark plan
+computes — used by the test suite as ground truth (`numpy.allclose` per
+entity × timestamp). Mirrors the role of the reference's vectorizers
+(tpch_utils_knob.py:60-210) as the semantic contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from query_cost_feature_engineering_spark.functions.image_features import (
+    decode_stats_pandas,
+    phash_bits_pandas,
+)
+from query_cost_feature_engineering_spark.operators.windows import SESSION_GAP_S
+from query_cost_feature_engineering_spark.sources.images import VOCAB
+
+
+def golden_features(images: pd.DataFrame) -> pd.DataFrame:
+    """Flat golden feature columns, sorted by (entity_id, ts, image_id)."""
+    df = images.copy()
+    df["nbytes"] = df["bytes"].map(len).astype(float)
+    for f in ("png", "jpeg"):
+        df[f"fmt_{f}"] = (df["fmt"] == f).astype(float)
+    px = decode_stats_pandas(df["bytes"], df["fmt"])
+    df = pd.concat([df.reset_index(drop=True), px], axis=1)
+    df = pd.concat([df, phash_bits_pandas(df["phash"])], axis=1)
+
+    toks = df["caption"].str.split()
+    df["token_count"] = toks.map(len).astype(float)
+    for w in VOCAB:
+        df[f"tok_{w}"] = toks.map(lambda t, w=w: float(sum(x == w for x in t)))
+
+    df = df.sort_values(["entity_id", "ts", "image_id"], kind="mergesort")
+    g = df.groupby("entity_id", sort=False)
+    for k in (1, 2):
+        df[f"lag{k}_px_mean"] = g["px_mean"].shift(k)
+        df[f"lead{k}_px_mean"] = g["px_mean"].shift(-k)
+    sparse = df["px_mean"].where(df["fmt"] == "png")
+    df["bf_png_mean"] = sparse.groupby(df["entity_id"], sort=False).ffill()
+    df["roll3_px_mean"] = g["px_mean"].transform(
+        lambda s: s.rolling(3, min_periods=1).mean()
+    )
+    gap = g["ts"].diff().dt.total_seconds()
+    new_session = gap.isna() | (gap > SESSION_GAP_S)
+    df["session_id"] = new_session.groupby(df["entity_id"], sort=False).cumsum()
+    df["session_id"] = df["session_id"].astype("int64")
+    return df.drop(columns=["bytes", "caption"]).reset_index(drop=True)

@@ -1,0 +1,239 @@
+"""Backward (point-in-time) as-of join — the engine's centerpiece operator.
+
+Spark has no built-in as-of join (SURVEY.md §2.B), so two strategies:
+
+1. ``asof_join_union_window`` — pure DataFrame plan: tag right rows 0 /
+   left rows 1, union, and per entity take ``last(value, ignorenulls=True)``
+   over ``orderBy(ts, side, tiebreak).rowsBetween(unboundedPreceding, 0)``.
+   One shuffle on the entity key, whole-stage codegen, ANSI-SQL
+   expressible (DuckDB ``ASOF JOIN`` verifies it). Per-entity work is
+   single-partition, so a pathologically hot entity serializes — fine up
+   to ~10^7 rows/entity.
+
+2. ``asof_join_pandas_merge`` — the 100-TB path from BASELINE.json
+   ``north_rule``: cogroup both sides on a hash bucket of the entity key
+   and run a sorted ``pandas.merge_asof`` per bucket (Arrow batches, no
+   per-row Python). Entities flagged *hot* (row count above a threshold)
+   are additionally range-sliced on time using global quantile cut points
+   (``approxQuantile``), with the **last right row of each slice
+   carried forward** across slice boundaries (ffill over the tiny
+   entity×slice lattice) so no probe misses a match that lives in an
+   earlier slice. This is the explicit salting/skew handling the north
+   rule demands: a hot entity's probes parallelize across slices while
+   cold entities stay on the cheap single-shuffle path.
+
+Tie contract (matches the golden oracle and pandas.merge_asof): backward
+join with exact-match allowed; among right rows sharing (entity, ts) the
+last by ``tiebreak`` wins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SLICES = 32  # time slices for hot entities
+
+
+def asof_join_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity_id",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, by, tiebreak)
+    ]
+    lcols = left.columns
+    tb = (
+        F.col(tiebreak)
+        if tiebreak and tiebreak in right.columns
+        else F.lit(None).cast("string")
+    )
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        tb.cast("string").alias("_tb"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    lt = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("string").alias("_tb"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    u = r.unionByName(lt)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), F.col("_side"), F.col("_tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def asof_join_pandas_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity_id",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    num_buckets: int = 32,
+    hot_threshold: int | None = None,
+    slices: int = _SLICES,
+) -> DataFrame:
+    """Cogrouped sorted-merge as-of with hot-entity time-slicing."""
+    spark = left.sparkSession
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, by, tiebreak)
+    ]
+    rsel = [by, on] + value_cols + ([tiebreak] if tiebreak else [])
+    right = right.select(*[F.col(c) for c in dict.fromkeys(rsel)])
+
+    # --- skew detection: entities above threshold get time-sliced ---------
+    if hot_threshold is None:
+        total = right.count()
+        hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
+    hot_pd = (
+        right.groupBy(by)
+        .count()
+        .filter(F.col("count") > hot_threshold)
+        .select(by)
+        .toPandas()
+    )
+    hot_ids = set(hot_pd[by].tolist())
+
+    # Global time cut points for hot-entity slicing (sampled quantiles —
+    # one cheap pass; at cluster scale this is approxQuantile on the key).
+    if hot_ids:
+        q = [i / slices for i in range(1, slices)]
+        cuts = (
+            right.withColumn("_tsd", F.col(on).cast("double"))
+            .approxQuantile("_tsd", q, 0.001)
+        )
+    else:
+        cuts = []
+
+    def bucket_col(df: DataFrame) -> F.Column:
+        base = F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets))
+        if not hot_ids:
+            return base
+        hot = F.col(by).isin(list(hot_ids))
+        tsd = F.col(on).cast("double")
+        slice_id = F.lit(0)
+        for i, c in enumerate(cuts):
+            slice_id = F.when(tsd > F.lit(c), F.lit(i + 1)).otherwise(slice_id)
+        return F.when(hot, F.lit(num_buckets) + slice_id).otherwise(base)
+
+    lb = left.withColumn("_bkt", bucket_col(left).cast("int"))
+    rb = right.withColumn("_bkt", bucket_col(right).cast("int"))
+
+    # Carry-forward: last right row of each hot (entity, slice), shifted into
+    # the NEXT slice (keeping its true ts), ffilled across empty slices.
+    if hot_ids:
+        w = Window.partitionBy(by).orderBy("_bkt")
+        last_per_slice = (
+            rb.filter(F.col(by).isin(list(hot_ids)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(by, "_bkt").orderBy(
+                        F.col(on).desc(),
+                        *([F.col(tiebreak).desc()] if tiebreak else []),
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # propagate each slice's closer into every later slice (slices is
+        # small and hot entities are few, so this stays tiny)
+        slice_ids = list(range(num_buckets, num_buckets + slices))
+        lattice = spark.createDataFrame(
+            [(s,) for s in slice_ids], T.StructType([T.StructField("_tgt", T.IntegerType())])
+        )
+        carries = (
+            last_per_slice.crossJoin(F.broadcast(lattice))
+            .filter(F.col("_tgt") > F.col("_bkt"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(by, "_tgt").orderBy(F.col("_bkt").desc())
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .drop("_bkt", "_rk")
+            .withColumnRenamed("_tgt", "_bkt")
+        )
+        rb = rb.unionByName(carries)
+
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [right.schema[c] for c in value_cols]
+    )
+    lcols = left.columns
+    sort_r = [on] + ([tiebreak] if tiebreak else [])
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=["_bkt"]).sort_values(on, kind="mergesort")
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + value_cols)
+        rpdf = rpdf.drop(columns=["_bkt"]).sort_values(sort_r, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in value_cols:
+                out[c] = None
+            return out[lcols + value_cols]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[by, on] + value_cols],
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "_r"),
+        )
+        keep = lcols + [c if c in merged.columns else f"{c}_r" for c in value_cols]
+        merged = merged[keep]
+        merged.columns = lcols + value_cols
+        return merged
+
+    return (
+        lb.groupBy("_bkt")
+        .cogroup(rb.groupBy("_bkt"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity_id",
+    value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    strategy: str = "union_window",
+    **kw,
+) -> DataFrame:
+    if strategy == "union_window":
+        return asof_join_union_window(left, right, on, by, value_cols, tiebreak)
+    if strategy == "pandas_merge":
+        return asof_join_pandas_merge(left, right, on, by, value_cols, tiebreak, **kw)
+    raise ValueError(strategy)

@@ -1,0 +1,92 @@
+"""Snapshot layer: per-group linear fits + train-only normalization.
+
+Graft of the reference's "feature snapshot" (snapshot/snapshot_linear.py:16-243:
+per-operator ``curve_fit`` of y = c0·x + c1 on (rows, time) samples, then
+annotating every plan node with the fitted factors, snapshot/snapshot.py:60-95)
+and its per-operator normalization (tpch_utils_knob.py:369-402: mean and
+max(+ε) per feature per operator computed on the TRAIN split only).
+
+Spark-first: the OLS fit is closed-form from sufficient statistics —
+``groupBy(group).agg(covar_pop, var_pop, avg)`` — one partial+final
+aggregation, no UDF, no driver loop; factors broadcast-join back onto the
+big table. Normalization stats come from cutoff-gated rows only, which is
+the zero-temporal-leakage discipline (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_linear_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, min_samples: int = 3
+) -> DataFrame:
+    """Per-group OLS y = slope·x + intercept via sufficient statistics.
+
+    Mirrors snapshot_linear.py's ``linear2`` (func2) fit; groups with fewer
+    than `min_samples` rows or zero x-variance fall back to slope=0,
+    intercept=mean(y) (the reference falls back to workload-level factors,
+    snapshot/snapshot.py:74-81)."""
+    agg = df.groupBy(group_col).agg(
+        F.covar_pop(x_col, y_col).alias("_cov"),
+        F.var_pop(x_col).alias("_var"),
+        F.avg(x_col).alias("_mx"),
+        F.avg(y_col).alias("_my"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    ok = (F.col("n_samples") >= min_samples) & (F.col("_var") > 0)
+    return agg.select(
+        F.col(group_col),
+        F.when(ok, F.col("_cov") / F.col("_var")).otherwise(F.lit(0.0)).alias("slope"),
+        F.when(ok, F.col("_my") - F.col("_cov") / F.col("_var") * F.col("_mx"))
+        .otherwise(F.col("_my"))
+        .alias("intercept"),
+        F.col("n_samples"),
+    )
+
+
+def annotate_group_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    fit_on: DataFrame | None = None,
+    min_samples: int = 3,
+) -> DataFrame:
+    """Broadcast-join the fitted (slope, intercept) onto every row of the
+    group — the engine's ``inner_vector`` annotate (snapshot/snapshot.py:60-95).
+    ``fit_on`` lets callers fit on a cutoff-gated subset (no leakage)."""
+    factors = fit_linear_by_group(
+        fit_on if fit_on is not None else df, group_col, x_col, y_col, min_samples
+    ).drop("n_samples")
+    return df.join(F.broadcast(factors), on=group_col, how="left").fillna(
+        {"slope": 0.0, "intercept": 0.0}
+    )
+
+
+def normalize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_cols: list[str],
+    stats_on: DataFrame | None = None,
+    eps: float = 1e-9,
+    suffix: str = "_norm",
+) -> DataFrame:
+    """(x - mean) / (max + ε) per group per feature, stats from ``stats_on``
+    (normally the train split) — tpch_utils_knob.py:369-402 semantics."""
+    src = stats_on if stats_on is not None else df
+    aggs = []
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"_mean_{c}"), F.max(F.abs(F.col(c))).alias(f"_max_{c}")]
+    stats = src.groupBy(group_col).agg(*aggs)
+    out = df.join(F.broadcast(stats), on=group_col, how="left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            (F.col(c) - F.col(f"_mean_{c}"))
+            / (F.col(f"_max_{c}") + F.lit(eps)),
+        )
+    return out.drop(*[f"_mean_{c}" for c in value_cols]).drop(
+        *[f"_max_{c}" for c in value_cols]
+    )

@@ -1,0 +1,158 @@
+"""Deterministic synthetic image+caption table generator (FIXTURES.md F1/F2).
+
+Schema is exactly the ``BASELINE.json input_hint`` shape::
+
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+    + point-in-time spine columns: entity_id:int64, ts:timestamp
+
+Generation is fully seeded (no wall clock, no external data): pixels are a
+seeded gradient+noise field (so channel stats and histograms are
+non-trivial), captions come from a fixed 64-word vocabulary, ``entity_id``
+is Zipf-skewed (one hot entity holds ~20% of rows — exercises salting),
+and per-entity timestamps include duplicates, >1h session gaps, and the
+final table is row-shuffled (out-of-order arrival).
+
+This is the test/bench *input synthesizer* — the engine itself reads any
+parquet/Iceberg table with this schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from query_cost_feature_engineering_spark.codecs import (
+    encode_lossy,
+    encode_png,
+    phash64,
+)
+
+VOCAB = [
+    "aurora", "basin", "cobalt", "delta", "ember", "fjord", "glacier", "harbor",
+    "indigo", "jasper", "krill", "lagoon", "mesa", "nectar", "onyx", "prairie",
+    "quartz", "ridge", "sierra", "tundra", "umber", "vertex", "willow", "xenon",
+    "yonder", "zephyr", "anchor", "breeze", "canyon", "dune", "estuary", "fern",
+    "grove", "heron", "islet", "juniper", "kelp", "lichen", "marsh", "nimbus",
+    "oasis", "pebble", "quill", "reef", "summit", "thicket", "upland", "vale",
+    "wharf", "yarrow", "zenith", "alder", "birch", "cedar", "drift", "eddy",
+    "flint", "gale", "haze", "inlet", "jetty", "knoll", "loch", "moss",
+]
+
+SIZES = [16, 24, 32, 48, 64]
+BASE_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z, fixed
+SESSION_GAP_S = 1800  # 30 min gap ⇒ new session
+
+
+def _pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Gradient + per-channel noise so min/median/max/histogram are non-trivial."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = ((yy * 255) // max(h - 1, 1) + (xx * 255) // max(w - 1, 1)) // 2
+    noise = rng.integers(-40, 41, size=(h, w, 3))
+    return np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+
+
+def generate_images_pandas(
+    n: int, n_entities: int = 50, seed: int = 42
+) -> pd.DataFrame:
+    """Seeded image+caption+spine table as pandas (small/bench scales)."""
+    rng = np.random.default_rng(seed)
+    ws = rng.choice(SIZES, size=n)
+    hs = rng.choice(SIZES, size=n)
+    fmts = np.where(rng.random(n) < 0.6, "png", "jpeg")
+    # Zipf-ish skew: entity 0 gets ~20% of rows, remainder uniform.
+    hot = rng.random(n) < 0.20
+    ents = np.where(hot, 0, rng.integers(1, max(n_entities, 2), size=n)).astype(
+        np.int64
+    )
+
+    # Per-entity monotone clocks with dup/gap mixture, assigned in draw order.
+    clocks: dict[int, int] = {}
+    ts_us = np.empty(n, dtype=np.int64)
+    kind = rng.random(n)
+    incr = rng.integers(5, 300, size=n)  # seconds, typical cadence
+    gap = rng.integers(3600, 7200, size=n)  # seconds, session gap
+    for i in range(n):
+        e = int(ents[i])
+        cur = clocks.get(e, BASE_EPOCH_US + e * 1_000_000)
+        if kind[i] < 0.05 and e in clocks:
+            step = 0  # duplicate timestamp within entity (as-of tie)
+        elif kind[i] < 0.15:
+            step = int(gap[i]) * 1_000_000
+        else:
+            step = int(incr[i]) * 1_000_000
+        cur += step
+        clocks[e] = cur
+        ts_us[i] = cur
+
+    rows = []
+    for i in range(n):
+        h, w = int(hs[i]), int(ws[i])
+        arr = _pixels(rng, h, w)
+        data = encode_png(arr) if fmts[i] == "png" else encode_lossy(arr)
+        n_tok = int(rng.integers(3, 13))
+        caption = " ".join(VOCAB[j] for j in rng.integers(0, len(VOCAB), size=n_tok))
+        rows.append(
+            {
+                "image_id": f"img{i:08d}",
+                "bytes": data,
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": str(fmts[i]),
+                "caption": caption,
+                "phash": np.int64(phash64(arr)),
+                "entity_id": np.int64(ents[i]),
+                "ts": pd.Timestamp(ts_us[i], unit="us"),
+            }
+        )
+    df = pd.DataFrame(rows)
+    # out-of-order arrival: deterministic shuffle
+    perm = np.random.default_rng(seed + 1).permutation(n)
+    return df.iloc[perm].reset_index(drop=True)
+
+
+def generate_spine_pandas(
+    images: pd.DataFrame, n: int = 1000, seed: int = 43
+) -> pd.DataFrame:
+    """As-of probe side (FIXTURES.md F2): exact-match ts, between-rows ts,
+    before-first (null match), after-last, plus ~5% absent entities."""
+    rng = np.random.default_rng(seed)
+    ents = images["entity_id"].to_numpy()
+    ts = images["ts"].astype("int64").to_numpy()  # ns
+    idx = rng.integers(0, len(images), size=n)
+    mode = rng.random(n)
+    out_e = ents[idx].copy()
+    out_t = ts[idx].copy()
+    jitter = rng.integers(1, 240, size=n) * 1_000_000_000
+    out_t = np.where(mode < 0.30, out_t, out_t)  # exact match
+    out_t = np.where((mode >= 0.30) & (mode < 0.70), out_t + jitter, out_t)
+    out_t = np.where(
+        (mode >= 0.70) & (mode < 0.85), out_t - 10_000 * 1_000_000_000, out_t
+    )  # likely before-first
+    out_t = np.where(mode >= 0.85, out_t + 100_000 * 1_000_000_000, out_t)  # after-last
+    absent = rng.random(n) < 0.05
+    out_e = np.where(absent, out_e + 1_000_000, out_e)  # entity not in images
+    return pd.DataFrame(
+        {
+            "entity_id": out_e.astype(np.int64),
+            "ts": pd.to_datetime(out_t),
+            "probe_id": np.arange(n, dtype=np.int64),
+        }
+    ).sort_values("probe_id").reset_index(drop=True)
+
+
+def write_images_table(
+    spark, path: str, n: int, n_entities: int = 50, seed: int = 42
+) -> None:
+    """Materialize the synthetic table as parquet (Iceberg-layout stand-in:
+    files partitioned by entity bucket — the layout SURVEY.md §4.2 prescribes,
+    ``bucket(entity_id) × days(ts)``, approximated without an Iceberg catalog)."""
+    pdf = generate_images_pandas(n, n_entities=n_entities, seed=seed)
+    sdf = spark.createDataFrame(pdf)
+    (
+        sdf.withColumn("entity_bucket", sdf.entity_id % 8)
+        .repartition("entity_bucket")
+        .write.mode("overwrite")
+        .partitionBy("entity_bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,114 @@
+"""As-of join: both strategies vs a pandas.merge_asof oracle, plus the
+FIXTURES.md F5 boundary and skew probes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from query_cost_feature_engineering_spark.operators.asof import (
+    asof_join_pandas_merge,
+    asof_join_union_window,
+)
+
+VALUE_COLS = ["px", "image_id"]
+
+
+def _prep(images_pdf):
+    right = images_pdf[["entity_id", "ts", "image_id"]].copy()
+    right["px"] = images_pdf["w"].astype(float) * images_pdf["h"].astype(float)
+    return right
+
+
+def _oracle(spine_pdf, right):
+    lo = spine_pdf.sort_values("ts", kind="mergesort")
+    ro = right.sort_values(["ts", "image_id"], kind="mergesort")
+    out = pd.merge_asof(
+        lo, ro[["entity_id", "ts"] + VALUE_COLS],
+        on="ts", by="entity_id", direction="backward", allow_exact_matches=True,
+    )
+    return out.sort_values("probe_id").reset_index(drop=True)
+
+
+def _check(got_pdf, want):
+    got = got_pdf.sort_values("probe_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert np.allclose(
+        got["px"].to_numpy(float), want["px"].to_numpy(float), equal_nan=True
+    )
+    assert (
+        got["image_id"].fillna("∅") == want["image_id"].fillna("∅")
+    ).all()
+
+
+@pytest.fixture(scope="module")
+def frames(spark, images_pdf, spine_pdf):
+    right = _prep(images_pdf)
+    return (
+        spark.createDataFrame(spine_pdf),
+        spark.createDataFrame(right),
+        _oracle(spine_pdf, right),
+    )
+
+
+def test_union_window_matches_merge_asof(frames):
+    spine_sdf, right_sdf, want = frames
+    got = asof_join_union_window(
+        spine_sdf, right_sdf, value_cols=VALUE_COLS, tiebreak="image_id"
+    ).toPandas()
+    _check(got, want)
+
+
+def test_pandas_merge_matches_merge_asof(frames):
+    spine_sdf, right_sdf, want = frames
+    got = asof_join_pandas_merge(
+        spine_sdf, right_sdf, value_cols=VALUE_COLS, tiebreak="image_id",
+        num_buckets=8,
+    ).toPandas()
+    _check(got, want)
+
+
+def test_boundary_and_skew_probe(frames):
+    """Force the hot path: tiny hot_threshold makes EVERY entity hot, so all
+    probes go through time-slicing + carry-forward; few slices force probes
+    to depend on carried rows across slice boundaries."""
+    spine_sdf, right_sdf, want = frames
+    got = asof_join_pandas_merge(
+        spine_sdf, right_sdf, value_cols=VALUE_COLS, tiebreak="image_id",
+        num_buckets=4, hot_threshold=1, slices=5,
+    ).toPandas()
+    _check(got, want)
+
+
+def test_duplicate_ts_tie_takes_last_by_tiebreak(spark):
+    right = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2020-01-01", "2020-01-01", "2020-01-02"]),
+            "image_id": ["a", "b", "c"],
+            "px": [1.0, 2.0, 3.0],
+        }
+    )
+    spine = pd.DataFrame(
+        {
+            "entity_id": [1, 1],
+            "ts": pd.to_datetime(["2020-01-01", "2020-01-03"]),
+            "probe_id": [0, 1],
+        }
+    )
+    for fn, kw in [
+        (asof_join_union_window, {}),
+        (asof_join_pandas_merge, {"num_buckets": 2}),
+    ]:
+        got = (
+            fn(
+                spark.createDataFrame(spine),
+                spark.createDataFrame(right),
+                value_cols=["px", "image_id"],
+                tiebreak="image_id",
+                **kw,
+            )
+            .toPandas()
+            .sort_values("probe_id")
+        )
+        assert got["image_id"].tolist() == ["b", "c"], fn.__name__
+        assert got["px"].tolist() == [2.0, 3.0], fn.__name__
