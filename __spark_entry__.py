@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the centerpiece backward as-of join over the
+sf0.001 parquet tables; ``queries()`` exposes every implemented operator
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
+mirror for each SQL-expressible one. Image-pipeline queries
+(image_features / image_asof_features / phash_neardup_images) synthesize
+their own deterministic input-table (the BASELINE.json input_hint shape)
+and are covered by the pandas golden oracle in pytest instead.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gap-sessionized events + backward as-of join of the latest
+    purchase onto a probe spine, at sf0.001."""
+    from query_cost_feature_engineering_spark.queries import (
+        asof_purchases_window,
+    )
+
+    return asof_purchases_window(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from query_cost_feature_engineering_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from query_cost_feature_engineering_spark.oracles import ORACLES
+
+    return dict(ORACLES)

@@ -93,18 +93,18 @@ def with_text_analysis(df: DataFrame, col: str = "text") -> DataFrame:
         )
     )
 
-    # Polynomial rolling hash fingerprint over the first 64 chars:
-    # h = Σ ascii(s[i]) * 31^i mod 2^31-1 — SQL-expressible via aggregate().
+    # Polynomial rolling-hash fingerprint over the first 64 chars (Horner):
+    # acc = (acc*31 + codepoint(s[i])) mod 2^31-1 — SQL-expressible fold.
+    nchars = F.least(F.length(c), F.lit(64))
     df = df.withColumn(
         "fingerprint",
-        F.aggregate(
-            F.zip_with(
-                F.split(F.substring(c, 1, 64), ""),
-                F.sequence(F.lit(0), F.length(F.substring(c, 1, 64)) - 1),
-                lambda ch, i: F.struct(ch.alias("ch"), i.alias("i")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 31 + F.ascii(x["ch"])) % F.lit(2147483647),
+        F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(nchars, F.lit(1))),
+                F.lit(0).cast("long"),
+                lambda acc, i: (acc * 31 + F.ascii(c.substr(i, F.lit(1))))
+                % F.lit(2147483647),
+            )
         ),
     )
     return df

@@ -104,59 +104,70 @@ def asof_join_pandas_merge(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by, tiebreak)
     ]
-    rsel = [by, on] + value_cols + ([tiebreak] if tiebreak else [])
-    right = right.select(*[F.col(c) for c in dict.fromkeys(rsel)])
+    rsel = list(dict.fromkeys([by, on] + value_cols + ([tiebreak] if tiebreak else [])))
+    # Alias every right column: breaks attribute lineage shared with `left`
+    # (a self-cogroup over the same scan otherwise dedups the right side's
+    # key attribute and the pandas frame arrives without it) and guarantees
+    # distinct names inside merge_asof.
+    rpre = "__r_"
+    right = right.select(*[F.col(c).alias(f"{rpre}{c}") for c in rsel])
+    rby, ron = f"{rpre}{by}", f"{rpre}{on}"
+    rtb = f"{rpre}{tiebreak}" if tiebreak else None
 
     # --- skew detection: entities above threshold get time-sliced ---------
     if hot_threshold is None:
         total = right.count()
         hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
     hot_pd = (
-        right.groupBy(by)
+        right.groupBy(rby)
         .count()
         .filter(F.col("count") > hot_threshold)
-        .select(by)
+        .select(rby)
         .toPandas()
     )
-    hot_ids = set(hot_pd[by].tolist())
+    hot_ids = set(hot_pd[rby].tolist())
+
+    def _ts_double(df: DataFrame, col: str) -> F.Column:
+        t = df.schema[col].dataType.typeName()
+        c = F.col(col)
+        return c.cast("timestamp").cast("double") if t.startswith("timestamp") else c.cast("double")
 
     # Global time cut points for hot-entity slicing (sampled quantiles —
     # one cheap pass; at cluster scale this is approxQuantile on the key).
     if hot_ids:
         q = [i / slices for i in range(1, slices)]
-        cuts = (
-            right.withColumn("_tsd", F.col(on).cast("double"))
-            .approxQuantile("_tsd", q, 0.001)
+        cuts = right.withColumn("_tsd", _ts_double(right, ron)).approxQuantile(
+            "_tsd", q, 0.001
         )
     else:
         cuts = []
 
-    def bucket_col(df: DataFrame) -> F.Column:
-        base = F.pmod(F.xxhash64(F.col(by)), F.lit(num_buckets))
+    def bucket_col(df: DataFrame, key: str, tscol: str) -> F.Column:
+        base = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
         if not hot_ids:
             return base
-        hot = F.col(by).isin(list(hot_ids))
-        tsd = F.col(on).cast("double")
+        hot = F.col(key).isin(list(hot_ids))
+        tsd = _ts_double(df, tscol)
         slice_id = F.lit(0)
         for i, c in enumerate(cuts):
             slice_id = F.when(tsd > F.lit(c), F.lit(i + 1)).otherwise(slice_id)
         return F.when(hot, F.lit(num_buckets) + slice_id).otherwise(base)
 
-    lb = left.withColumn("_bkt", bucket_col(left).cast("int"))
-    rb = right.withColumn("_bkt", bucket_col(right).cast("int"))
+    lb = left.withColumn("_bkt", bucket_col(left, by, on).cast("int"))
+    rb = right.withColumn("_bkt", bucket_col(right, rby, ron).cast("int"))
 
-    # Carry-forward: last right row of each hot (entity, slice), shifted into
-    # the NEXT slice (keeping its true ts), ffilled across empty slices.
+    # Carry-forward: last right row of each hot (entity, slice), replicated
+    # into every later slice (keeping its true ts) so no probe in a later
+    # slice misses a match that lives in an earlier one.
     if hot_ids:
-        w = Window.partitionBy(by).orderBy("_bkt")
         last_per_slice = (
-            rb.filter(F.col(by).isin(list(hot_ids)))
+            rb.filter(F.col(rby).isin(list(hot_ids)))
             .withColumn(
                 "_rn",
                 F.row_number().over(
-                    Window.partitionBy(by, "_bkt").orderBy(
-                        F.col(on).desc(),
-                        *([F.col(tiebreak).desc()] if tiebreak else []),
+                    Window.partitionBy(rby, "_bkt").orderBy(
+                        F.col(ron).desc(),
+                        *([F.col(rtb).desc()] if rtb else []),
                     )
                 ),
             )
@@ -167,7 +178,8 @@ def asof_join_pandas_merge(
         # small and hot entities are few, so this stays tiny)
         slice_ids = list(range(num_buckets, num_buckets + slices))
         lattice = spark.createDataFrame(
-            [(s,) for s in slice_ids], T.StructType([T.StructField("_tgt", T.IntegerType())])
+            [(s,) for s in slice_ids],
+            T.StructType([T.StructField("_tgt", T.IntegerType())]),
         )
         carries = (
             last_per_slice.crossJoin(F.broadcast(lattice))
@@ -175,7 +187,7 @@ def asof_join_pandas_merge(
             .withColumn(
                 "_rk",
                 F.row_number().over(
-                    Window.partitionBy(by, "_tgt").orderBy(F.col("_bkt").desc())
+                    Window.partitionBy(rby, "_tgt").orderBy(F.col("_bkt").desc())
                 ),
             )
             .filter(F.col("_rk") == 1)
@@ -186,10 +198,14 @@ def asof_join_pandas_merge(
 
     out_schema = T.StructType(
         list(left.schema.fields)
-        + [right.schema[c] for c in value_cols]
+        + [
+            T.StructField(c, right.schema[f"{rpre}{c}"].dataType, True)
+            for c in value_cols
+        ]
     )
     lcols = left.columns
-    sort_r = [on] + ([tiebreak] if tiebreak else [])
+    rvals = [f"{rpre}{c}" for c in value_cols]
+    sort_r = [ron] + ([rtb] if rtb else [])
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.drop(columns=["_bkt"]).sort_values(on, kind="mergesort")
@@ -203,15 +219,15 @@ def asof_join_pandas_merge(
             return out[lcols + value_cols]
         merged = pd.merge_asof(
             lpdf,
-            rpdf[[by, on] + value_cols],
-            on=on,
-            by=by,
+            rpdf[[rby, ron] + rvals],
+            left_on=on,
+            right_on=ron,
+            left_by=by,
+            right_by=rby,
             direction="backward",
             allow_exact_matches=True,
-            suffixes=("", "_r"),
         )
-        keep = lcols + [c if c in merged.columns else f"{c}_r" for c in value_cols]
-        merged = merged[keep]
+        merged = merged[lcols + rvals]
         merged.columns = lcols + value_cols
         return merged
 

@@ -39,11 +39,11 @@ def time_cutoff_split(
     use the given quantile of ts (computed exactly once, tiny collect)."""
     if cutoff is None:
         row = df.select(
-            F.expr(f"percentile_approx(cast({ts_col} as double), {quantile})").alias("c")
+            F.expr(f"percentile_approx(cast(cast({ts_col} as timestamp) as double), {quantile})").alias("c")
         ).collect()[0]
         return df.withColumn(
             out_col,
-            F.when(F.col(ts_col).cast("double") <= float(row["c"]), "train").otherwise(
+            F.when(F.col(ts_col).cast("timestamp").cast("double") <= float(row["c"]), "train").otherwise(
                 "test"
             ),
         )

@@ -89,11 +89,10 @@ def with_session_ids(
     previous row of the same entity exceeds `gap_s`. session_id = cumulative
     sum of session-start flags (1-based) — the standard batch formulation."""
     w = _w(entity_col, ts_col, tiebreak)
-    prev = F.lag(F.col(ts_col)).over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_s),
-        1,
-    ).otherwise(0)
+    # cast via TIMESTAMP (LTZ) first: TIMESTAMP_NTZ inputs can't cast to
+    # double directly; with a UTC session this is exact epoch seconds
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ep).over(w)
+    is_new = F.when(prev.isNull() | ((ep - prev) > gap_s), 1).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(is_new).over(cum).cast("long"))

@@ -1,0 +1,321 @@
+"""DuckDB oracle SQL — one ANSI-SQL mirror per SQL-expressible query.
+
+Each statement runs against the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings) and
+must produce the same column names, row count, and values as the Spark
+implementation in ``queries.py``. Float aggregates are rounded on both
+sides; md5-based hashes are engine-agnostic by construction.
+
+Image-pipeline queries (image_features, image_asof_features,
+phash_neardup_images) are intentionally absent: their input is the
+synthesized image table, which the oracle cannot see — the driver records
+the weaker rows-only check and pytest covers them against the pandas
+golden oracle instead.
+"""
+
+_MINHASH_K = 8
+_HEX_THR = "cccccccc"  # first 8 hex digits of 0.8 * 16^8 (hash_split)
+
+_SIG_EXPRS = ",\n  ".join(
+    f"list_min([CAST(('0x' || substr(md5(s || '#{k}'), 1, 8)) AS BIGINT) "
+    f"for s in sh]) AS sig_{k}"
+    for k in range(_MINHASH_K)
+)
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct([text[i:i+2] for i in
+                        generate_series(1, greatest(len(text)-2, 1))]) AS sh
+  FROM documents
+)
+"""
+
+_SIGS_CTE = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, {_SIG_EXPRS} FROM sh
+)
+"""
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(th, h -> (h & {1 << j}) <> 0)) >= len(th) "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+_COS = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity) + 1e-9, 4)      AS sum_qty,
+               round(sum(l_extendedprice) + 1e-9, 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS sum_disc_price,
+               round(avg(l_quantity) + 1e-9, 4)      AS avg_qty,
+               round(avg(l_discount) + 1e-9, 4)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "predicate_scan_parts": """
+        SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        FROM part
+        WHERE p_size BETWEEN 10 AND 30
+          AND p_type LIKE 'ECO%'
+          AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17')
+          AND p_retailprice >= 500.0
+    """,
+    "set_ops_nations": """
+        SELECT 'both' AS tag, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'cust_only' AS tag, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        )
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "agg_events_daily": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               round(sum(value) + 1e-9, 4) AS sum_value,
+               round(avg(value) + 1e-9, 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "window_lag_lead_events": """
+        SELECT event_id, user_id, value,
+               lag(value)  OVER w AS lag1_value,
+               lead(value) OVER w AS lead1_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "window_backfill_events": """
+        SELECT event_id, user_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ffill_purchase_value
+        FROM events
+    """,
+    "sessionize_events": """
+        SELECT event_id, user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    """,
+    "rolling_mean_events": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+                 AS roll3_value
+        FROM events
+    """,
+    "asof_purchases_window": """
+        WITH spine AS (
+            SELECT event_id AS probe_id, user_id,
+                   ts + INTERVAL 60 SECOND AS ts
+            FROM events WHERE event_id % 5 = 0
+        ),
+        purch AS (
+            SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT s.probe_id, s.user_id, p.purchase_value, p.ts AS asof_ts
+        FROM spine s
+        ASOF LEFT JOIN purch p
+          ON s.user_id = p.user_id AND s.ts >= p.ts
+    """,
+    "snapshot_linear_fit": """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4)     AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+               count(*) AS n_samples
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "normalize_quantity": """
+        SELECT l_orderkey, l_linenumber,
+               round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag))
+                     / (max(abs(l_quantity)) OVER (PARTITION BY l_returnflag)
+                        + 1e-9) + 1e-11, 6) AS qty_norm
+        FROM lineitem
+    """,
+    "hash_split_customers": f"""
+        SELECT c_custkey,
+               CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                         < '{_HEX_THR}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM customer
+    """,
+    "dedup_exact_docs": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_id,
+               count(*)    AS n_dups
+        FROM documents
+        GROUP BY 1
+    """,
+    "minhash_signatures": _SIGS_CTE
+    + """
+        SELECT * FROM sigs
+    """,
+    "minhash_band_pairs": _SIGS_CTE
+    + """
+        , bands AS (
+            SELECT doc_id, 0 AS band,
+                   CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) || '_' ||
+                   CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1,
+                   CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) || '_' ||
+                   CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT doc_a, doc_b, round(jac + 1e-9, 4) AS jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ) WHERE jac >= 0.5
+    """,
+    "simhash_docs": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   [CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT)
+                    for tok in regexp_split_to_array(text, '\\s+')] AS th
+            FROM documents
+        )
+        SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash16 FROM t
+    """,
+    "embedding_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS target_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        j AS (SELECT target_id, neighbor_id,
+                     {_COS.format(a="qv", b="cv")} AS cos
+              FROM q, c WHERE target_id <> neighbor_id),
+        r AS (SELECT target_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY target_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM j)
+        SELECT target_id, neighbor_id, round(cos + 1e-9, 4) AS cos, rnk
+        FROM r WHERE rnk <= 3
+    """,
+    "embedding_neardup_pairs": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT id_a, id_b, round(cos + 1e-9, 4) AS cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COS.format(a="a.v", b="b.v")} AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+    """,
+    "text_analysis_docs": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                       t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t))) AS hits_en,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                       t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','von'], t))) AS hits_de,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                       t -> list_contains(['le','la','les','et','est','pas','une','des','dans','pour'], t))) AS hits_fr,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                       t -> list_contains(['el','la','los','que','es','una','por','con','para','del'], t))) AS hits_es,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                   CAST(length(text) AS DOUBLE) AS n_chars_m
+            FROM documents
+        ),
+        scored AS (
+            SELECT *,
+                   greatest(hits_en, hits_de, hits_fr, hits_es) AS best,
+                   hits_en / greatest(CAST(ws_tokens AS DOUBLE), 1.0) AS stop_ratio
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN hits_en = best AND best > 0 THEN 'en'
+                    WHEN hits_de = best AND best > 0 THEN 'de'
+                    WHEN hits_fr = best AND best > 0 THEN 'fr'
+                    WHEN hits_es = best AND best > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang_pred,
+               CAST(ws_tokens AS BIGINT) AS ws_tokens,
+               CAST(hits_en AS BIGINT) AS hits_en,
+               round(punct_ratio + 1e-9, 4) AS punct_ratio,
+               round(least(n_chars_m / 200.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                     + least(stop_ratio * 3.0, 1.0) * 0.3 + 1e-9, 4) AS quality_score,
+               list_reduce([CAST(ascii(ch) AS BIGINT)
+                            for ch in [text[i:i] for i in
+                                       generate_series(1, least(len(text), 64))]],
+                           (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+        FROM scored
+    """,
+}
+
+# asof_purchases_pandas shares the union-window oracle (same semantics,
+# different physical strategy on the Spark side).
+ORACLES["asof_purchases_pandas"] = ORACLES["asof_purchases_window"]

@@ -1,0 +1,571 @@
+"""Driver-contract query registry: Spark implementations.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types match the DuckDB oracle in ``oracles.py`` exactly
+(the driver compares row counts, schema, and order-insensitive value
+hashes). Float aggregates are rounded on BOTH sides to absorb
+partial-aggregation ordering differences.
+
+Coverage map (SURVEY.md §2.B + training-data ops): scans/predicates,
+joins (broadcast + sort-merge), aggregation, windows (lag/lead,
+backfill, rolling, sessionize, top-k), set ops, as-of join (both
+strategies), snapshot linear fits, normalization, hash split, exact /
+minhash-LSH / simhash / n-gram-jaccard / embedding dedup, cosine top-k
+similarity, text analysis, and the image feature pipeline (rows-only:
+the synthetic image table is not visible to the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from query_cost_feature_engineering_spark.operators.asof import (
+    asof_join_pandas_merge,
+    asof_join_union_window,
+)
+from query_cost_feature_engineering_spark.operators.snapshot import (
+    fit_linear_by_group,
+    normalize_by_group,
+)
+from query_cost_feature_engineering_spark.operators.split import hash_split
+from query_cost_feature_engineering_spark.operators.windows import (
+    with_backfill,
+    with_lag_lead,
+    with_rolling_mean,
+    with_session_ids,
+)
+
+R = 4  # shared rounding for float aggregates
+
+
+def _rq(c, n: int = R):
+    """Round for oracle comparison, nudged off half-way boundaries.
+
+    Spark rounds HALF_UP, DuckDB HALF_EVEN; decimal-valued inputs make
+    exact .5 boundaries common. Both engines apply the same +1e-(n+5)
+    nudge so they always land in the same bucket."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(c + F.lit(10.0 ** -(n + 5)), n)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational layer (TPC-H-ish; ref §2.B scans/joins/aggs/sort)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _rq(F.sum("l_quantity")).alias("sum_qty"),
+            _rq(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _rq(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _rq(F.avg("l_quantity")).alias("avg_qty"),
+            _rq(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(
+        _rq(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        _rq(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+
+
+def predicate_scan_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_type").like("ECO%")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#17")
+        & (F.col("p_retailprice") >= 500.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+def set_ops_nations(spark, sf_dir):
+    cn = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sn = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    cust_only = cn.distinct().exceptAll(sn.distinct()).withColumn(
+        "tag", F.lit("cust_only")
+    )
+    return both.unionByName(cust_only).select("tag", "nationkey")
+
+
+def topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def agg_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _rq(F.sum("value")).alias("sum_value"),
+            _rq(F.avg("value")).alias("avg_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx differs per engine; keep exact cols only
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window layer over events (ref §2.B windows; engine ops A17 analog)
+# ---------------------------------------------------------------------------
+
+def window_lag_lead_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = with_lag_lead(
+        e, "value", entity_col="user_id", ts_col="ts",
+        offsets=(1,), tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("lag1_value"), F.col("lead1_value"),
+    )
+
+
+def window_backfill_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = with_backfill(
+        e, "purchase_value", "ffill_purchase_value",
+        entity_col="user_id", ts_col="ts", tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "ffill_purchase_value")
+
+
+def sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = with_session_ids(
+        e, entity_col="user_id", ts_col="ts", gap_s=1800, tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+def rolling_mean_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = with_rolling_mean(
+        e, "value", 3, entity_col="user_id", ts_col="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", _rq("roll3_value").alias("roll3_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (both strategies, same oracle: DuckDB ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+def _asof_frames(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    spine = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("probe_id"),
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("ts"),
+        )
+    )
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("asof_ts", F.col("ts"))
+    )
+    return spine, right
+
+
+def asof_purchases_window(spark, sf_dir):
+    spine, right = _asof_frames(spark, sf_dir)
+    out = asof_join_union_window(
+        spine, right, on="ts", by="user_id",
+        value_cols=["purchase_value", "asof_ts"],
+    )
+    return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
+
+
+def asof_purchases_pandas(spark, sf_dir):
+    spine, right = _asof_frames(spark, sf_dir)
+    out = asof_join_pandas_merge(
+        spine, right, on="ts", by="user_id",
+        value_cols=["purchase_value", "asof_ts"], num_buckets=16,
+    )
+    return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot layer (ref A6/A7/A11)
+# ---------------------------------------------------------------------------
+
+def snapshot_linear_fit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = fit_linear_by_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return fit.select(
+        "l_returnflag",
+        _rq("slope").alias("slope"),
+        _rq("intercept").alias("intercept"),
+        "n_samples",
+    )
+
+
+def normalize_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = normalize_by_group(li, "l_returnflag", ["l_quantity"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        _rq("l_quantity_norm", 6).alias("qty_norm"),
+    )
+
+
+def hash_split_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_N_MINHASH = 8
+
+
+def _shingles(col):
+    # distinct 3-char shingles, JVM-side
+    n = F.greatest(F.length(col) - F.lit(2), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(3)))
+    )
+
+
+def _minhash_col(shingles, k: int):
+    # md5-based permutation: engine-agnostic (DuckDB reproduces it exactly)
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f"#{k}")).cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+
+def minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(F.col("text"))
+    cols = {f"sig_{k}": _minhash_col(sh, k) for k in range(_N_MINHASH)}
+    return d.withColumns(cols).select(
+        "doc_id", *[f"sig_{k}" for k in range(_N_MINHASH)]
+    )
+
+
+def minhash_band_pairs(spark, sf_dir):
+    """LSH banding: 2 bands × 4 rows; candidate pairs share any band."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(2):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"sig_{4 * b + r}") for r in range(4)]
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.5 within a language block."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _shingles(F.col("text")).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = (
+        a.join(b, F.col("a.lang") == F.col("b.lang"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+            ).alias("jac"),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", _rq("jac").alias("jaccard")
+    )
+
+
+def simhash_docs(spark, sf_dir):
+    """16-bit simhash over whitespace tokens (md5-derived bit hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    tok_h = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10
+        ).cast("long"),
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        hits = F.size(
+            F.filter(tok_h, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)
+        )
+        bit = F.when(hits * 2 >= n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = sim + bit * F.lit(1 << j).cast("long")
+    return d.select("doc_id", sim.alias("simhash16"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the first 20 vectors."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("target_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    j = (
+        q.crossJoin(c)
+        .filter(F.col("target_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
+    )
+
+
+def embedding_neardup_pairs(spark, sf_dir):
+    """All-pairs embedding near-dup: cosine ≥ 0.35 (a<b)."""
+    em = _t(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    j = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+    )
+    return j.filter(F.col("cos") >= 0.35).select(
+        "id_a", "id_b", _rq("cos").alias("cos")
+    )
+
+
+def text_analysis_docs(spark, sf_dir):
+    from query_cost_feature_engineering_spark.functions.text import (
+        with_text_analysis,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_text_analysis(d, "text")
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("hits_en").cast("long").alias("hits_en"),
+        _rq("punct_ratio").alias("punct_ratio"),
+        _rq("quality_score").alias("quality_score"),
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image pipeline (rows-only: the synthetic image table isn't a DuckDB view)
+# ---------------------------------------------------------------------------
+
+def _synth_images(spark, n=400, n_entities=30, seed=42):
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    return spark.createDataFrame(generate_images_pandas(n, n_entities, seed))
+
+
+def image_features(spark, sf_dir):
+    from query_cost_feature_engineering_spark.plans.pipeline import (
+        assemble_vector,
+        compute_features,
+    )
+
+    images = _synth_images(spark)
+    out = assemble_vector(compute_features(images))
+    return out.select("image_id", "entity_id", "ts", "session_id", "features")
+
+
+def image_asof_features(spark, sf_dir):
+    from query_cost_feature_engineering_spark.plans.pipeline import compute_features
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+        generate_spine_pandas,
+    )
+
+    pdf = generate_images_pandas(400, 30, 42)
+    images = spark.createDataFrame(pdf)
+    spine = spark.createDataFrame(generate_spine_pandas(pdf, n=200, seed=43))
+    feats = compute_features(images).select(
+        "entity_id", "ts", "image_id", "px_mean", "session_id"
+    )
+    out = asof_join_union_window(
+        spine, feats, on="ts", by="entity_id",
+        value_cols=["image_id", "px_mean", "session_id"], tiebreak="image_id",
+    )
+    return out.select("probe_id", "entity_id", "image_id", "px_mean", "session_id")
+
+
+def phash_neardup_images(spark, sf_dir):
+    images = _synth_images(spark).select("image_id", "phash")
+    a = images.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"))
+    b = images.select(F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b"))
+    j = (
+        a.crossJoin(b)
+        .filter(F.col("img_a") < F.col("img_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+    )
+    return j.filter(F.col("hamming") <= 12).select("img_a", "img_b", "hamming")
+
+
+REGISTRY = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "predicate_scan_parts": predicate_scan_parts,
+    "set_ops_nations": set_ops_nations,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "agg_events_daily": agg_events_daily,
+    "window_lag_lead_events": window_lag_lead_events,
+    "window_backfill_events": window_backfill_events,
+    "sessionize_events": sessionize_events,
+    "rolling_mean_events": rolling_mean_events,
+    "asof_purchases_window": asof_purchases_window,
+    "asof_purchases_pandas": asof_purchases_pandas,
+    "snapshot_linear_fit": snapshot_linear_fit,
+    "normalize_quantity": normalize_quantity,
+    "hash_split_customers": hash_split_customers,
+    "dedup_exact_docs": dedup_exact_docs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_band_pairs": minhash_band_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_docs": simhash_docs,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "text_analysis_docs": text_analysis_docs,
+    "image_features": image_features,
+    "image_asof_features": image_asof_features,
+    "phash_neardup_images": phash_neardup_images,
+}

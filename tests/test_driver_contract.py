@@ -1,0 +1,62 @@
+"""Driver-contract smoke: every queries() entry runs and matches its
+DuckDB oracle at sf0.001 (the full sf0.01 pass is tools/check_oracles.py)."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 3
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = E.queries()[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    oracles = E.oracle_sql()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only contract
+        return
+    ddf = duck.execute(oracles[name]).fetchdf()
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns), name
+    a = sdf[cols].sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    b = ddf[cols].sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    for c in cols:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            assert np.allclose(
+                a[c].astype(float), b[c].astype(float),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"{name}.{c}"
+        else:
+            assert (
+                a[c].astype(str).fillna("∅") == b[c].astype(str).fillna("∅")
+            ).all(), f"{name}.{c}"
