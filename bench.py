@@ -1,0 +1,154 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the image as-of+window feature pipeline
+(BASELINE.json north-star metric: images/sec), reported in the extra
+``images_per_sec`` key; ``value`` is total headline wall seconds.
+
+Quadratic all-pairs queries (ngram_jaccard_pairs, embedding_neardup_pairs)
+are correctness-only at sf0.01 and intentionally not in the headline set —
+their scale path is the LSH/banded variants which ARE benched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "predicate_scan_parts",
+    "topk_orders_per_customer",
+    "agg_events_daily",
+    "window_lag_lead_events",
+    "window_backfill_events",
+    "sessionize_events",
+    "rolling_mean_events",
+    "asof_purchases_window",
+    "asof_purchases_pandas",
+    "snapshot_linear_fit",
+    "normalize_quantity",
+    "hash_split_customers",
+    "dedup_exact_docs",
+    "minhash_band_pairs",
+    "simhash_docs",
+    "embedding_cosine_topk",
+    "text_analysis_docs",
+]
+
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000"))
+N_PROBES = int(os.environ.get("SPARK_GRAFT_BENCH_PROBES", "8000"))
+
+
+def _run_count(df) -> int:
+    # count() after a no-op cache-free action: forces full evaluation of
+    # every row without collecting payloads to the driver
+    return df.count()
+
+
+def bench_image_pipeline(spark, workdir: str) -> dict:
+    """images/sec through decode → window layer → vector → as-of join."""
+    from query_cost_feature_engineering_spark.operators.asof import (
+        asof_join_pandas_merge,
+    )
+    from query_cost_feature_engineering_spark.plans.pipeline import (
+        assemble_vector,
+        compute_features,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+        generate_spine_pandas,
+    )
+
+    # --- input synthesis (NOT timed: the engine's job starts at the scan) --
+    pdf = generate_images_pandas(N_IMAGES, n_entities=max(N_IMAGES // 40, 8), seed=42)
+    img_path = os.path.join(workdir, "images")
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(img_path)
+    spine_path = os.path.join(workdir, "spine")
+    spark.createDataFrame(
+        generate_spine_pandas(pdf, n=N_PROBES, seed=43)
+    ).repartition(32).write.mode("overwrite").parquet(spine_path)
+
+    images = spark.read.parquet(img_path)
+    spine = spark.read.parquet(spine_path)
+
+    t0 = time.perf_counter()
+    feats = assemble_vector(compute_features(images))
+    n_feat = _run_count(feats.select("image_id", "features"))
+    t1 = time.perf_counter()
+    joined = asof_join_pandas_merge(
+        spine,
+        feats.select("entity_id", "ts", "image_id", "px_mean", "session_id"),
+        on="ts",
+        by="entity_id",
+        value_cols=["image_id", "px_mean", "session_id"],
+        tiebreak="image_id",
+        num_buckets=32,
+    )
+    n_join = _run_count(joined)
+    t2 = time.perf_counter()
+    return {
+        "n_images": n_feat,
+        "n_probes": n_join,
+        "feature_sec": round(t1 - t0, 3),
+        "asof_sec": round(t2 - t1, 3),
+        "total_sec": round(t2 - t0, 3),
+        "images_per_sec": round(n_feat / (t2 - t0), 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as E
+    from query_cost_feature_engineering_spark.session import get_spark
+
+    spark = get_spark(app="qcfe-bench", master=f"local[{cpus}]")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    # warm up the JVM + python workers once (excluded from timings)
+    _run_count(qs["q1_pricing_summary"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _run_count(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    with tempfile.TemporaryDirectory(prefix="qcfe_bench_") as workdir:
+        img = bench_image_pipeline(spark, workdir)
+    timings["image_pipeline"] = img["total_sec"]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "images_per_sec": img["images_per_sec"],
+        "image_pipeline": img,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,16 +115,18 @@ def asof_join_pandas_merge(
     rtb = f"{rpre}{tiebreak}" if tiebreak else None
 
     # --- skew detection: entities above threshold get time-sliced ---------
+    # Detection runs on a key-only projection: Catalyst column-prunes the
+    # upstream plan, so expensive feature UDFs (image decode) are NOT
+    # evaluated for these statistics passes — only the final merge pays.
+    rkeys = right.select(rby, ron)
+    counts = rkeys.groupBy(rby).agg(F.count(F.lit(1)).alias("_cnt"))
     if hot_threshold is None:
-        total = right.count()
+        total = int(
+            counts.agg(F.sum("_cnt").alias("t")).collect()[0]["t"] or 0
+        )
         hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
-    hot_pd = (
-        right.groupBy(rby)
-        .count()
-        .filter(F.col("count") > hot_threshold)
-        .select(rby)
-        .toPandas()
-    )
+    # only hot ids cross to the driver (tiny by construction)
+    hot_pd = counts.filter(F.col("_cnt") > hot_threshold).select(rby).toPandas()
     hot_ids = set(hot_pd[rby].tolist())
 
     def _ts_double(df: DataFrame, col: str) -> F.Column:
@@ -136,7 +138,7 @@ def asof_join_pandas_merge(
     # one cheap pass; at cluster scale this is approxQuantile on the key).
     if hot_ids:
         q = [i / slices for i in range(1, slices)]
-        cuts = right.withColumn("_tsd", _ts_double(right, ron)).approxQuantile(
+        cuts = rkeys.withColumn("_tsd", _ts_double(rkeys, ron)).approxQuantile(
             "_tsd", q, 0.001
         )
     else:
@@ -229,6 +231,11 @@ def asof_join_pandas_merge(
         )
         merged = merged[lcols + rvals]
         merged.columns = lcols + value_cols
+        # unmatched probes: merge_asof fills float NaN even for object
+        # columns (arrays/strings) — Arrow needs real None there
+        for c in value_cols:
+            if merged[c].dtype == object:
+                merged.loc[merged[c].isna(), c] = None
         return merged
 
     return (

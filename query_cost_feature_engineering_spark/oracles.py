@@ -13,12 +13,17 @@ the weaker rows-only check and pytest covers them against the pandas
 golden oracle instead.
 """
 
+from query_cost_feature_engineering_spark.functions.hashing import (
+    MH_A,
+    MH_B,
+    MH_P,
+)
+
 _MINHASH_K = 8
 _HEX_THR = "cccccccc"  # first 8 hex digits of 0.8 * 16^8 (hash_split)
 
 _SIG_EXPRS = ",\n  ".join(
-    f"list_min([CAST(('0x' || substr(md5(s || '#{k}'), 1, 8)) AS BIGINT) "
-    f"for s in sh]) AS sig_{k}"
+    f"list_min([({MH_A[k]} * h + {MH_B[k]}) % {MH_P} for h in hb]) AS sig_{k}"
     for k in range(_MINHASH_K)
 )
 
@@ -33,8 +38,13 @@ sh AS (
 
 _SIGS_CTE = f"""
 WITH {_SHINGLES_CTE},
+shh AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hb
+  FROM sh
+),
 sigs AS (
-  SELECT doc_id, {_SIG_EXPRS} FROM sh
+  SELECT doc_id, {_SIG_EXPRS} FROM shh
 )
 """
 

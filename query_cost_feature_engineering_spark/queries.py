@@ -311,24 +311,33 @@ def _shingles(col):
     )
 
 
-def _minhash_col(shingles, k: int):
-    # md5-based permutation: engine-agnostic (DuckDB reproduces it exactly)
-    return F.array_min(
-        F.transform(
-            shingles,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(s, F.lit(f"#{k}")).cast("binary")), 1, 8),
-                16,
-                10,
-            ).cast("long"),
-        )
+def minhash_signatures(spark, sf_dir):
+    """One md5 base hash per shingle + k universal-hash permutations
+    (functions/hashing.py) — engine-agnostic and 8× less hash work than
+    per-permutation md5."""
+    from query_cost_feature_engineering_spark.functions.hashing import (
+        MH_A,
+        MH_B,
+        MH_P,
     )
 
-
-def minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles(F.col("text"))
-    cols = {f"sig_{k}": _minhash_col(sh, k) for k in range(_N_MINHASH)}
+    base = F.transform(
+        _shingles(F.col("text")),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    d = d.withColumn("_hb", base)
+    cols = {
+        f"sig_{k}": F.array_min(
+            F.transform(
+                F.col("_hb"),
+                lambda h: (F.lit(MH_A[k]) * h + F.lit(MH_B[k])) % F.lit(MH_P),
+            )
+        )
+        for k in range(_N_MINHASH)
+    }
     return d.withColumns(cols).select(
         "doc_id", *[f"sig_{k}" for k in range(_N_MINHASH)]
     )
