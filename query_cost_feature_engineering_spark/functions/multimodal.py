@@ -1,0 +1,214 @@
+"""Multimodal payload operators: decode / resize / frame-sample over opaque
+binary columns, as Arrow-batched ``mapInPandas`` / pandas UDFs.
+
+Images are REAL (the pure-NumPy codecs in ``codecs.py``). Video and audio
+decoding need libraries absent from this container (ffmpeg / soundfile),
+so those decoders are STUBS behind an import-try: when the real library is
+missing, a clearly-marked deterministic fake parses our own synthetic
+container format (``FVID``/``FAUD``, produced by the generators below) so
+the Spark-side plumbing — schema, batch shape, row explosion, partition
+sizing — is real and tested end-to-end. Feeding a genuine mp4/wav without
+the real library raises ``NotImplementedError``.
+
+Ref parity: the reference has no media layer (its payload is plan JSON);
+this implements SURVEY.md §1.5's "binary (new engine: image bytes)"
+column contract for the remaining modalities.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from query_cost_feature_engineering_spark.codecs import (
+    decode_image,
+    encode_png,
+)
+
+try:  # pragma: no cover - not in this container
+    import av  # type: ignore  # PyAV: real video decode
+
+    _HAS_AV = True
+except ImportError:
+    _HAS_AV = False
+
+try:  # pragma: no cover - not in this container
+    import soundfile  # type: ignore  # noqa: F401  real audio decode
+
+    _HAS_SF = True
+except ImportError:
+    _HAS_SF = False
+
+FVID_SIG = b"FVID"  # fake video: header + zlib'd uint8 luma frames
+FAUD_SIG = b"FAUD"  # fake audio: header + zlib'd int16 PCM samples
+
+
+# --- synthetic container encoders (test/bench input only) -------------------
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 luma frames → FVID container."""
+    n, h, w = frames.shape
+    return FVID_SIG + struct.pack(">III", n, h, w) + zlib.compress(frames.tobytes(), 6)
+
+
+def encode_fake_audio(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM → FAUD container."""
+    return FAUD_SIG + struct.pack(">II", len(pcm), rate) + zlib.compress(pcm.tobytes(), 6)
+
+
+def _decode_fake_video(data: bytes) -> np.ndarray:
+    if data[:4] != FVID_SIG:
+        raise NotImplementedError(
+            "real video decode requires PyAV/ffmpeg (absent in this container); "
+            "only the FVID stub container is supported"
+        )
+    n, h, w = struct.unpack(">III", data[4:16])
+    return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
+
+
+def _decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != FAUD_SIG:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/libsndfile (absent); "
+            "only the FAUD stub container is supported"
+        )
+    n, rate = struct.unpack(">II", data[4:12])
+    return np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)[:n], rate
+
+
+# --- image resize (real) ----------------------------------------------------
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, size: int, bytes_col: str = "bytes") -> DataFrame:
+    """Nearest-neighbor resize to (size × size), re-encoded as PNG.
+    Arrow-batched pandas UDF; output replaces w/h/fmt accordingly."""
+
+    @F.pandas_udf(_RESIZE_SCHEMA)
+    def _resize(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        outs, ws, hs = [], [], []
+        for b, f in zip(data, fmt):
+            arr = decode_image(bytes(b), f)
+            ys = (np.arange(size) * arr.shape[0]) // size
+            xs = (np.arange(size) * arr.shape[1]) // size
+            out = arr[np.ix_(ys, xs)]
+            outs.append(encode_png(out))
+            ws.append(size)
+            hs.append(size)
+        return pd.DataFrame({"out_bytes": outs, "out_w": ws, "out_h": hs})
+
+    r = df.withColumn("_r", _resize(F.col(bytes_col), F.col("fmt")))
+    return (
+        r.withColumn("bytes", F.col("_r.out_bytes"))
+        .withColumn("w", F.col("_r.out_w"))
+        .withColumn("h", F.col("_r.out_h"))
+        .withColumn("fmt", F.lit("png"))
+        .drop("_r")
+    )
+
+
+# --- video frame sampling (stubbed decode, real plumbing) -------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_k: int = 5,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Explode each video row into one row per sampled frame (every k-th),
+    via ``mapInPandas`` (1→N row fan-out needs mapInPandas, not a scalar
+    UDF). Decode is the FVID stub (or PyAV when available)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if _HAS_AV:  # pragma: no cover
+                    raise NotImplementedError("PyAV path not wired in sandbox")
+                frames = _decode_fake_video(bytes(data))
+                n = frames.shape[0]
+                for i in range(0, n, every_k):
+                    f = frames[i]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "n_frames": n,
+                            "frame_mean": float(f.mean()),
+                            "frame_png": encode_png(
+                                np.repeat(f[..., None], 3, axis=2)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+# --- audio features (stubbed decode, real plumbing) -------------------------
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def with_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Scalar struct pandas UDF: PCM stats per clip (FAUD stub decode)."""
+
+    @F.pandas_udf(_AUDIO_SCHEMA)
+    def _afeat(data: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in data:
+            if _HAS_SF:  # pragma: no cover
+                raise NotImplementedError("soundfile path not wired in sandbox")
+            pcm, rate = _decode_fake_audio(bytes(b))
+            x = pcm.astype(np.float64)
+            rows.append(
+                {
+                    "n_samples": len(pcm),
+                    "sample_rate": rate,
+                    "duration_s": len(pcm) / rate,
+                    "rms": float(np.sqrt(np.mean(x**2))) if len(pcm) else 0.0,
+                    "zero_crossings": int(np.sum(np.abs(np.diff(np.signbit(pcm)))))
+                    if len(pcm) > 1
+                    else 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    r = df.withColumn("_a", _afeat(F.col(bytes_col)))
+    out_cols = [f.name for f in _AUDIO_SCHEMA.fields]
+    return r.withColumns({c: F.col(f"_a.{c}") for c in out_cols}).drop("_a")

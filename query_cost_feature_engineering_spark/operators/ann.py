@@ -1,0 +1,124 @@
+"""Approximate nearest neighbors over embedding columns.
+
+Scale path for the brute-force cosine top-k (queries.py
+``embedding_cosine_topk``): signed-random-projection LSH. Each of L
+tables hashes a vector to a B-bit bucket (bit b = sign of the dot product
+with a fixed ±1 hyperplane); candidates are vectors sharing any table's
+bucket with the query, scored exactly, top-k kept. At 10^12 scale the
+bucket join replaces the O(N·Q) cross join with L shuffle joins on bucket
+keys; recall is tuned via (B, L).
+
+Hyperplanes are deterministic ±1 vectors derived from md5 (hashing.py
+style), embedded as literal arrays — so DuckDB evaluates the IDENTICAL
+algorithm for the correctness oracle (same float op order ⇒ bitwise-equal
+doubles ⇒ hash-equal results).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_DIM = 64
+ANN_BITS = 4
+ANN_TABLES = 12
+
+
+def srp_signs(table: int, bit: int, dim: int = ANN_DIM) -> list[int]:
+    """±1 hyperplane components; md5-seeded, engine-independent constants."""
+    return [
+        1 if hashlib.md5(f"srp:{table}:{bit}:{d}".encode()).digest()[0] % 2 == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def _dot_signs(vec, signs: list[int]):
+    """Σ vec[i]·s[i] as a fixed left-to-right fold (bitwise-reproducible)."""
+    arr = F.array(*[F.lit(float(s)) for s in signs])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def bucket_key(vec, table: int, bits: int = ANN_BITS, dim: int = ANN_DIM):
+    """B-bit integer bucket id for one LSH table."""
+    terms = [
+        F.when(_dot_signs(vec, srp_signs(table, b, dim)) >= 0, F.lit(1 << b))
+        .otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    return reduce(lambda a, c: a + c, terms).cast("int")
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_q: str = "target_id",
+    id_c: str = "neighbor_id",
+    vec_q: str = "qv",
+    vec_c: str = "cv",
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+    dim: int = ANN_DIM,
+) -> DataFrame:
+    """Bucketed cosine top-k: join per LSH table, union, dedup, score, rank."""
+    cand = None
+    for t in range(tables):
+        qk = queries.withColumn("_bk", bucket_key(F.col(vec_q), t, bits, dim))
+        ck = corpus.withColumn("_bk", bucket_key(F.col(vec_c), t, bits, dim))
+        j = qk.join(ck, "_bk").drop("_bk")
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.filter(F.col(id_q) != F.col(id_c)).dropDuplicates([id_q, id_c])
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_q), F.col(vec_c),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, v: a + v,
+            )
+        )
+
+    scored = cand.withColumn(
+        "cos", dot / (_norm(F.col(vec_q)) * _norm(F.col(vec_c)))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos").desc(), F.col(id_c))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_q, id_c, "cos", "rnk")
+    )
+
+
+# --- oracle SQL generation (DuckDB mirror of the identical algorithm) -------
+
+def _duck_dot_signs(vec: str, signs: list[int]) -> str:
+    lits = ", ".join(f"{s}.0" for s in signs)
+    return (
+        f"list_reduce(list_transform(generate_series(1, {len(signs)}), "
+        f"i -> {vec}[i] * ([{lits}])[i]), (a, v) -> a + v)"
+    )
+
+
+def duck_bucket_key(vec: str, table: int, bits: int = ANN_BITS,
+                    dim: int = ANN_DIM) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_duck_dot_signs(vec, srp_signs(table, b, dim))} >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"({terms})"

@@ -102,6 +102,29 @@ ORACLES: dict[str, str] = {
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n.n_name
     """,
+    "q4_semi_orders": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+    """,
+    "rollup_revenue": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "predicate_scan_parts": """
         SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         FROM part
@@ -176,6 +199,33 @@ ORACLES: dict[str, str] = {
                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
                  AS roll3_value
         FROM events
+    """,
+    "stream_sessionize_events": """
+        WITH s AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+            FROM (
+                SELECT event_id, user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        ),
+        sess AS (
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value) + 1e-9, 4) AS sum_value,
+                   max(ts) AS last_ts
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_start, n_events, sum_value, last_ts
+        FROM sess
+        WHERE epoch(last_ts) + 1800 < (SELECT max(epoch(ts)) FROM events) - 7200
     """,
     "asof_purchases_window": """
         WITH spine AS (
@@ -329,3 +379,46 @@ ORACLES: dict[str, str] = {
 # asof_purchases_pandas shares the union-window oracle (same semantics,
 # different physical strategy on the Spark side).
 ORACLES["asof_purchases_pandas"] = ORACLES["asof_purchases_window"]
+
+
+def _ann_oracle() -> str:
+    """DuckDB mirror of operators/ann.ann_topk — the IDENTICAL LSH
+    algorithm (same md5-derived hyperplanes, same fold order), so results
+    hash-match exactly."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        ANN_TABLES,
+        duck_bucket_key,
+    )
+
+    joins = "\n            UNION ALL\n".join(
+        f"            SELECT q.target_id, c.neighbor_id FROM q JOIN c "
+        f"ON {duck_bucket_key('q.qv', t)} = {duck_bucket_key('c.cv', t)}"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id AS target_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        cand AS (
+            SELECT DISTINCT target_id, neighbor_id FROM (
+{joins}
+            ) WHERE target_id <> neighbor_id
+        ),
+        scored AS (
+            SELECT cand.target_id, cand.neighbor_id,
+                   {_COS.format(a="q.qv", b="c.cv")} AS cos
+            FROM cand
+            JOIN q ON q.target_id = cand.target_id
+            JOIN c ON c.neighbor_id = cand.neighbor_id
+        ),
+        r AS (SELECT target_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY target_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored)
+        SELECT target_id, neighbor_id, round(cos + 1e-9, 4) AS cos, rnk
+        FROM r WHERE rnk <= 3
+    """
+
+
+ORACLES["ann_lsh_topk"] = _ann_oracle()

@@ -170,6 +170,47 @@ def agg_events_daily(spark, sf_dir):
     )
 
 
+def q4_semi_orders(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having a high-discount lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_no_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no 1997 order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation: revenue at (flag, status), (flag), and grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(
+        _rq(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    # subtotal rows carry NULL group keys; coalesce so the oracle compare
+    # (string-typed) is engine-independent
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "revenue",
+        "n_items",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window layer over events (ref §2.B windows; engine ops A17 analog)
 # ---------------------------------------------------------------------------
@@ -474,6 +515,50 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+def stream_sessionize_events(spark, sf_dir):
+    """Structured-Streaming gap sessionization (session_window + watermark,
+    availableNow). Append mode emits exactly the sessions finalized by the
+    final watermark (max event time - 2h), which the SQL oracle mirrors."""
+    import shutil
+    import tempfile
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="qcfe_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    stream = read_events_stream(spark, d)
+    out = run_stream_to_memory(
+        sessionize_stream(stream, gap_s=1800, watermark="7200 seconds")
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _rq("sum_value").alias("sum_value"),
+        "last_ts",
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed cosine top-3 — the scale path for embedding_cosine_topk
+    (operators/ann.py). Oracle runs the identical algorithm in DuckDB."""
+    from query_cost_feature_engineering_spark.operators.ann import ann_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("target_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    out = ann_topk(q, c, k=3)
+    return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
+
+
 def text_analysis_docs(spark, sf_dir):
     from query_cost_feature_engineering_spark.functions.text import (
         with_text_analysis,
@@ -535,6 +620,60 @@ def image_asof_features(spark, sf_dir):
     return out.select("probe_id", "entity_id", "image_id", "px_mean", "session_id")
 
 
+def resize_images_meta(spark, sf_dir):
+    """Batch resize (real nearest-neighbor + PNG re-encode) — metadata out."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    images = _synth_images(spark, n=120)
+    out = resize_images(images, 32)
+    return out.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        F.length(F.col("bytes")).cast("long").alias("out_nbytes"),
+    )
+
+
+def video_frame_sample(spark, sf_dir):
+    """mapInPandas 1→N frame explosion over the FVID stub container."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_videos_pandas,
+    )
+
+    vids = spark.createDataFrame(generate_videos_pandas(60, seed=52))
+    out = sample_video_frames(vids, every_k=5)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", _rq("frame_mean").alias("frame_mean")
+    )
+
+
+def audio_features_clips(spark, sf_dir):
+    """PCM stats per clip over the FAUD stub container."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_audio_features,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_pandas,
+    )
+
+    clips = spark.createDataFrame(generate_audio_pandas(80, seed=53))
+    out = with_audio_features(clips)
+    return out.select(
+        "clip_id",
+        "n_samples",
+        "sample_rate",
+        _rq("duration_s").alias("duration_s"),
+        _rq("rms").alias("rms"),
+        "zero_crossings",
+    )
+
+
 def phash_neardup_images(spark, sf_dir):
     images = _synth_images(spark).select("image_id", "phash")
     a = images.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"))
@@ -553,6 +692,9 @@ REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q4_semi_orders": q4_semi_orders,
+    "customers_no_orders": customers_no_orders,
+    "rollup_revenue": rollup_revenue,
     "predicate_scan_parts": predicate_scan_parts,
     "set_ops_nations": set_ops_nations,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -561,6 +703,7 @@ REGISTRY = {
     "window_backfill_events": window_backfill_events,
     "sessionize_events": sessionize_events,
     "rolling_mean_events": rolling_mean_events,
+    "stream_sessionize_events": stream_sessionize_events,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "snapshot_linear_fit": snapshot_linear_fit,
@@ -573,8 +716,12 @@ REGISTRY = {
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
     "text_analysis_docs": text_analysis_docs,
     "image_features": image_features,
     "image_asof_features": image_asof_features,
     "phash_neardup_images": phash_neardup_images,
+    "resize_images_meta": resize_images_meta,
+    "video_frame_sample": video_frame_sample,
+    "audio_features_clips": audio_features_clips,
 }

@@ -1,0 +1,52 @@
+"""Deterministic synthetic video/audio clip tables (multimodal test input).
+
+Same philosophy as ``sources/images.py``: fully seeded, no external data.
+Payloads use the FVID/FAUD stub containers from ``functions/multimodal.py``
+(real ffmpeg/soundfile are absent from this container; the Spark plumbing
+is what's under test)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from query_cost_feature_engineering_spark.functions.multimodal import (
+    encode_fake_audio,
+    encode_fake_video,
+)
+
+
+def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        nf = int(rng.integers(8, 40))
+        h = int(rng.choice([16, 24, 32]))
+        w = int(rng.choice([16, 24, 32]))
+        frames = rng.integers(0, 256, size=(nf, h, w)).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": f"vid{i:06d}",
+                "bytes": encode_fake_video(frames),
+                "n_frames_true": nf,
+                "fmt": "fvid",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ns = int(rng.integers(1600, 48000))
+        pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+        rows.append(
+            {
+                "clip_id": f"aud{i:06d}",
+                "bytes": encode_fake_audio(pcm, rate=16000),
+                "n_samples_true": ns,
+                "fmt": "faud",
+            }
+        )
+    return pd.DataFrame(rows)

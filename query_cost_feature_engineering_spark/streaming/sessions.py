@@ -1,0 +1,110 @@
+"""Structured Streaming layer: gap sessionization + windowed aggregates.
+
+The reference is pure batch (SURVEY.md §2.B "Streaming: none"); this is the
+optional-extension path the survey notes — the same gap-based session
+semantics as ``operators/windows.with_session_ids`` expressed with
+``F.session_window`` so the engine can also run over a live stream
+(Kafka/files) with late-data handling via watermarks.
+
+Semantic contract (tested against the batch operator): a session groups
+consecutive events of one entity whose inter-arrival gap is <= ``gap_s``;
+session_window's [start, last+gap) merging produces exactly the batch
+operator's groups, so per-session (entity, session_start, n_events,
+sum_value) agree with the batch rollup of ``with_session_ids``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files: int = 4
+) -> DataFrame:
+    """File-source stream over an events parquet dir (schema must be
+    explicit for streaming sources)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(entity, session) aggregate via session_window. Watermark bounds
+    state: sessions older than max(event time) - watermark are finalized and
+    emitted (append mode), so state does not grow with stream length."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), f"{gap_s} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col(entity_col),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed count/sum per event_type — the streaming twin of the batch
+    ``agg_events_daily`` query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drain a (bounded) stream with availableNow into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"qcfe_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

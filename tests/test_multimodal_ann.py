@@ -1,0 +1,103 @@
+"""Multimodal mapInPandas plumbing (golden-oracle checked) + ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from query_cost_feature_engineering_spark.codecs import decode_image, decode_png
+from query_cost_feature_engineering_spark.functions.multimodal import (
+    _decode_fake_audio,
+    _decode_fake_video,
+    resize_images,
+    sample_video_frames,
+    with_audio_features,
+)
+from query_cost_feature_engineering_spark.sources.media import (
+    generate_audio_pandas,
+    generate_videos_pandas,
+)
+
+EVERY_K = 5
+
+
+def test_resize_images_matches_golden(spark, images_pdf):
+    sub = images_pdf.head(40)
+    out = (
+        resize_images(spark.createDataFrame(sub), 32)
+        .select("image_id", "bytes", "w", "h", "fmt")
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert (out["w"] == 32).all() and (out["h"] == 32).all()
+    assert (out["fmt"] == "png").all()
+    for row in sub.itertuples():
+        arr = decode_image(bytes(row.bytes), row.fmt)
+        ys = (np.arange(32) * arr.shape[0]) // 32
+        xs = (np.arange(32) * arr.shape[1]) // 32
+        golden = arr[np.ix_(ys, xs)]
+        got = decode_png(bytes(out.loc[row.image_id, "bytes"]))
+        np.testing.assert_array_equal(got, golden)
+
+
+def test_video_frame_sample_matches_golden(spark):
+    vids = generate_videos_pandas(25, seed=52)
+    out = (
+        sample_video_frames(spark.createDataFrame(vids), every_k=EVERY_K)
+        .toPandas()
+    )
+    expected_rows = sum(-(-nf // EVERY_K) for nf in vids["n_frames_true"])
+    assert len(out) == expected_rows
+    golden_frames = {
+        row.media_id: _decode_fake_video(bytes(row.bytes))
+        for row in vids.itertuples()
+    }
+    for r in out.itertuples():
+        frames = golden_frames[r.media_id]
+        assert r.n_frames == frames.shape[0]
+        f = frames[r.frame_idx]
+        assert abs(r.frame_mean - f.mean()) < 1e-9
+        png = decode_png(bytes(r.frame_png))
+        np.testing.assert_array_equal(png[..., 0], f)
+
+
+def test_video_decode_rejects_real_formats():
+    with pytest.raises(NotImplementedError, match="PyAV|FVID"):
+        _decode_fake_video(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+
+
+def test_audio_features_match_golden(spark):
+    clips = generate_audio_pandas(30, seed=53)
+    out = (
+        with_audio_features(spark.createDataFrame(clips))
+        .select("clip_id", "n_samples", "sample_rate", "rms", "zero_crossings")
+        .toPandas()
+        .set_index("clip_id")
+    )
+    for row in clips.itertuples():
+        pcm, rate = _decode_fake_audio(bytes(row.bytes))
+        got = out.loc[row.clip_id]
+        assert got["n_samples"] == len(pcm) == row.n_samples_true
+        assert got["sample_rate"] == rate
+        x = pcm.astype(np.float64)
+        assert abs(got["rms"] - np.sqrt(np.mean(x**2))) < 1e-9
+        assert got["zero_crossings"] == int(
+            np.sum(np.abs(np.diff(np.signbit(pcm))))
+        )
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """LSH top-3 must recover a meaningful share of the exact top-3; its
+    per-pair cosines are exact by construction (verified vs oracle too)."""
+    from query_cost_feature_engineering_spark.queries import (
+        ann_lsh_topk,
+        embedding_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_cosine_topk(spark, sf).toPandas()
+    approx = ann_lsh_topk(spark, sf).toPandas()
+    exact_pairs = {(r.target_id, r.neighbor_id) for r in exact.itertuples()}
+    approx_pairs = {(r.target_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"

@@ -1,0 +1,101 @@
+"""Streaming layer vs batch semantics: every emitted streaming session must
+match the batch sessionizer's rollup exactly, and every session safely past
+the watermark must be emitted (append mode finalization)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from query_cost_feature_engineering_spark.operators.windows import (
+    with_session_ids,
+)
+from query_cost_feature_engineering_spark.streaming.sessions import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    tumbling_counts_stream,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+GAP_S = 1800
+WM_S = 7200
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """The streaming file source needs a DIRECTORY of files; the testdata
+    table is a single parquet file — stage it into a dir."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS, d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_sessions(spark):
+    e = spark.read.parquet(EVENTS)
+    s = with_session_ids(e, entity_col="user_id", ts_col="ts", gap_s=GAP_S,
+                         tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+    )
+
+
+def test_stream_sessions_match_batch(spark, batch_sessions, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        sessionize_stream(stream, gap_s=GAP_S, watermark=f"{WM_S} seconds")
+    ).toPandas()
+    assert len(out) > 0
+
+    batch = batch_sessions.set_index(["user_id", "first_ts"])
+    # 1) everything emitted matches a batch session exactly
+    for row in out.itertuples():
+        key = (row.user_id, row.session_start)
+        assert key in batch.index, f"streaming session {key} unknown to batch"
+        b = batch.loc[key]
+        assert row.n_events == b["n_events"]
+        assert abs(row.sum_value - b["sum_value"]) < 1e-9
+        assert row.last_ts == b["last_ts"]
+
+    # 2) sessions comfortably older than the watermark are all emitted
+    max_ts = spark.read.parquet(EVENTS).agg(F.max("ts")).collect()[0][0]
+    emitted = {(r.user_id, r.session_start) for r in out.itertuples()}
+    import pandas as pd
+
+    cutoff = max_ts - pd.Timedelta(seconds=WM_S + GAP_S + 60)
+    must_emit = batch_sessions[batch_sessions["last_ts"] < cutoff]
+    missing = [
+        (r.user_id, r.first_ts)
+        for r in must_emit.itertuples()
+        if (r.user_id, r.first_ts) not in emitted
+    ]
+    assert not missing, f"finalized sessions not emitted: {missing[:5]}"
+
+
+def test_stream_tumbling_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        tumbling_counts_stream(stream, window="1 day", watermark="2 hours")
+    ).toPandas()
+    assert len(out) > 0
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index(["day", "event_type"])
+    )
+    for row in out.itertuples():
+        b = batch.loc[(row.day, row.event_type)]
+        assert row.n_events == b["n_events"]
+        assert abs(row.sum_value - b["sum_value"]) < 1e-6
