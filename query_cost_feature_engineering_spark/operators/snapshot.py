@@ -65,6 +65,58 @@ def annotate_group_fit(
     )
 
 
+def normalize_labels(
+    df: DataFrame, label_col: str, out_col: str = "label_norm"
+) -> DataFrame:
+    """log → min-max to [0,1] — the reference's label transform
+    (tpch_utils_serialize_knob.py:387-394); inverse is ``denormalize_labels``
+    (models/MSCN.py:142-151). Global min/max via one agg, broadcast as a
+    scalar subquery (crossJoin of a 1-row frame)."""
+    stats = df.agg(
+        F.min(F.log(label_col)).alias("_lmin"),
+        F.max(F.log(label_col)).alias("_lmax"),
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    return out.withColumn(
+        out_col,
+        (F.log(label_col) - F.col("_lmin"))
+        / (F.col("_lmax") - F.col("_lmin")),
+    ).drop("_lmin", "_lmax")
+
+
+def denormalize_labels(df: DataFrame, norm_col: str, lmin: float, lmax: float):
+    return df.withColumn(
+        norm_col.replace("_norm", ""),
+        F.exp(F.col(norm_col) * F.lit(lmax - lmin) + F.lit(lmin)),
+    )
+
+
+def qerror_metrics(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    group_col: str | None = None,
+    eps: float = 1e-3,
+) -> DataFrame:
+    """q-error = max(pred/actual, actual/pred) with the reference's ε guard
+    (utils/metric.py:108-126); exact percentiles P50/P90/P99 + mean + max
+    via Spark's ``percentile`` (percentile_cont semantics, matching DuckDB's
+    ``quantile_cont``) — the reference's evaluation contract."""
+    p = F.greatest(F.col(pred_col), F.lit(eps))
+    a = F.greatest(F.col(actual_col), F.lit(eps))
+    q = F.greatest(p / a, a / p)
+    d = df.withColumn("_qerr", q)
+    gb = d.groupBy(group_col) if group_col else d.groupBy()
+    return gb.agg(
+        F.expr("percentile(_qerr, 0.5)").alias("q50"),
+        F.expr("percentile(_qerr, 0.9)").alias("q90"),
+        F.expr("percentile(_qerr, 0.99)").alias("q99"),
+        F.avg("_qerr").alias("q_mean"),
+        F.max("_qerr").alias("q_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def normalize_by_group(
     df: DataFrame,
     group_col: str,

@@ -258,6 +258,45 @@ ORACLES: dict[str, str] = {
                         + 1e-9) + 1e-11, 6) AS qty_norm
         FROM lineitem
     """,
+    "label_normalize_orders": """
+        SELECT o_orderkey,
+               round((ln(o_totalprice) - (SELECT min(ln(o_totalprice)) FROM orders))
+                     / ((SELECT max(ln(o_totalprice)) FROM orders)
+                        - (SELECT min(ln(o_totalprice)) FROM orders)) + 1e-11, 6)
+                 AS label_norm
+        FROM orders
+    """,
+    "qerror_snapshot_fit": """
+        WITH fit AS (
+            SELECT l_returnflag,
+                   CASE WHEN count(*) >= 3 AND var_pop(l_quantity) > 0
+                        THEN covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                        ELSE 0.0 END AS slope,
+                   CASE WHEN count(*) >= 3 AND var_pop(l_quantity) > 0
+                        THEN avg(l_extendedprice)
+                             - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                               * avg(l_quantity)
+                        ELSE avg(l_extendedprice) END AS intercept
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        q AS (
+            SELECT l.l_returnflag,
+                   greatest(greatest(f.slope * l.l_quantity + f.intercept, 1e-3)
+                              / greatest(l.l_extendedprice, 1e-3),
+                            greatest(l.l_extendedprice, 1e-3)
+                              / greatest(f.slope * l.l_quantity + f.intercept, 1e-3))
+                     AS qerr
+            FROM lineitem l JOIN fit f USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               round(quantile_cont(qerr, 0.5) + 1e-9, 4)  AS q50,
+               round(quantile_cont(qerr, 0.9) + 1e-9, 4)  AS q90,
+               round(quantile_cont(qerr, 0.99) + 1e-9, 4) AS q99,
+               round(avg(qerr) + 1e-9, 4)                 AS q_mean,
+               round(max(qerr) + 1e-9, 4)                 AS q_max,
+               count(*) AS n
+        FROM q GROUP BY l_returnflag
+    """,
     "hash_split_customers": f"""
         SELECT c_custkey,
                CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)

@@ -323,6 +323,42 @@ def normalize_quantity(spark, sf_dir):
     )
 
 
+def label_normalize_orders(spark, sf_dir):
+    """A15 analog: log → min-max label transform over order totals."""
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        normalize_labels,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = normalize_labels(o, "o_totalprice")
+    return out.select("o_orderkey", _rq("label_norm", 6).alias("label_norm"))
+
+
+def qerror_snapshot_fit(spark, sf_dir):
+    """A18 analog: q-error percentiles of the snapshot linear fit's
+    predictions (price from quantity, per return flag)."""
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        annotate_group_fit,
+        qerror_metrics,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ann = annotate_group_fit(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    pred = ann.withColumn(
+        "pred", F.col("slope") * F.col("l_quantity") + F.col("intercept")
+    )
+    m = qerror_metrics(pred, "pred", "l_extendedprice", group_col="l_returnflag")
+    return m.select(
+        "l_returnflag",
+        _rq("q50").alias("q50"),
+        _rq("q90").alias("q90"),
+        _rq("q99").alias("q99"),
+        _rq("q_mean").alias("q_mean"),
+        _rq("q_max").alias("q_max"),
+        "n",
+    )
+
+
 def hash_split_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
@@ -708,6 +744,8 @@ REGISTRY = {
     "asof_purchases_pandas": asof_purchases_pandas,
     "snapshot_linear_fit": snapshot_linear_fit,
     "normalize_quantity": normalize_quantity,
+    "label_normalize_orders": label_normalize_orders,
+    "qerror_snapshot_fit": qerror_snapshot_fit,
     "hash_split_customers": hash_split_customers,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,

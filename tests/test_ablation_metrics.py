@@ -1,0 +1,76 @@
+"""Feature-reduction (A19/A20 analog) + label/metric operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from query_cost_feature_engineering_spark.operators.ablation import (
+    gram_stats,
+    greedy_ablation,
+)
+from query_cost_feature_engineering_spark.operators.snapshot import (
+    denormalize_labels,
+    normalize_labels,
+    qerror_metrics,
+)
+from query_cost_feature_engineering_spark.operators.split import hash_split
+
+
+def _probe_df(spark, n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, 5))
+    y = 2.0 * X[:, 0] - 3.0 * X[:, 1] + 0.01 * rng.standard_normal(n)
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(5)])
+    pdf["y"] = y
+    pdf["row_id"] = np.arange(n)
+    return spark.createDataFrame(pdf)
+
+
+def test_greedy_ablation_drops_noise_features(spark):
+    df = hash_split(_probe_df(spark), "row_id", 0.8)
+    res = greedy_ablation(df, [f"f{i}" for i in range(5)], "y")
+    assert set(res["kept"]) == {"f0", "f1"}, res
+    assert set(res["dropped"]) == {"f2", "f3", "f4"}
+    assert res["mse"] < 0.001
+
+
+def test_gram_stats_match_numpy(spark):
+    df = _probe_df(spark, n=500)
+    stats = gram_stats(df, ["f0", "f1"], "y")
+    pdf = df.toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf["f0"], pdf["f1"]])
+    np.testing.assert_allclose(stats["xtx"], X.T @ X, rtol=1e-9)
+    np.testing.assert_allclose(stats["xty"], X.T @ pdf["y"].to_numpy(), rtol=1e-9)
+    assert stats["n"] == 500
+
+
+def test_label_normalize_roundtrip(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    normed = normalize_labels(df, "o_totalprice")
+    mn, mx = normed.agg(F.min("label_norm"), F.max("label_norm")).first()
+    assert abs(mn - 0.0) < 1e-12 and abs(mx - 1.0) < 1e-12
+    import math
+    lo, hi = df.agg(
+        F.min(F.log("o_totalprice")), F.max(F.log("o_totalprice"))
+    ).first()
+    back = denormalize_labels(
+        normed.select("o_orderkey", F.col("label_norm").alias("recon_norm")),
+        "recon_norm", lo, hi,
+    )
+    j = back.join(df.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    bad = j.filter(
+        F.abs(F.col("recon") - F.col("o_totalprice"))
+        / F.col("o_totalprice") > 1e-9
+    ).count()
+    assert bad == 0
+    assert math.isfinite(lo) and math.isfinite(hi)
+
+
+def test_qerror_metrics_golden(spark):
+    pdf = pd.DataFrame({"pred": [1.0, 2.0, 10.0, 0.5], "actual": [1.0, 4.0, 5.0, 0.5]})
+    out = qerror_metrics(spark.createDataFrame(pdf), "pred", "actual").toPandas().iloc[0]
+    assert abs(out["q_max"] - 2.0) < 1e-12
+    assert abs(out["q_mean"] - (1 + 2 + 2 + 1) / 4) < 1e-12
+    assert out["n"] == 4
