@@ -32,6 +32,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_semi_orders",
+    "customers_no_orders",
+    "rollup_revenue",
     "predicate_scan_parts",
     "topk_orders_per_customer",
     "agg_events_daily",
@@ -43,12 +46,16 @@ HEADLINE = [
     "asof_purchases_pandas",
     "snapshot_linear_fit",
     "normalize_quantity",
+    "label_normalize_orders",
+    "qerror_snapshot_fit",
     "hash_split_customers",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "simhash_docs",
     "embedding_cosine_topk",
+    "ann_lsh_topk",
     "text_analysis_docs",
+    "stream_sessionize_events",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000"))

@@ -19,8 +19,11 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ANN_DIM = 64
 ANN_BITS = 4
@@ -68,14 +71,43 @@ def ann_topk(
     tables: int = ANN_TABLES,
     dim: int = ANN_DIM,
 ) -> DataFrame:
-    """Bucketed cosine top-k: join per LSH table, union, dedup, score, rank."""
-    cand = None
-    for t in range(tables):
-        qk = queries.withColumn("_bk", bucket_key(F.col(vec_q), t, bits, dim))
-        ck = corpus.withColumn("_bk", bucket_key(F.col(vec_c), t, bits, dim))
-        j = qk.join(ck, "_bk").drop("_bk")
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.filter(F.col(id_q) != F.col(id_c)).dropDuplicates([id_q, id_c])
+    """Bucketed cosine top-k: every row computes all L bucket keys in one
+    projection, posexplodes to (table, key), and ONE equi-join on
+    (table, key) yields the candidates — L joins collapsed into a single
+    shuffle, which is the shape that survives at 10^12 rows."""
+
+    # All L·B hyperplane projections in one float64 matmul per Arrow batch
+    # (≈1000× less per-element overhead than interpreted JVM array folds).
+    # matmul's pairwise summation can differ from a sequential fold by
+    # ~1e-16 relative — a bucket flips only if a projection sits within
+    # rounding error of 0, which the correctness oracle would surface.
+    S = np.array(
+        [srp_signs(t, b, dim) for t in range(tables) for b in range(bits)],
+        dtype=np.float64,
+    )  # (L·B, dim)
+    pows = np.tile(1 << np.arange(bits, dtype=np.int64), tables).reshape(
+        tables, bits
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _keys_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits_m = (V @ S.T >= 0).reshape(len(V), tables, bits)
+        keys = (bits_m * pows).sum(axis=2).astype(np.int32)  # (n, L)
+        return pd.Series(list(keys))
+
+    def with_keys(df, vec):
+        keys = _keys_udf(F.col(vec).cast("array<double>"))
+        return df.select("*", F.posexplode(keys).alias("_tbl", "_bk"))
+
+    qk = with_keys(queries, vec_q)
+    ck = with_keys(corpus, vec_c)
+    cand = (
+        qk.join(ck, ["_tbl", "_bk"])
+        .drop("_tbl", "_bk")
+        .filter(F.col(id_q) != F.col(id_c))
+        .dropDuplicates([id_q, id_c])
+    )
 
     dot = F.aggregate(
         F.zip_with(

@@ -304,6 +304,17 @@ ORACLES: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split
         FROM customer
     """,
+    "structural_grouping_users": """
+        WITH seqs AS (
+            SELECT user_id,
+                   md5(string_agg(event_type, '|' ORDER BY ts, event_id))
+                     AS structure_key
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, structure_key,
+               dense_rank() OVER (ORDER BY structure_key) AS group_id
+        FROM seqs
+    """,
     "dedup_exact_docs": """
         SELECT md5(text) AS text_hash,
                min(doc_id) AS keep_id,

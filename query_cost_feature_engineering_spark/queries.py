@@ -368,6 +368,61 @@ def hash_split_customers(spark, sf_dir):
 # Dedup / similarity / text analysis (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
+def structural_grouping_users(spark, sf_dir):
+    """A9 analog (tpch_utils_knob.py:443-478): group identical structures —
+    here, each user's ordered event-type sequence — by an md5 structure
+    key; emit per-group sizes via dense_rank group ids."""
+    e = _t(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).cast("binary")
+        ).alias("structure_key")
+    )
+    w = Window.orderBy("structure_key")
+    return seqs.withColumn("group_id", F.dense_rank().over(w)).select(
+        "user_id", "structure_key", "group_id"
+    )
+
+
+def logscan_plans(spark, sf_dir):
+    """A1/A2 analog: salvage EXPLAIN-JSON plans from a noisy console log
+    (deterministic synthetic log; parsed JVM-side with from_json), then the
+    A5/A6 snapshot path: per-node samples -> per-node-type linear fit of
+    time vs rows. Rows-only (the log file is not a DuckDB view); the parse
+    itself is golden-tested in pytest."""
+    import tempfile
+
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        fit_linear_by_group,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        generate_console_log,
+        per_node_samples,
+        read_plans_from_log,
+    )
+
+    path = tempfile.mktemp(prefix="qcfe_log_", suffix=".txt")
+    generate_console_log(path, n_plans=300, seed=61)
+    samples = per_node_samples(read_plans_from_log(spark, path))
+    fit = fit_linear_by_group(
+        samples, "node_type", "actual_rows", "actual_total_time"
+    )
+    return fit.select(
+        "node_type",
+        _rq("slope", 6).alias("slope"),
+        _rq("intercept", 4).alias("intercept"),
+        "n_samples",
+    )
+
+
 def dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -747,6 +802,8 @@ REGISTRY = {
     "label_normalize_orders": label_normalize_orders,
     "qerror_snapshot_fit": qerror_snapshot_fit,
     "hash_split_customers": hash_split_customers,
+    "structural_grouping_users": structural_grouping_users,
+    "logscan_plans": logscan_plans,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,

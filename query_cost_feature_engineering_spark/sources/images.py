@@ -141,6 +141,50 @@ def generate_spine_pandas(
     ).sort_values("probe_id").reset_index(drop=True)
 
 
+def write_images_table_dist(
+    spark,
+    path: str,
+    n: int,
+    n_entities: int = 50,
+    seed: int = 42,
+    chunk: int = 4000,
+) -> None:
+    """Distributed deterministic generation for bench-scale tables: each
+    chunk runs the same seeded generator with seed+chunk_id on an executor
+    (mapInPandas over a range), entity/image ids offset per chunk so chunks
+    are disjoint. Deterministic for fixed (n, n_entities, seed, chunk)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_chunks = -(-n // chunk)
+    ent_per_chunk = max(n_entities // n_chunks, 2)
+
+    def gen(batches):
+        for pdf in batches:
+            for cid in pdf["chunk_id"]:
+                cid = int(cid)
+                rows = min(chunk, n - cid * chunk)
+                out = generate_images_pandas(rows, ent_per_chunk, seed + cid)
+                out["image_id"] = [
+                    f"img{cid:04d}_{i:06d}" for i in range(rows)
+                ]
+                out["entity_id"] = out["entity_id"] + cid * ent_per_chunk
+                yield out
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, entity_id long, ts timestamp"
+    )
+    (
+        spark.range(n_chunks)
+        .withColumnRenamed("id", "chunk_id")
+        .repartition(n_chunks)
+        .mapInPandas(gen, schema)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_images_table(
     spark, path: str, n: int, n_entities: int = 50, seed: int = 42
 ) -> None:

@@ -88,6 +88,7 @@ def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 6
 
     from query_cost_feature_engineering_spark.session import get_spark
     from query_cost_feature_engineering_spark.sources.images import (
@@ -96,20 +97,28 @@ def main() -> None:
     )
 
     shutil.rmtree(WORK, ignore_errors=True)
-    gen = get_spark(app="qcfe-scaling-gen", master="local[8]")
-    pdf = generate_images_pandas(n_images, n_entities=max(n_images // 40, 8), seed=42)
+    gen = get_spark(app="qcfe-scaling-gen", master="local[32]")
     img_path, spine_path = f"{WORK}/images", f"{WORK}/spine"
-    gen.createDataFrame(pdf).repartition(64).write.parquet(img_path)
+    from query_cost_feature_engineering_spark.sources.images import (
+        write_images_table_dist,
+    )
+
+    write_images_table_dist(
+        gen, img_path, n_images, n_entities=max(n_images // 40, 8), seed=42
+    )
+    spine_src = (
+        gen.read.parquet(img_path).select("entity_id", "ts").toPandas()
+    )
     gen.createDataFrame(
-        generate_spine_pandas(pdf, n=2 * n_images, seed=43)
+        generate_spine_pandas(spine_src, n=2 * n_images, seed=43)
     ).repartition(64).write.parquet(spine_path)
     gen.stop()
 
     # min-of-reps: this sandbox VM shows host CPU steal (up to ~17% in
     # /proc/stat) and random multi-second stalls; the minimum over reps is
     # the cleanest estimate of actual capability at each parallelism
-    lo = run_once(low, img_path, spine_path, n_buckets=high)
-    hi = run_once(high, img_path, spine_path, n_buckets=high)
+    lo = run_once(low, img_path, spine_path, n_buckets=high, n_reps=n_reps)
+    hi = run_once(high, img_path, spine_path, n_buckets=high, n_reps=n_reps)
     speedup = lo["total_sec"] / hi["total_sec"]
     out = {
         "n_images": n_images,
