@@ -251,6 +251,41 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "snapshot_template_sample": """
+        WITH samp AS (
+            SELECT * FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)
+                  < '33333333'
+        ),
+        per_group AS (
+            SELECT l_partkey,
+                   CASE WHEN count(*) >= 3 AND var_pop(l_quantity) > 0
+                        THEN covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                        ELSE 0.0 END AS slope,
+                   CASE WHEN count(*) >= 3 AND var_pop(l_quantity) > 0
+                        THEN avg(l_extendedprice)
+                             - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                               * avg(l_quantity)
+                        ELSE avg(l_extendedprice) END AS intercept,
+                   count(*) AS n_samples
+            FROM samp GROUP BY l_partkey
+        ),
+        wl AS (
+            SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS wl_slope,
+                   avg(l_extendedprice)
+                   - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity)
+                     * avg(l_quantity) AS wl_intercept
+            FROM lineitem
+        )
+        SELECT l_partkey,
+               round(CASE WHEN n_samples >= 3 THEN slope ELSE wl_slope END + 1e-9, 4)
+                 AS slope,
+               round(CASE WHEN n_samples >= 3 THEN intercept ELSE wl_intercept END + 1e-9, 4)
+                 AS intercept,
+               CASE WHEN n_samples >= 3 THEN 'sample' ELSE 'workload' END AS source,
+               n_samples
+        FROM per_group, wl
+    """,
     "normalize_quantity": """
         SELECT l_orderkey, l_linenumber,
                round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag))

@@ -313,6 +313,41 @@ def snapshot_linear_fit(spark, sf_dir):
     )
 
 
+def snapshot_template_sample(spark, sf_dir):
+    """A8 analog (snapshot/snapshot.py:68-81): fit cost factors from a
+    cheap deterministic ~20% subsample; groups with <3 sampled rows fall
+    back to the workload-level fit. Hash-based sampling (md5) instead of
+    seeded random so the DuckDB oracle reproduces the exact sample."""
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        fit_linear_by_group,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    samp = li.filter(F.substring(F.md5(key), 1, 8) < "33333333")
+    per_group = fit_linear_by_group(samp, "l_partkey", "l_quantity", "l_extendedprice")
+    wl = fit_linear_by_group(
+        li.withColumn("_g", F.lit(1)), "_g", "l_quantity", "l_extendedprice"
+    ).select(
+        F.col("slope").alias("wl_slope"), F.col("intercept").alias("wl_intercept")
+    )
+    out = per_group.crossJoin(F.broadcast(wl))
+    use_group = F.col("n_samples") >= 3
+    return out.select(
+        "l_partkey",
+        _rq(F.when(use_group, F.col("slope")).otherwise(F.col("wl_slope"))).alias(
+            "slope"
+        ),
+        _rq(
+            F.when(use_group, F.col("intercept")).otherwise(F.col("wl_intercept"))
+        ).alias("intercept"),
+        F.when(use_group, F.lit("sample")).otherwise(F.lit("workload")).alias(
+            "source"
+        ),
+        "n_samples",
+    )
+
+
 def normalize_quantity(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = normalize_by_group(li, "l_returnflag", ["l_quantity"])
@@ -798,6 +833,7 @@ REGISTRY = {
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "snapshot_linear_fit": snapshot_linear_fit,
+    "snapshot_template_sample": snapshot_template_sample,
     "normalize_quantity": normalize_quantity,
     "label_normalize_orders": label_normalize_orders,
     "qerror_snapshot_fit": qerror_snapshot_fit,
