@@ -42,8 +42,10 @@ HEADLINE = [
     "window_backfill_events",
     "sessionize_events",
     "rolling_mean_events",
+    "rolling_time_events",
     "asof_purchases_window",
     "asof_purchases_pandas",
+    "asof_strict_purchases",
     "snapshot_linear_fit",
     "normalize_quantity",
     "label_normalize_orders",

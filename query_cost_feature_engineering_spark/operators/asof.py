@@ -44,6 +44,7 @@ def asof_join_union_window(
     by: str = "entity_id",
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by, tiebreak)
@@ -54,10 +55,14 @@ def asof_join_union_window(
         if tiebreak and tiebreak in right.columns
         else F.lit(None).cast("string")
     )
+    # exact-match control: with exact matches allowed, right rows sort
+    # BEFORE left rows at equal ts (visible to them); strict mode flips the
+    # order so equal-ts right rows are invisible to the probe
+    r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
     r = right.select(
         F.col(by),
         F.col(on),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         tb.cast("string").alias("_tb"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
@@ -65,7 +70,7 @@ def asof_join_union_window(
     lt = left.select(
         F.col(by),
         F.col(on),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast("string").alias("_tb"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
@@ -81,7 +86,7 @@ def asof_join_union_window(
     )
     for c in value_cols:
         u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
-    out = u.filter(F.col("_side") == 1).select(
+    out = u.filter(F.col("_side") == F.lit(l_side)).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col(f"_v_{c}").alias(c) for c in value_cols],
     )
@@ -98,6 +103,7 @@ def asof_join_pandas_merge(
     num_buckets: int = 32,
     hot_threshold: int | None = None,
     slices: int = _SLICES,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Cogrouped sorted-merge as-of with hot-entity time-slicing."""
     spark = left.sparkSession
@@ -227,7 +233,7 @@ def asof_join_pandas_merge(
             left_by=by,
             right_by=rby,
             direction="backward",
-            allow_exact_matches=True,
+            allow_exact_matches=allow_exact_matches,
         )
         merged = merged[lcols + rvals]
         merged.columns = lcols + value_cols

@@ -77,6 +77,32 @@ def with_rolling_mean(
     return df.withColumn(f"roll{window_rows}_{value_col}", F.avg(value_col).over(w))
 
 
+def with_rolling_time_aggs(
+    df: DataFrame,
+    value_col: str,
+    window_s: int,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    prefix: str | None = None,
+) -> DataFrame:
+    """Time-based trailing window [ts - window_s, ts]: sum/count/mean of
+    ``value_col`` per entity over a RANGE frame on epoch seconds. Strictly
+    backward-looking (leakage-free); rows sharing a timestamp are frame
+    peers, included together — the standard RANGE-frame semantics."""
+    p = prefix or f"r{window_s}s"
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ep)
+        .rangeBetween(-window_s, 0)
+    )
+    return (
+        df.withColumn(f"{p}_sum_{value_col}", F.sum(value_col).over(w))
+        .withColumn(f"{p}_cnt_{value_col}", F.count(value_col).over(w))
+        .withColumn(f"{p}_avg_{value_col}", F.avg(value_col).over(w))
+    )
+
+
 def with_session_ids(
     df: DataFrame,
     entity_col: str = "entity_id",

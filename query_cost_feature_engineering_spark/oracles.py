@@ -200,6 +200,31 @@ ORACLES: dict[str, str] = {
                  AS roll3_value
         FROM events
     """,
+    "rolling_time_events": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER w + 1e-9, 4) AS sum_1h,
+               count(value) OVER w AS cnt_1h,
+               round(avg(value) OVER w + 1e-9, 4) AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "asof_strict_purchases": """
+        WITH spine AS (
+            SELECT event_id AS probe_id, user_id,
+                   ts + INTERVAL 60 SECOND AS ts
+            FROM events WHERE event_id % 5 = 0
+        ),
+        purch AS (
+            SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT s.probe_id, s.user_id, p.purchase_value, p.ts AS asof_ts
+        FROM spine s
+        ASOF LEFT JOIN purch p
+          ON s.user_id = p.user_id AND s.ts > p.ts
+    """,
     "stream_sessionize_events": """
         WITH s AS (
             SELECT user_id, ts, value,

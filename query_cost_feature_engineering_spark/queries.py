@@ -33,6 +33,7 @@ from query_cost_feature_engineering_spark.operators.windows import (
     with_backfill,
     with_lag_lead,
     with_rolling_mean,
+    with_rolling_time_aggs,
     with_session_ids,
 )
 
@@ -257,6 +258,21 @@ def rolling_mean_events(spark, sf_dir):
     )
 
 
+def rolling_time_events(spark, sf_dir):
+    """Time-based trailing RANGE window: per-user stats over [ts-1h, ts]."""
+    e = _t(spark, sf_dir, "events")
+    out = with_rolling_time_aggs(
+        e, "value", 3600, entity_col="user_id", ts_col="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _rq("r3600s_sum_value").alias("sum_1h"),
+        F.col("r3600s_cnt_value").alias("cnt_1h"),
+        _rq("r3600s_avg_value").alias("avg_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (both strategies, same oracle: DuckDB ASOF JOIN)
 # ---------------------------------------------------------------------------
@@ -294,6 +310,17 @@ def asof_purchases_pandas(spark, sf_dir):
     out = asof_join_pandas_merge(
         spine, right, on="ts", by="user_id",
         value_cols=["purchase_value", "asof_ts"], num_buckets=16,
+    )
+    return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
+
+
+def asof_strict_purchases(spark, sf_dir):
+    """Strict backward as-of (no exact-ts matches): union-window strategy
+    with the side ordering flipped."""
+    spine, right = _asof_frames(spark, sf_dir)
+    out = asof_join_union_window(
+        spine, right, on="ts", by="user_id",
+        value_cols=["purchase_value", "asof_ts"], allow_exact_matches=False,
     )
     return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
 
@@ -829,9 +856,11 @@ REGISTRY = {
     "window_backfill_events": window_backfill_events,
     "sessionize_events": sessionize_events,
     "rolling_mean_events": rolling_mean_events,
+    "rolling_time_events": rolling_time_events,
     "stream_sessionize_events": stream_sessionize_events,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
+    "asof_strict_purchases": asof_strict_purchases,
     "snapshot_linear_fit": snapshot_linear_fit,
     "snapshot_template_sample": snapshot_template_sample,
     "normalize_quantity": normalize_quantity,

@@ -79,6 +79,32 @@ def test_boundary_and_skew_probe(frames):
     _check(got, want)
 
 
+def test_strict_mode_excludes_exact_matches(spark, images_pdf, spine_pdf):
+    right = _prep(images_pdf)
+    lo = spine_pdf.sort_values("ts", kind="mergesort")
+    ro = right.sort_values(["ts", "image_id"], kind="mergesort")
+    want = (
+        pd.merge_asof(
+            lo, ro[["entity_id", "ts"] + VALUE_COLS],
+            on="ts", by="entity_id", direction="backward",
+            allow_exact_matches=False,
+        )
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    spine_sdf = spark.createDataFrame(spine_pdf)
+    right_sdf = spark.createDataFrame(right)
+    for fn, kw in [
+        (asof_join_union_window, {}),
+        (asof_join_pandas_merge, {"num_buckets": 4, "hot_threshold": 1, "slices": 4}),
+    ]:
+        got = fn(
+            spine_sdf, right_sdf, value_cols=VALUE_COLS, tiebreak="image_id",
+            allow_exact_matches=False, **kw,
+        ).toPandas()
+        _check(got, want)
+
+
 def test_duplicate_ts_tie_takes_last_by_tiebreak(spark):
     right = pd.DataFrame(
         {
