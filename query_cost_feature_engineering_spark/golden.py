@@ -48,4 +48,12 @@ def golden_features(images: pd.DataFrame) -> pd.DataFrame:
     new_session = gap.isna() | (gap > SESSION_GAP_S)
     df["session_id"] = new_session.groupby(df["entity_id"], sort=False).cumsum()
     df["session_id"] = df["session_id"].astype("int64")
+
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        expanding_linear_fit_pandas,
+    )
+
+    df["snap_slope"], df["snap_intercept"] = expanding_linear_fit_pandas(
+        df, "nbytes", "px_mean"
+    )
     return df.drop(columns=["bytes", "caption"]).reset_index(drop=True)

@@ -15,7 +15,7 @@ the zero-temporal-leakage discipline (SURVEY.md §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,67 @@ def annotate_group_fit(
     return df.join(F.broadcast(factors), on=group_col, how="left").fillna(
         {"slope": 0.0, "intercept": 0.0}
     )
+
+
+def with_expanding_linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    tiebreak: str | None = "image_id",
+    prefix: str = "snap",
+    min_n: int = 3,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Leakage-free snapshot factors: per-entity OLS of y on x fitted over
+    the EXPANDING window of rows at ts' ≤ ts (cumulative sufficient
+    statistics inside one Window pass). This is the reference's
+    annotate-every-node-with-fitted-factors step (snapshot/snapshot.py:60-95)
+    made point-in-time-safe: the factors attached to a row at time t use
+    only history ≤ t, so the zero-temporal-leakage property test holds.
+    Rows before ``min_n`` samples (or with degenerate x-variance) fall back
+    to slope=0, intercept=running mean(y) — the reference's fallback."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, sxy = F.sum(x * x).over(w), F.sum(x * y).over(w)
+    denom = n * sxx - sx * sx
+    ok = (n >= min_n) & (denom > eps)
+    slope = F.when(ok, (n * sxy - sx * sy) / denom).otherwise(F.lit(0.0))
+    intercept = F.when(ok, (sy - slope * sx) / n).otherwise(sy / n)
+    return df.withColumn(f"{prefix}_slope", slope).withColumn(
+        f"{prefix}_intercept", intercept
+    )
+
+
+def expanding_linear_fit_pandas(
+    df, x_col: str, y_col: str, entity_col: str = "entity_id",
+    min_n: int = 3, eps: float = 1e-9, prefix: str = "snap",
+):
+    """Golden twin of ``with_expanding_linear_fit`` (input pre-sorted by
+    (entity, ts, tiebreak)); returns (slope, intercept) Series."""
+    import numpy as np
+
+    x = df[x_col].astype(float)
+    y = df[y_col].astype(float)
+    g = df.groupby(entity_col, sort=False)
+    n = g.cumcount().astype(float) + 1.0
+    sx = x.groupby(df[entity_col], sort=False).cumsum()
+    sy = y.groupby(df[entity_col], sort=False).cumsum()
+    sxx = (x * x).groupby(df[entity_col], sort=False).cumsum()
+    sxy = (x * y).groupby(df[entity_col], sort=False).cumsum()
+    denom = n * sxx - sx * sx
+    ok = (n >= min_n) & (denom > eps)
+    slope = np.where(ok, (n * sxy - sx * sy) / denom.where(ok, 1.0), 0.0)
+    intercept = np.where(ok, (sy - slope * sx) / n, sy / n)
+    return slope, intercept
 
 
 def normalize_labels(

@@ -46,6 +46,9 @@ WINDOW_COLS = [
     "bf_png_mean", "roll3_px_mean", "session_id",
 ]
 
+# expanding-window snapshot factors (ref inner_vector analog, leakage-free)
+SNAP_COLS = ["snap_slope", "snap_intercept"]
+
 FEATURE_ORDER: list[str] = (
     ["w", "h", "nbytes", "fmt_png", "fmt_jpeg"]
     + STAT_COLS
@@ -54,6 +57,7 @@ FEATURE_ORDER: list[str] = (
     + ["token_count"]
     + [f"tok_{w}" for w in VOCAB]
     + WINDOW_COLS
+    + SNAP_COLS
 )
 
 
@@ -71,6 +75,11 @@ def compute_features(images: DataFrame) -> DataFrame:
     df = with_backfill(df, "_png_mean", "bf_png_mean").drop("_png_mean")
     df = with_rolling_mean(df, "px_mean", 3)
     df = with_session_ids(df)
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        with_expanding_linear_fit,
+    )
+
+    df = with_expanding_linear_fit(df, "nbytes", "px_mean")
     return df
 
 

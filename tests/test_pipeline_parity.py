@@ -34,7 +34,7 @@ def test_feature_parity_allclose(spark, images_pdf, images_sdf):
 def test_vector_assembly_width_and_nulls(spark, images_sdf):
     out = assemble_vector(compute_features(images_sdf))
     row = out.select("features").first()
-    assert len(row["features"]) == len(FEATURE_ORDER) == 158
+    assert len(row["features"]) == len(FEATURE_ORDER) == 160
     assert all(v is not None for v in row["features"])
 
 
