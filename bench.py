@@ -60,8 +60,8 @@ HEADLINE = [
     "stream_sessionize_events",
 ]
 
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000"))
-N_PROBES = int(os.environ.get("SPARK_GRAFT_BENCH_PROBES", "8000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))
+N_PROBES = int(os.environ.get("SPARK_GRAFT_BENCH_PROBES", "48000"))
 
 
 def _run_count(df) -> int:
@@ -84,40 +84,61 @@ def bench_image_pipeline(spark, workdir: str) -> dict:
         generate_spine_pandas,
     )
 
+    from query_cost_feature_engineering_spark.sources.images import (
+        write_images_table_dist,
+    )
+
     # --- input synthesis (NOT timed: the engine's job starts at the scan) --
-    pdf = generate_images_pandas(N_IMAGES, n_entities=max(N_IMAGES // 40, 8), seed=42)
     img_path = os.path.join(workdir, "images")
-    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(img_path)
+    write_images_table_dist(
+        spark, img_path, N_IMAGES, n_entities=max(N_IMAGES // 40, 8), seed=42
+    )
+    spine_src = spark.read.parquet(img_path).select("entity_id", "ts").toPandas()
     spine_path = os.path.join(workdir, "spine")
     spark.createDataFrame(
-        generate_spine_pandas(pdf, n=N_PROBES, seed=43)
+        generate_spine_pandas(spine_src, n=N_PROBES, seed=43)
     ).repartition(32).write.mode("overwrite").parquet(spine_path)
 
     images = spark.read.parquet(img_path)
     spine = spark.read.parquet(spine_path)
-
-    t0 = time.perf_counter()
-    feats = assemble_vector(compute_features(images))
-    n_feat = _run_count(feats.select("image_id", "features"))
-    t1 = time.perf_counter()
-    joined = asof_join_pandas_merge(
-        spine,
-        feats.select("entity_id", "ts", "image_id", "px_mean", "session_id"),
-        on="ts",
-        by="entity_id",
-        value_cols=["image_id", "px_mean", "session_id"],
-        tiebreak="image_id",
-        num_buckets=32,
+    feats_plan = assemble_vector(compute_features(images)).select(
+        "image_id", "entity_id", "ts", "session_id", "px_mean", "features"
     )
-    n_join = _run_count(joined)
-    t2 = time.perf_counter()
+    stage_out = os.path.join(workdir, "feats")
+    # warm-up (excluded): compiles the plan's codegen + spins python workers
+    feats_plan.limit(256).write.mode("overwrite").parquet(stage_out)
+
+    # min of reps: the sandbox VM has host CPU steal (see BENCH.md); the
+    # minimum is the cleanest estimate of capability
+    reps = []
+    n_feat = n_join = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        feats_plan.write.mode("overwrite").parquet(stage_out)
+        feats = spark.read.parquet(stage_out)
+        n_feat = feats.count()
+        t1 = time.perf_counter()
+        joined = asof_join_pandas_merge(
+            spine,
+            feats.select("entity_id", "ts", "image_id", "px_mean", "session_id"),
+            on="ts",
+            by="entity_id",
+            value_cols=["image_id", "px_mean", "session_id"],
+            tiebreak="image_id",
+            num_buckets=32,
+        )
+        n_join = _run_count(joined)
+        t2 = time.perf_counter()
+        reps.append((t1 - t0, t2 - t1, t2 - t0))
+    best = min(reps, key=lambda r: r[2])
     return {
         "n_images": n_feat,
         "n_probes": n_join,
-        "feature_sec": round(t1 - t0, 3),
-        "asof_sec": round(t2 - t1, 3),
-        "total_sec": round(t2 - t0, 3),
-        "images_per_sec": round(n_feat / (t2 - t0), 1),
+        "feature_sec": round(best[0], 3),
+        "asof_sec": round(best[1], 3),
+        "total_sec": round(best[2], 3),
+        "reps_total_sec": [round(r[2], 3) for r in reps],
+        "images_per_sec": round(n_feat / best[2], 1),
     }
 
 
