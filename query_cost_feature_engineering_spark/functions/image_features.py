@@ -42,12 +42,25 @@ _DECODE_SCHEMA = T.StructType(
 FMTS = ["png", "jpeg"]
 
 
-def decode_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+def decode_stats_pandas(
+    data: pd.Series, fmt: pd.Series, on_error: str = "fail"
+) -> pd.DataFrame:
     """Pure-pandas decode+stats core — shared by the Spark UDF and the
-    golden single-process oracle (tests compare them with allclose)."""
+    golden single-process oracle (tests compare them with allclose).
+
+    ``on_error='null'``: web-scale corpora always contain corrupt payloads;
+    rows that fail to decode get all-NaN stats instead of failing the task
+    (mirrors the reference's salvage-parser try/except discipline,
+    tpch_utils_knob.py:414-433)."""
     out = np.empty((len(data), len(DECODE_COLS)), dtype=np.float64)
     for i, (b, f) in enumerate(zip(data, fmt)):
-        arr = decode_image(bytes(b), f)
+        try:
+            arr = decode_image(bytes(b), f)
+        except Exception:
+            if on_error == "fail":
+                raise
+            out[i, :] = np.nan
+            continue
         flat = arr.reshape(-1, 3).astype(np.float64)
         gray = to_gray(arr).ravel()
         hist = np.bincount(gray >> 5, minlength=HIST_BINS).astype(np.float64)
@@ -64,12 +77,25 @@ def _decode_stats_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return decode_stats_pandas(data, fmt)
 
 
-def with_image_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+@F.pandas_udf(_DECODE_SCHEMA)
+def _decode_stats_tolerant_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return decode_stats_pandas(data, fmt, on_error="null")
+
+
+def with_image_features(
+    df: DataFrame, bytes_col: str = "bytes", on_error: str = "fail"
+) -> DataFrame:
     """Append decoded-pixel statistic columns; drops the heavy binary column
-    afterwards so downstream shuffles never carry image payloads."""
-    df = df.withColumn("_px", _decode_stats_udf(F.col(bytes_col), F.col("fmt")))
+    afterwards so downstream shuffles never carry image payloads.
+    ``on_error='null'`` adds a ``decode_ok`` flag and null stats for
+    undecodable rows instead of failing the job."""
+    udf = _decode_stats_udf if on_error == "fail" else _decode_stats_tolerant_udf
+    df = df.withColumn("_px", udf(F.col(bytes_col), F.col("fmt")))
     # single withColumns pass — chained withColumn is O(n²) in the analyzer
-    return df.withColumns({c: F.col(f"_px.{c}") for c in DECODE_COLS}).drop("_px")
+    out = df.withColumns({c: F.col(f"_px.{c}") for c in DECODE_COLS}).drop("_px")
+    if on_error != "fail":
+        out = out.withColumn("decode_ok", F.col("px_mean").isNotNull())
+    return out
 
 
 def with_basics(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
