@@ -22,6 +22,22 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver may hand us a session it built itself; make sure python
+    workers can import this package (UDF unpickling) by shipping the zip.
+    Idempotent per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_qcfe_shipped", False):
+        return
+    try:
+        from query_cost_feature_engineering_spark.session import package_zip
+
+        sc.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or PYTHONPATH already covers the workers
+    sc._qcfe_shipped = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: gap-sessionized events + backward as-of join of the latest
     purchase onto a probe spine, at sf0.001."""
@@ -29,13 +45,22 @@ def entry(spark: SparkSession) -> DataFrame:
         asof_purchases_window,
     )
 
+    _ensure_shipped(spark)
     return asof_purchases_window(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from query_cost_feature_engineering_spark.queries import REGISTRY
 
-    return dict(REGISTRY)
+    def wrap(fn):
+        def inner(spark, sf_dir, _fn=fn):
+            _ensure_shipped(spark)
+            return _fn(spark, sf_dir)
+
+        inner.__name__ = fn.__name__
+        return inner
+
+    return {name: wrap(fn) for name, fn in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
