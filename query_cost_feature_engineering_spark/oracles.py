@@ -252,6 +252,17 @@ ORACLES: dict[str, str] = {
         FROM sess
         WHERE epoch(last_ts) + 1800 < (SELECT max(epoch(ts)) FROM events) - 7200
     """,
+    "stream_enrich_events": """
+        WITH dim AS (
+            SELECT user_id, count(*) AS n_events_total, min(ts) AS first_seen
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               round(e.value + 1e-9, 4) AS value,
+               d.n_events_total, d.first_seen
+        FROM events e JOIN dim d USING (user_id)
+        WHERE e.event_type = 'purchase'
+    """,
     "asof_purchases_window": """
         WITH spine AS (
             SELECT event_id AS probe_id, user_id,

@@ -696,6 +696,42 @@ def stream_sessionize_events(spark, sf_dir):
     )
 
 
+def stream_enrich_events(spark, sf_dir):
+    """Stream-static broadcast join: streaming purchases enriched with a
+    per-user profile dimension computed in batch. Row-wise deterministic,
+    so the batch SQL oracle matches exactly."""
+    import shutil
+    import tempfile
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        enrich_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = tempfile.mkdtemp(prefix="qcfe_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_total"),
+            F.min("ts").alias("first_seen"),
+        )
+    )
+    stream = read_events_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_memory(enrich_stream(stream, dim, on="user_id"))
+    return out.select(
+        "event_id",
+        "user_id",
+        _rq("value").alias("value"),
+        F.col("n_events_total").cast("long").alias("n_events_total"),
+        "first_seen",
+    )
+
+
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed cosine top-3 — the scale path for embedding_cosine_topk
     (operators/ann.py). Oracle runs the identical algorithm in DuckDB."""
@@ -858,6 +894,7 @@ REGISTRY = {
     "rolling_mean_events": rolling_mean_events,
     "rolling_time_events": rolling_time_events,
     "stream_sessionize_events": stream_sessionize_events,
+    "stream_enrich_events": stream_enrich_events,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,

@@ -95,6 +95,20 @@ def tumbling_counts_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    agg_col: str = "value",
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the stream joins the static
+    dimension (re-read per batch, so a slowly-changing dim is picked up),
+    then a per-key running aggregate. Row-wise deterministic, so the batch
+    SQL oracle matches exactly."""
+    j = events.join(F.broadcast(dim), on)
+    return j
+
+
 def run_stream_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame."""
