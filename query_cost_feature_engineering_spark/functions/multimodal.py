@@ -83,6 +83,57 @@ def _decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)[:n], rate
 
 
+# --- format sniffing (mapInArrow, zero-copy) --------------------------------
+
+_MAGIC = [
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"QJPG", "jpeg"),  # our deterministic lossy stub container
+    (FVID_SIG, "fvid"),
+    (FAUD_SIG, "faud"),
+]
+
+
+def sniff_formats(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Data-quality pass: detect the TRUE payload format from magic bytes
+    and compare with the declared ``fmt`` column. Uses ``mapInArrow``
+    (input_hint's zero-copy path): only the first 8 bytes of each payload
+    are materialized; the binary buffers are never copied into pandas."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data = batch.column(1)
+            decl = batch.column(2)
+            sniffed = []
+            for i in range(len(data)):
+                v = data[i]
+                head = bytes(v.as_buffer()[:8]) if v.is_valid else b""
+                fmt = "unknown"
+                for sig, name in _MAGIC:
+                    if head.startswith(sig):
+                        fmt = name
+                        break
+                sniffed.append(fmt)
+            sn = pa.array(sniffed, pa.string())
+            ok = pa.compute.equal(sn, decl.cast(pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, decl, sn, ok],
+                ["media_id", "declared_fmt", "sniffed_fmt", "fmt_ok"],
+            )
+
+    return df.select(id_col, bytes_col, fmt_col).mapInArrow(
+        gen,
+        "media_id string, declared_fmt string, sniffed_fmt string, fmt_ok boolean",
+    )
+
+
 # --- image resize (real) ----------------------------------------------------
 
 _RESIZE_SCHEMA = T.StructType(

@@ -162,6 +162,17 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "json_props_events": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type, CAST(floor(k / 10) AS BIGINT) AS k_bucket,
+               count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+               round(avg(k) + 1e-9, 4) AS k_avg
+        FROM t GROUP BY 1, 2
+    """,
     "window_lag_lead_events": """
         SELECT event_id, user_id, value,
                lag(value)  OVER w AS lag1_value,

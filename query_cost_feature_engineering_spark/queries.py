@@ -258,6 +258,24 @@ def rolling_mean_events(spark, sf_dir):
     )
 
 
+def json_props_events(spark, sf_dir):
+    """JSON scalar extraction (ref A1's from_json surface, oracled): parse
+    the props payload, bucket the extracted value, aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("long"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            _rq(F.avg("k")).alias("k_avg"),
+        )
+    )
+
+
 def rolling_time_events(spark, sf_dir):
     """Time-based trailing RANGE window: per-user stats over [ts-1h, ts]."""
     e = _t(spark, sf_dir, "events")
@@ -863,6 +881,40 @@ def audio_features_clips(spark, sf_dir):
     )
 
 
+def format_sniff_images(spark, sf_dir):
+    """mapInArrow data-quality pass: magic-byte format sniffing vs the
+    declared fmt column (rows-only; golden-tested with mislabeled rows)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        sniff_formats,
+    )
+
+    images = _synth_images(spark, n=200)
+    out = sniff_formats(images)
+    return out.select("media_id", "declared_fmt", "sniffed_fmt", "fmt_ok")
+
+
+def greedy_ablation_lineitem(spark, sf_dir):
+    """A19/A20 feature reduction as a driver-visible query: greedy
+    leave-one-out over lineitem numeric features predicting extendedprice
+    (one Gram pass per split; search is driver-side). Deterministic;
+    rows-only (the greedy loop is not SQL-expressible)."""
+    from query_cost_feature_engineering_spark.operators.ablation import (
+        greedy_ablation,
+    )
+    from query_cost_feature_engineering_spark.operators.split import hash_split
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    feats = ["l_quantity", "l_discount", "l_tax", "l_linenumber", "l_partkey"]
+    df = hash_split(li, "row_key", 0.8)
+    res = greedy_ablation(df, feats, "l_extendedprice")
+    rows = [(c, "kept") for c in res["kept"]] + [
+        (c, "dropped") for c in res["dropped"]
+    ]
+    return spark.createDataFrame(sorted(rows), "feature string, status string")
+
+
 def phash_neardup_images(spark, sf_dir):
     images = _synth_images(spark).select("image_id", "phash")
     a = images.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"))
@@ -888,6 +940,7 @@ REGISTRY = {
     "set_ops_nations": set_ops_nations,
     "topk_orders_per_customer": topk_orders_per_customer,
     "agg_events_daily": agg_events_daily,
+    "json_props_events": json_props_events,
     "window_lag_lead_events": window_lag_lead_events,
     "window_backfill_events": window_backfill_events,
     "sessionize_events": sessionize_events,
@@ -921,4 +974,6 @@ REGISTRY = {
     "resize_images_meta": resize_images_meta,
     "video_frame_sample": video_frame_sample,
     "audio_features_clips": audio_features_clips,
+    "format_sniff_images": format_sniff_images,
+    "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
