@@ -61,11 +61,18 @@ def decode_stats_pandas(
                 raise
             out[i, :] = np.nan
             continue
-        flat = arr.reshape(-1, 3).astype(np.float64)
+        flat = arr.reshape(-1, 3)  # stay uint8: min/max/median need no cast
         gray = to_gray(arr).ravel()
         hist = np.bincount(gray >> 5, minlength=HIST_BINS).astype(np.float64)
         out[i, 0:3] = flat.min(axis=0)
-        out[i, 3:6] = np.median(flat, axis=0)
+        n = flat.shape[0]
+        for c in range(3):
+            # exact uint8 median from a bincount (O(n), no sort); averages
+            # the two middle order statistics exactly like np.median
+            cum = np.cumsum(np.bincount(flat[:, c], minlength=256))
+            lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+            hi = int(np.searchsorted(cum, n // 2 + 1))
+            out[i, 3 + c] = (lo + hi) / 2.0
         out[i, 6:9] = flat.max(axis=0)
         out[i, 9 : 9 + HIST_BINS] = hist / gray.size
         out[i, 9 + HIST_BINS] = gray.mean()
