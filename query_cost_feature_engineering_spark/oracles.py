@@ -263,6 +263,15 @@ ORACLES: dict[str, str] = {
         FROM sess
         WHERE epoch(last_ts) + 1800 < (SELECT max(epoch(ts)) FROM events) - 7200
     """,
+    "stream_tumbling_events": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               round(sum(value) + 1e-9, 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('day', max(ts)) + INTERVAL 1 DAY
+               <= (SELECT max(ts) FROM events) - INTERVAL 7200 SECOND
+    """,
     "stream_enrich_events": """
         WITH dim AS (
             SELECT user_id, count(*) AS n_events_total, min(ts) AS first_seen

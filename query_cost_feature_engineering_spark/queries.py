@@ -714,6 +714,31 @@ def stream_sessionize_events(spark, sf_dir):
     )
 
 
+def stream_tumbling_events(spark, sf_dir):
+    """Streaming tumbling-window counts (1 day, 2h watermark, availableNow);
+    append mode emits exactly the windows finalized by the final watermark."""
+    import shutil
+    import tempfile
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="qcfe_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    out = run_stream_to_memory(
+        tumbling_counts_stream(read_events_stream(spark, d))
+    )
+    return out.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        _rq("sum_value").alias("sum_value"),
+    )
+
+
 def stream_enrich_events(spark, sf_dir):
     """Stream-static broadcast join: streaming purchases enriched with a
     per-user profile dimension computed in batch. Row-wise deterministic,
@@ -948,6 +973,7 @@ REGISTRY = {
     "rolling_time_events": rolling_time_events,
     "stream_sessionize_events": stream_sessionize_events,
     "stream_enrich_events": stream_enrich_events,
+    "stream_tumbling_events": stream_tumbling_events,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,
