@@ -162,6 +162,34 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "deciles_orders": """
+        WITH t AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        SELECT decile, count(*) AS n,
+               round(min(o_totalprice) + 1e-9, 4) AS lo,
+               round(max(o_totalprice) + 1e-9, 4) AS hi,
+               round(avg(o_totalprice) + 1e-9, 4) AS mean
+        FROM t GROUP BY decile
+    """,
+    "dedup_events_exact": """
+        SELECT user_id, ts, event_type,
+               min(event_id) AS keep_event_id,
+               count(*) AS n_dups
+        FROM events
+        GROUP BY user_id, ts, event_type
+    """,
+    "pivot_user_event_counts": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error
+        FROM events GROUP BY user_id
+    """,
     "json_props_events": """
         WITH t AS (
             SELECT event_type,

@@ -154,6 +154,51 @@ def topk_orders_per_customer(spark, sf_dir):
     )
 
 
+def deciles_orders(spark, sf_dir):
+    """ntile decile assignment + per-decile stats over order totals."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rq(F.min("o_totalprice")).alias("lo"),
+            _rq(F.max("o_totalprice")).alias("hi"),
+            _rq(F.avg("o_totalprice")).alias("mean"),
+        )
+    )
+
+
+def dedup_events_exact(spark, sf_dir):
+    """Exact dedup on the stream table: one survivor (min event_id) per
+    (user_id, ts, event_type) key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "ts", "event_type")
+        .agg(
+            F.min("event_id").alias("keep_event_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 1)
+    )
+
+
+def pivot_user_event_counts(spark, sf_dir):
+    """Pivot: per-user event counts spread across event-type columns."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
 def agg_events_daily(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -966,6 +1011,9 @@ REGISTRY = {
     "topk_orders_per_customer": topk_orders_per_customer,
     "agg_events_daily": agg_events_daily,
     "json_props_events": json_props_events,
+    "deciles_orders": deciles_orders,
+    "dedup_events_exact": dedup_events_exact,
+    "pivot_user_event_counts": pivot_user_event_counts,
     "window_lag_lead_events": window_lag_lead_events,
     "window_backfill_events": window_backfill_events,
     "sessionize_events": sessionize_events,
