@@ -190,6 +190,12 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE event_type = 'error')    AS n_error
         FROM events GROUP BY user_id
     """,
+    "unpivot_user_event_counts": """
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+        GROUP BY user_id, event_type
+    """,
     "json_props_events": """
         WITH t AS (
             SELECT event_type,

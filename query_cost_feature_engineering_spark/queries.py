@@ -199,6 +199,26 @@ def pivot_user_event_counts(spark, sf_dir):
     )
 
 
+def unpivot_user_event_counts(spark, sf_dir):
+    """Unpivot (melt): the pivoted per-user counts back to long form —
+    (user_id, event_type, n) rows, zero counts dropped."""
+    wide = pivot_user_event_counts(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in types],
+        "event_key",
+        "n",
+    )
+    return (
+        out.withColumn(
+            "event_type", F.regexp_replace(F.col("event_key"), "^n_", "")
+        )
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
 def agg_events_daily(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1014,6 +1034,7 @@ REGISTRY = {
     "deciles_orders": deciles_orders,
     "dedup_events_exact": dedup_events_exact,
     "pivot_user_event_counts": pivot_user_event_counts,
+    "unpivot_user_event_counts": unpivot_user_event_counts,
     "window_lag_lead_events": window_lag_lead_events,
     "window_backfill_events": window_backfill_events,
     "sessionize_events": sessionize_events,
