@@ -38,6 +38,10 @@ HEADLINE = [
     "predicate_scan_parts",
     "topk_orders_per_customer",
     "agg_events_daily",
+    "json_props_events",
+    "deciles_orders",
+    "dedup_events_exact",
+    "pivot_user_event_counts",
     "window_lag_lead_events",
     "window_backfill_events",
     "sessionize_events",
