@@ -9,9 +9,14 @@ bucket join replaces the O(N·Q) cross join with L shuffle joins on bucket
 keys; recall is tuned via (B, L).
 
 Hyperplanes are deterministic ±1 vectors derived from md5 (hashing.py
-style), embedded as literal arrays — so DuckDB evaluates the IDENTICAL
-algorithm for the correctness oracle (same float op order ⇒ bitwise-equal
-doubles ⇒ hash-equal results).
+style), embedded as literal arrays — so DuckDB evaluates the same
+algorithm for the correctness oracle. Spark computes the projections with
+a NumPy matmul (pairwise summation) while DuckDB folds sequentially, so
+the two can differ by ~1e-15 relative; both engines therefore QUANTIZE
+the projection (round to ``PROJ_DECIMALS``) before the sign test, making
+the bucket assignment engine-independent unless a projection lands within
+float error of a rounding boundary (not observed; the oracle would
+surface it).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from pyspark.sql import types as T
 ANN_DIM = 64
 ANN_BITS = 4
 ANN_TABLES = 12
+PROJ_DECIMALS = 6  # projection quantization before the sign test
 
 
 def srp_signs(table: int, bit: int, dim: int = ANN_DIM) -> list[int]:
@@ -52,11 +58,49 @@ def _dot_signs(vec, signs: list[int]):
 def bucket_key(vec, table: int, bits: int = ANN_BITS, dim: int = ANN_DIM):
     """B-bit integer bucket id for one LSH table."""
     terms = [
-        F.when(_dot_signs(vec, srp_signs(table, b, dim)) >= 0, F.lit(1 << b))
+        F.when(
+            F.round(_dot_signs(vec, srp_signs(table, b, dim)), PROJ_DECIMALS)
+            >= 0,
+            F.lit(1 << b),
+        )
         .otherwise(F.lit(0))
         for b in range(bits)
     ]
     return reduce(lambda a, c: a + c, terms).cast("int")
+
+
+def with_bucket_keys(
+    df: DataFrame,
+    vec_col: str,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+    dim: int = ANN_DIM,
+) -> DataFrame:
+    """Append posexploded LSH keys: one (_tbl, _bk) row per table.
+
+    All L·B hyperplane projections run in one float64 matmul per Arrow
+    batch (≈1000× less per-element overhead than interpreted JVM array
+    folds); projections are quantized to PROJ_DECIMALS before the sign
+    test so the oracle's sequential fold assigns identical buckets.
+    """
+    S = np.array(
+        [srp_signs(t, b, dim) for t in range(tables) for b in range(bits)],
+        dtype=np.float64,
+    )  # (L·B, dim)
+    pows = np.tile(1 << np.arange(bits, dtype=np.int64), tables).reshape(
+        tables, bits
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _keys_udf(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        proj = np.round(V @ S.T, PROJ_DECIMALS)
+        bits_m = (proj >= 0).reshape(len(V), tables, bits)
+        keys = (bits_m * pows).sum(axis=2).astype(np.int32)  # (n, L)
+        return pd.Series(list(keys))
+
+    keys = _keys_udf(F.col(vec_col).cast("array<double>"))
+    return df.select("*", F.posexplode(keys).alias("_tbl", "_bk"))
 
 
 def ann_topk(
@@ -75,33 +119,8 @@ def ann_topk(
     projection, posexplodes to (table, key), and ONE equi-join on
     (table, key) yields the candidates — L joins collapsed into a single
     shuffle, which is the shape that survives at 10^12 rows."""
-
-    # All L·B hyperplane projections in one float64 matmul per Arrow batch
-    # (≈1000× less per-element overhead than interpreted JVM array folds).
-    # matmul's pairwise summation can differ from a sequential fold by
-    # ~1e-16 relative — a bucket flips only if a projection sits within
-    # rounding error of 0, which the correctness oracle would surface.
-    S = np.array(
-        [srp_signs(t, b, dim) for t in range(tables) for b in range(bits)],
-        dtype=np.float64,
-    )  # (L·B, dim)
-    pows = np.tile(1 << np.arange(bits, dtype=np.int64), tables).reshape(
-        tables, bits
-    )
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _keys_udf(vecs: pd.Series) -> pd.Series:
-        V = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
-        bits_m = (V @ S.T >= 0).reshape(len(V), tables, bits)
-        keys = (bits_m * pows).sum(axis=2).astype(np.int32)  # (n, L)
-        return pd.Series(list(keys))
-
-    def with_keys(df, vec):
-        keys = _keys_udf(F.col(vec).cast("array<double>"))
-        return df.select("*", F.posexplode(keys).alias("_tbl", "_bk"))
-
-    qk = with_keys(queries, vec_q)
-    ck = with_keys(corpus, vec_c)
+    qk = with_bucket_keys(queries, vec_q, bits, tables, dim)
+    ck = with_bucket_keys(corpus, vec_c, bits, tables, dim)
     cand = (
         qk.join(ck, ["_tbl", "_bk"])
         .drop("_tbl", "_bk")
@@ -149,8 +168,8 @@ def _duck_dot_signs(vec: str, signs: list[int]) -> str:
 def duck_bucket_key(vec: str, table: int, bits: int = ANN_BITS,
                     dim: int = ANN_DIM) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_duck_dot_signs(vec, srp_signs(table, b, dim))} >= 0 "
-        f"THEN {1 << b} ELSE 0 END)"
+        f"(CASE WHEN round({_duck_dot_signs(vec, srp_signs(table, b, dim))}, "
+        f"{PROJ_DECIMALS}) >= 0 THEN {1 << b} ELSE 0 END)"
         for b in range(bits)
     )
     return f"({terms})"

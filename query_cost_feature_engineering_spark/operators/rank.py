@@ -1,0 +1,106 @@
+"""Scalable global rank / ntile — no single-partition Window anywhere.
+
+``Window.orderBy(col)`` with no ``partitionBy`` funnels the whole table
+through one task: the classic anti-scale plan (fine at 60k rows, dead at
+10^10). The distributed shape is the two-pass range-bucket rank:
+
+    1. one pass computes approximate value cut points (``approxQuantile``
+       on a 2-column projection — the scan is column-pruned);
+    2. rows are bucketed by those cut points JVM-side (a ``when``-free
+       fold over a literal array — O(#cuts) comparisons per row);
+    3. exact per-bucket counts (tiny: #cuts rows) are cumulated
+       driver-side into bucket offsets;
+    4. global rank = per-bucket ``row_number`` (Window PARTITIONED by
+       bucket) + broadcast offset.
+
+Cut-point placement only affects load balance, never correctness: all
+rows with equal sort value land in one bucket, so per-bucket ordering +
+offsets reproduce the exact total order. ``ntile`` then follows from the
+rank and the (driver-known) total count with the ANSI bucket-size rule
+(first n%k buckets get one extra row) — value-identical to
+``ntile(k) OVER (ORDER BY ...)``.
+
+This is the engine's sort/limit/top-k scale path (SURVEY.md §2.B
+sort/limit; the reference's one global structure — template enumeration,
+tpch_utils_knob.py:443-478 — is a driver-side dict for the same reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(value_col: str, cuts: list[float]):
+    """Bucket id = number of cut points <= value (0..len(cuts))."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(
+        F.filter(arr, lambda c: c <= F.col(value_col).cast("double"))
+    ).cast("int")
+
+
+def with_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "rank",
+    n_buckets: int = 64,
+    rel_err: float = 0.001,
+) -> tuple[DataFrame, int]:
+    """Exact dense 1-based global rank by (value_col, *tiebreak_cols).
+
+    Returns (ranked_df, total_count); total_count is driver-known as a
+    byproduct of the offsets pass. Two jobs over a pruned projection, no
+    global single-partition Window.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(value_col, qs, rel_err)))
+    b = df.withColumn("_gr_bkt", _bucket_expr(value_col, cuts))
+    counts = {
+        r["_gr_bkt"]: r["n"]
+        for r in b.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total, offsets = 0, {}
+    for k in sorted(counts):
+        offsets[k] = total
+        total += counts[k]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_gr_bkt int, _gr_off long"
+    )
+    w = Window.partitionBy("_gr_bkt").orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    out = (
+        b.withColumn("_gr_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_gr_bkt")
+        .withColumn(out_col, (F.col("_gr_rn") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_bkt", "_gr_rn", "_gr_off")
+    )
+    return out, total
+
+
+def with_ntile(
+    df: DataFrame,
+    k: int,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "ntile",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed exact ``ntile(k) OVER (ORDER BY value, *tiebreak)``.
+
+    ANSI rule: with n rows, the first ``n % k`` tiles hold ``n//k + 1``
+    rows, the rest ``n//k``.
+    """
+    ranked, n = with_global_rank(
+        df, value_col, tiebreak_cols, out_col="_nt_rank", n_buckets=n_buckets
+    )
+    q, rem = divmod(n, k)
+    big = rem * (q + 1)  # rows living in the oversized leading tiles
+    r0 = F.col("_nt_rank") - 1  # 0-based
+    tile = F.when(
+        (F.lit(rem) > 0) & (r0 < big), F.floor(r0 / F.lit(q + 1))
+    ).otherwise(F.lit(rem) + F.floor((r0 - big) / F.lit(max(q, 1))))
+    return ranked.withColumn(out_col, (tile + 1).cast("int")).drop("_nt_rank")

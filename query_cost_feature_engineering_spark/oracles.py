@@ -224,9 +224,12 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     "sessionize_events": """
+        -- CAST: DuckDB's windowed sum(int) is HUGEINT; Spark emits BIGINT
+        -- and the driver hash is type-sensitive even when values agree.
         SELECT event_id, user_id,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
                  AS session_id
         FROM (
             SELECT event_id, user_id, ts,
@@ -293,9 +296,13 @@ ORACLES: dict[str, str] = {
                    max(ts) AS last_ts
             FROM s GROUP BY user_id, session_id
         )
+        -- Spark's append-mode eviction emits a window when window.end <=
+        -- watermark (here: session end = last_ts + gap, watermark =
+        -- max event time - 7200s) — the tumbling oracle uses the same
+        -- boundary, and test_streaming.py pins a boundary-exact fixture.
         SELECT user_id, session_start, n_events, sum_value, last_ts
         FROM sess
-        WHERE epoch(last_ts) + 1800 < (SELECT max(epoch(ts)) FROM events) - 7200
+        WHERE epoch(last_ts) + 1800 <= (SELECT max(epoch(ts)) FROM events) - 7200
     """,
     "stream_tumbling_events": """
         SELECT date_trunc('day', ts) AS day, event_type,
@@ -437,7 +444,8 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY user_id
         )
         SELECT user_id, structure_key,
-               dense_rank() OVER (ORDER BY structure_key) AS group_id
+               CAST(count(*) OVER (PARTITION BY structure_key) AS BIGINT)
+                 AS group_size
         FROM seqs
     """,
     "dedup_exact_docs": """
@@ -500,14 +508,9 @@ ORACLES: dict[str, str] = {
         SELECT target_id, neighbor_id, round(cos + 1e-9, 4) AS cos, rnk
         FROM r WHERE rnk <= 3
     """,
-    "embedding_neardup_pairs": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        SELECT id_a, id_b, round(cos + 1e-9, 4) AS cos FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   {_COS.format(a="a.v", b="b.v")} AS cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-        ) WHERE cos >= 0.35
-    """,
+    # embedding_neardup_pairs is generated below (_neardup_oracle): the
+    # Spark side routes through SRP-LSH candidates, so the oracle mirrors
+    # the identical bucket keys instead of the O(N²) self-join.
     "text_analysis_docs": """
         WITH base AS (
             SELECT doc_id, text,
@@ -597,3 +600,38 @@ def _ann_oracle() -> str:
 
 
 ORACLES["ann_lsh_topk"] = _ann_oracle()
+
+
+def _neardup_oracle() -> str:
+    """DuckDB mirror of operators/neardup.srp_candidate_pairs: identical
+    SRP buckets (quantized projections) generate candidates, exact cosine
+    verifies — same rows as Spark by construction."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        ANN_TABLES,
+        duck_bucket_key,
+    )
+
+    joins = "\n            UNION ALL\n".join(
+        f"            SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a "
+        f"JOIN e b ON {duck_bucket_key('a.v', t)} = {duck_bucket_key('b.v', t)} "
+        f"AND a.vec_id < b.vec_id"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cand AS (
+            SELECT DISTINCT id_a, id_b FROM (
+{joins}
+            )
+        )
+        SELECT id_a, id_b, round(cos + 1e-9, 4) AS cos FROM (
+            SELECT cand.id_a, cand.id_b,
+                   {_COS.format(a="a.v", b="b.v")} AS cos
+            FROM cand
+            JOIN e a ON a.vec_id = cand.id_a
+            JOIN e b ON b.vec_id = cand.id_b
+        ) WHERE cos >= 0.35
+    """
+
+
+ORACLES["embedding_neardup_pairs"] = _neardup_oracle()

@@ -1,0 +1,194 @@
+"""Scale-path operators vs their brute-force twins.
+
+The round-2 rewrites (banded hamming, prefix-filtered Jaccard join,
+SRP candidate pairs, distributed ntile) must be VALUE-IDENTICAL to the
+O(N²) / global-window formulations they replace (except SRP, whose
+recall is measured instead — LSH is lossy by design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from query_cost_feature_engineering_spark.operators.neardup import (
+    band_layout,
+    hamming_neardup_pairs,
+    jaccard_pairs_prefix,
+    srp_candidate_pairs,
+)
+from query_cost_feature_engineering_spark.operators.rank import (
+    with_global_rank,
+    with_ntile,
+)
+
+
+def test_band_layout_covers_all_bits():
+    for bits, md in [(64, 12), (64, 3), (16, 4), (64, 63)]:
+        layout = band_layout(bits, md)
+        assert len(layout) == md + 1
+        covered = sorted(
+            b for s, w in layout for b in range(s, s + w)
+        )
+        assert covered == list(range(bits))
+
+
+def test_hamming_banded_equals_bruteforce(spark):
+    # clustered hashes so plenty of pairs land under the threshold
+    rng = np.random.default_rng(7)
+    centers = rng.integers(0, 2**63, size=8, dtype=np.int64)
+    hashes = []
+    for i in range(200):
+        c = centers[i % 8]
+        flips = rng.integers(0, 64, size=rng.integers(0, 10))
+        h = int(c)
+        for b in flips:
+            h ^= 1 << int(b)
+        h &= (1 << 64) - 1
+        if h >= 1 << 63:  # wrap to signed 64-bit (phash is a LongType)
+            h -= 1 << 64
+        hashes.append((i, np.int64(h)))
+    df = spark.createDataFrame(
+        pd.DataFrame(hashes, columns=["id", "h"])
+    )
+    banded = (
+        hamming_neardup_pairs(df, "id", "h", bits=64, max_dist=12)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    a = df.select(F.col("id").alias("id_a"), F.col("h").alias("ha"))
+    b = df.select(F.col("id").alias("id_b"), F.col("h").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", "hamming")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 50, "fixture should generate plenty of near pairs"
+    pd.testing.assert_frame_equal(banded, brute, check_dtype=False)
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    docs = []
+    bases = [
+        rng.choice(vocab, size=12, replace=False).tolist() for _ in range(15)
+    ]
+    for i in range(120):
+        base = list(bases[i % 15])  # mutate a shared base → real near-dups
+        for _ in range(int(rng.integers(0, 4))):
+            base[int(rng.integers(0, len(base)))] = vocab[
+                int(rng.integers(0, len(vocab)))
+            ]
+        docs.append((i, "en" if i % 2 else "de", sorted(set(base))))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, sh array<string>")
+    fast = (
+        jaccard_pairs_prefix(df, "doc_id", "sh", 0.5, block_col="lang")
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    a, b = df.alias("a"), df.alias("b")
+    brute = (
+        a.join(b, F.col("a.lang") == F.col("b.lang"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+        .toPandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(fast, brute, check_dtype=False)
+
+
+def test_srp_pairs_subset_and_recall(spark):
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = srp_candidate_pairs(em, "vec_id", "embedding", 0.35).toPandas()
+    a = em.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = em.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+        )
+
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cos") >= 0.35)
+        .toPandas()
+    )
+    got_keys = set(zip(got["vec_id_a"], got["vec_id_b"]))
+    brute_keys = set(zip(brute["ia"], brute["ib"]))
+    # every emitted pair is a true pair (exact verification)
+    assert got_keys <= brute_keys
+    # strong pairs (cos >= 0.6) must be found with high recall
+    strong = brute[brute["cos"] >= 0.6]
+    if len(strong) >= 5:
+        strong_keys = set(zip(strong["ia"], strong["ib"]))
+        recall = len(strong_keys & got_keys) / len(strong_keys)
+        assert recall >= 0.9, f"strong-pair recall {recall:.2f}"
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_ntile_matches_global_window(spark, k):
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_totalprice", "o_orderkey")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = (
+        o.withColumn("t", F.ntile(k).over(w))
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    got = (
+        with_ntile(o, k, "o_totalprice", ["o_orderkey"], out_col="t")
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        got["t"].astype(int), want["t"].astype(int), check_names=False
+    )
+
+
+def test_global_rank_exact(spark):
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_totalprice", "o_orderkey")
+    )
+    ranked, n = with_global_rank(o, "o_totalprice", ["o_orderkey"], out_col="r")
+    got = ranked.toPandas().sort_values("r")
+    assert n == len(got)
+    assert got["r"].tolist() == list(range(1, n + 1))
+    # rank order equals the (value, tiebreak) sort order
+    resorted = got.sort_values(["o_totalprice", "o_orderkey"])
+    assert resorted["r"].tolist() == list(range(1, n + 1))

@@ -82,6 +82,41 @@ def test_stream_sessions_match_batch(spark, batch_sessions, events_dir):
     assert not missing, f"finalized sessions not emitted: {missing[:5]}"
 
 
+def test_watermark_boundary_exact(spark, tmp_path):
+    """Pin Spark's append-mode eviction predicate: a session whose end
+    (last_ts + gap) lands EXACTLY on the watermark (max event time - delay)
+    IS emitted (end <= watermark), one second later is NOT. Both oracles in
+    oracles.py use this `<=` boundary."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = base + pd.Timedelta(hours=10)
+    rows = [
+        # end = (m-9000s) + 1800s == m - 7200s == watermark: must emit
+        (1, m - pd.Timedelta(seconds=9000), 10, "click", 1.0, "{}"),
+        # end = watermark - 1s: must emit
+        (2, m - pd.Timedelta(seconds=9001), 20, "click", 1.0, "{}"),
+        # end = watermark + 1s: must NOT emit
+        (3, m - pd.Timedelta(seconds=8999), 30, "click", 1.0, "{}"),
+        (4, m, 40, "click", 1.0, "{}"),  # carries the max event time
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "wm_probe")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d)
+    out = run_stream_to_memory(
+        sessionize_stream(
+            read_events_stream(spark, d), gap_s=GAP_S, watermark=f"{WM_S} seconds"
+        )
+    ).toPandas()
+    emitted = set(out["user_id"].tolist())
+    assert 10 in emitted, "session ending exactly at watermark must be emitted"
+    assert 20 in emitted
+    assert 30 not in emitted
+    assert 40 not in emitted
+
+
 def test_stream_tumbling_counts_match_batch(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     out = run_stream_to_memory(
