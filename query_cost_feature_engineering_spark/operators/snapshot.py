@@ -46,6 +46,35 @@ def fit_linear_by_group(
     )
 
 
+def fit_gram_by_group(
+    df: DataFrame, group_col: str, regs, y, prefix: str = "c"
+) -> DataFrame:
+    """Per-group closed-form OLS over arbitrary INTEGER-VALUED regressors
+    (fixed-point scaled), via exact Gram sums + generated Cramer solve
+    (operators/mls.py). This is the engine's version of the reference's
+    op-specific ``curve_fit`` dispatch (snapshot_linear.py:174-193):
+    2 regressors [x, 1] for linear/func2, [ceil(n·ln n), 1] for the Sort
+    transform (:101-108), 4 regressors [n1·n2, n1, n2, 1] for the
+    NestedLoop bilinear func4 (:144-156). One partial+final aggregation
+    per fit; coefficients are engine-exact doubles (same integer sums,
+    same expression tree on Spark and the DuckDB oracle)."""
+    from query_cost_feature_engineering_spark.operators.mls import (
+        gram_agg_exprs,
+        solve_spark,
+    )
+
+    n = len(regs)
+    agg = df.groupBy(group_col).agg(
+        *gram_agg_exprs(regs, y), F.count(F.lit(1)).alias("n_samples")
+    )
+    coeffs = solve_spark(n)
+    return agg.select(
+        F.col(group_col),
+        *[c.alias(f"{prefix}{k}") for k, c in enumerate(coeffs)],
+        "n_samples",
+    )
+
+
 def annotate_group_fit(
     df: DataFrame,
     group_col: str,

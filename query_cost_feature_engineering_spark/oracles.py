@@ -635,3 +635,117 @@ def _neardup_oracle() -> str:
 
 
 ORACLES["embedding_neardup_pairs"] = _neardup_oracle()
+
+
+_LI_FIXEDPOINT_CTE = """
+li AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT)      AS q100,
+           CAST(round(l_discount * 100) AS BIGINT)      AS d100,
+           CAST(round(l_tax * 100) AS BIGINT)           AS t100,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y100,
+           CAST(ceil(l_quantity * ln(l_quantity)) AS BIGINT) AS nlq,
+           CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)  AS qd,
+           CAST(1 AS BIGINT) AS one,
+           substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)
+             < 'cccccccc' AS is_train
+    FROM lineitem
+)
+"""
+
+
+def _fit_dispatch_oracle() -> str:
+    """Mirror of snapshot_fit_dispatch: same integer Gram sums (HUGEINT,
+    exact), same generated Cramer solve (operators/mls.py) — identical
+    coefficient doubles by construction."""
+    from query_cost_feature_engineering_spark.operators.mls import (
+        gram_sql_exprs,
+        solve_sql,
+    )
+    from query_cost_feature_engineering_spark.queries import FIT_SPECS
+
+    parts = []
+    for flag, (kind, regs) in FIT_SPECS.items():
+        n = len(regs)
+        grams = ",\n               ".join(gram_sql_exprs(regs, "y100"))
+        coeffs = solve_sql(n)
+        csel = ",\n               ".join(
+            f"{coeffs[k] if k < n else '0.0'} AS c{k}" for k in range(4)
+        )
+        pred = " + ".join(
+            f"f.c{k} * CAST(t.{r} AS DOUBLE)" for k, r in enumerate(regs)
+        )
+        parts.append(f"""
+        SELECT t.l_returnflag, '{kind}' AS kind,
+               round(f.c0 + 1e-11, 6) AS c0, round(f.c1 + 1e-11, 6) AS c1,
+               round(f.c2 + 1e-11, 6) AS c2, round(f.c3 + 1e-11, 6) AS c3,
+               round(avg(((({pred}) - t.y100) / t.y100)
+                         * ((({pred}) - t.y100) / t.y100)) + 1e-9, 4) AS rel_mse,
+               max(f.n_train) AS n_train,
+               count(*) AS n_test
+        FROM li t
+        JOIN (
+            SELECT l_returnflag, {csel}, n_train FROM (
+                SELECT l_returnflag,
+                       {grams},
+                       count(*) AS n_train
+                FROM li
+                WHERE l_returnflag = '{flag}' AND is_train
+                GROUP BY l_returnflag
+            )
+        ) f USING (l_returnflag)
+        WHERE t.l_returnflag = '{flag}' AND NOT t.is_train
+        GROUP BY t.l_returnflag, f.c0, f.c1, f.c2, f.c3""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"WITH {_LI_FIXEDPOINT_CTE} {body}"
+
+
+ORACLES["snapshot_fit_dispatch"] = _fit_dispatch_oracle()
+
+
+def _shap_oracle() -> str:
+    """Mirror of shap_feature_reduction: exact-Gram OLS betas + train-split
+    mean absolute deviations -> closed-form linear SHAP importances."""
+    from query_cost_feature_engineering_spark.operators.mls import (
+        gram_sql_exprs,
+        solve_sql,
+    )
+    from query_cost_feature_engineering_spark.queries import SHAP_FEATURES
+
+    regs = ["q100", "d100", "t100", "one"]
+    grams = ",\n               ".join(gram_sql_exprs(regs, "y100"))
+    coeffs = solve_sql(4)
+    csel = ",\n               ".join(f"{coeffs[k]} AS c{k}" for k in range(4))
+    devs = ",\n               ".join(
+        f"avg(abs(CAST({r} AS DOUBLE) - (SELECT avg({r}) FROM li WHERE is_train)))"
+        f" AS dev_{k}"
+        for k, r in enumerate(regs[:3])
+    )
+    rows = "\n            UNION ALL\n".join(
+        f"            SELECT '{SHAP_FEATURES[k]}' AS feature, c{k} AS beta, "
+        f"abs(c{k}) * dev_{k} AS mean_abs_shap, "
+        f"abs(c{k}) * dev_{k} / (abs(c0) * dev_0 + abs(c1) * dev_1 "
+        f"+ abs(c2) * dev_2) AS share FROM j"
+        for k in range(3)
+    )
+    return f"""
+        WITH {_LI_FIXEDPOINT_CTE},
+        fit AS (
+            SELECT {csel} FROM (
+                SELECT {grams} FROM li WHERE is_train
+            )
+        ),
+        dv AS (
+            SELECT {devs} FROM li WHERE is_train
+        ),
+        j AS (SELECT * FROM fit, dv)
+        SELECT feature, round(beta + 1e-11, 6) AS beta,
+               round(mean_abs_shap + 1e-9, 4) AS mean_abs_shap,
+               round(share + 1e-9, 4) AS share,
+               CASE WHEN share >= 0.01 THEN 'kept' ELSE 'dropped' END AS status
+        FROM ({rows})
+    """
+
+
+ORACLES["shap_feature_reduction"] = _shap_oracle()

@@ -526,6 +526,161 @@ def qerror_snapshot_fit(spark, sf_dir):
     )
 
 
+# Op-specific fit dispatch (A6 parity) + linear-SHAP reduction (A19):
+# fixed-point integer regressors make the Gram sums exact on both engines,
+# so the generated Cramer solve (operators/mls.py) yields identical
+# coefficient doubles on Spark and the DuckDB oracle.
+
+FIT_SPECS = {
+    # l_returnflag -> (kind, regressor column names); mirrors the
+    # reference's per-op dispatch table (snapshot_linear.py:174-193):
+    # plain ops -> linear func2, Sort -> ceil(n·ln n) transform (:101-108),
+    # NestedLoop -> bilinear func4 (:144-156).
+    "A": ("linear", ["q100", "one"]),
+    "N": ("nlogn", ["nlq", "one"]),
+    "R": ("bilinear", ["qd", "q100", "d100", "one"]),
+}
+
+
+def _li_fixedpoint(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    return (
+        li.withColumn("q100", F.round(F.col("l_quantity") * 100).cast("long"))
+        .withColumn("d100", F.round(F.col("l_discount") * 100).cast("long"))
+        .withColumn("t100", F.round(F.col("l_tax") * 100).cast("long"))
+        .withColumn("y100", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .withColumn(
+            "nlq",
+            F.ceil(F.col("l_quantity") * F.log(F.col("l_quantity"))).cast("long"),
+        )
+        .withColumn("qd", F.col("q100") * F.col("d100"))
+        .withColumn("one", F.lit(1).cast("long"))
+        .withColumn("is_train", F.substring(F.md5(key), 1, 8) < "cccccccc")
+    )
+
+
+def snapshot_fit_dispatch(spark, sf_dir):
+    """A6 parity: per-group op-specific cost-curve fits with a relative-MSE
+    holdout (ref getMSE, snapshot_linear.py:25-37). Each group dispatches
+    to its own model shape (FIT_SPECS); the fit is one exact-integer Gram
+    aggregation + generated Cramer solve, the holdout metric one more
+    aggregation over the test split."""
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        fit_gram_by_group,
+    )
+
+    li = _li_fixedpoint(spark, sf_dir)
+    outs = []
+    for flag, (kind, regs) in FIT_SPECS.items():
+        sub = li.filter(F.col("l_returnflag") == flag)
+        fit = fit_gram_by_group(
+            sub.filter(F.col("is_train")),
+            "l_returnflag",
+            [F.col(r) for r in regs],
+            F.col("y100"),
+        ).withColumnRenamed("n_samples", "n_train")
+        for k in range(len(regs), 4):
+            fit = fit.withColumn(f"c{k}", F.lit(0.0))
+        test = sub.filter(~F.col("is_train")).join(
+            F.broadcast(fit), "l_returnflag"
+        )
+        pred = None
+        for k, r in enumerate(regs):
+            term = F.col(f"c{k}") * F.col(r).cast("double")
+            pred = term if pred is None else pred + term
+        rel = (pred - F.col("y100")) / F.col("y100")
+        res = test.groupBy(
+            "l_returnflag", *[f"c{k}" for k in range(4)], "n_train"
+        ).agg(
+            F.avg(rel * rel).alias("rel_mse"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+        outs.append(res.withColumn("kind", F.lit(kind)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "l_returnflag",
+        "kind",
+        *[_rq(f"c{k}", 6).alias(f"c{k}") for k in range(4)],
+        _rq("rel_mse").alias("rel_mse"),
+        "n_train",
+        "n_test",
+    )
+
+
+SHAP_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+
+
+def shap_feature_reduction(spark, sf_dir):
+    """A19 graft (models/QPPNet.py:433-533): SHAP-based feature filtering.
+    The reference runs a Deep/Gradient explainer over a sampled batch and
+    keeps features with Σ|shap| > 0; for the engine's linear probe the
+    Shapley values have the exact closed form φ_j(x) = β_j·(x_j - E[x_j])
+    (the public linear-SHAP result), so mean|φ_j| = |β_j|·mean|x_j - x̄_j|
+    is computable distributively: one exact-Gram OLS fit on the train
+    split + one deviation aggregation — no sampling, no explainer loop.
+    Features carrying < 1% of total |φ| mass are dropped (the reference's
+    zero-mass filter, :497-519, with a tolerance suited to floats)."""
+    li = _li_fixedpoint(spark, sf_dir).withColumn("_g", F.lit(1))
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        fit_gram_by_group,
+    )
+
+    regs = ["q100", "d100", "t100", "one"]
+    fit = fit_gram_by_group(
+        li.filter(F.col("is_train")),
+        "_g",
+        [F.col(r) for r in regs],
+        F.col("y100"),
+    )
+    tr = li.filter(F.col("is_train"))  # stats on train only (no leakage)
+    means = tr.groupBy("_g").agg(
+        *[F.avg(r).alias(f"m_{r}") for r in regs[:3]]
+    )
+    dev = (
+        tr.join(F.broadcast(means), "_g")
+        .groupBy("_g")
+        .agg(
+            *[
+                F.avg(F.abs(F.col(r).cast("double") - F.col(f"m_{r}"))).alias(
+                    f"dev_{r}"
+                )
+                for r in regs[:3]
+            ]
+        )
+    )
+    row = fit.join(dev, "_g")
+    imps = [
+        (F.abs(F.col(f"c{k}")) * F.col(f"dev_{r}")).alias(f"imp_{k}")
+        for k, r in enumerate(regs[:3])
+    ]
+    row = row.select("*", *imps)
+    total = F.col("imp_0") + F.col("imp_1") + F.col("imp_2")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(SHAP_FEATURES[k]).alias("feature"),
+                F.col(f"c{k}").alias("beta"),
+                F.col(f"imp_{k}").alias("mean_abs_shap"),
+                (F.col(f"imp_{k}") / total).alias("share"),
+            )
+            for k in range(3)
+        ]
+    )
+    out = row.select(F.explode(entries).alias("e")).select("e.*")
+    return out.select(
+        "feature",
+        _rq("beta", 6).alias("beta"),
+        _rq("mean_abs_shap").alias("mean_abs_shap"),
+        _rq("share").alias("share"),
+        F.when(F.col("share") >= 0.01, F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
 def hash_split_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
@@ -564,11 +719,13 @@ def structural_grouping_users(spark, sf_dir):
 
 
 def logscan_plans(spark, sf_dir):
-    """A1/A2 analog: salvage EXPLAIN-JSON plans from a noisy console log
-    (deterministic synthetic log; parsed JVM-side with from_json), then the
-    A5/A6 snapshot path: per-node samples -> per-node-type linear fit of
-    time vs rows. Rows-only (the log file is not a DuckDB view); the parse
-    itself is golden-tested in pytest."""
+    """A1+A2 analog: salvage EXPLAIN-JSON plans from BOTH noisy log
+    formats — psql console transcripts and `' CST ['`-keyed serverlogs
+    (deterministic synthetic logs; parsed JVM-side with from_json over the
+    depth-4 recursive schema) — then the A5/A6 snapshot path: per-node
+    samples from every tree level -> per-node-type linear fit of time vs
+    rows. Rows-only (the log files are not DuckDB views); the parses are
+    golden-tested in pytest."""
     import os
 
     from query_cost_feature_engineering_spark.operators.snapshot import (
@@ -576,13 +733,19 @@ def logscan_plans(spark, sf_dir):
     )
     from query_cost_feature_engineering_spark.sources.logs import (
         generate_console_log,
+        generate_serverlog,
         per_node_samples,
         read_plans_from_log,
+        read_plans_from_serverlog,
     )
 
-    path = os.path.join(_workdir(), "qcfe_console_61.txt")
-    generate_console_log(path, n_plans=300, seed=61)
-    samples = per_node_samples(read_plans_from_log(spark, path))
+    cpath = os.path.join(_workdir(), "qcfe_console_61.txt")
+    spath = os.path.join(_workdir(), "qcfe_server_62.txt")
+    generate_console_log(cpath, n_plans=300, seed=61)
+    generate_serverlog(spath, n_plans=200, seed=62)
+    samples = per_node_samples(read_plans_from_log(spark, cpath)).unionByName(
+        per_node_samples(read_plans_from_serverlog(spark, spath))
+    )
     fit = fit_linear_by_group(
         samples, "node_type", "actual_rows", "actual_total_time"
     )
@@ -591,6 +754,40 @@ def logscan_plans(spark, sf_dir):
         _rq("slope", 6).alias("slope"),
         _rq("intercept", 4).alias("intercept"),
         "n_samples",
+    )
+
+
+def mscn_serialize_plans(spark, sf_dir):
+    """A14: MSCN serialization of salvaged plan trees (plans/mscn.py):
+    postorder child-before-parent flatten, identity one-hots OR-combined
+    up the tree, zero-pad align to a fixed node budget. Rows-only (log
+    input); golden-tested against the pure-Python serializer."""
+    import os
+
+    from query_cost_feature_engineering_spark.plans.mscn import (
+        serialize_plans_mscn,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        generate_console_log,
+        read_plans_from_log,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_console_63.txt")
+    generate_console_log(path, n_plans=200, seed=63)
+    out = serialize_plans_mscn(read_plans_from_log(spark, path))
+    digest = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("vec"), lambda x: F.format_string("%.4f", x))
+        ).cast("binary")
+    )
+    return out.select(
+        F.md5(F.concat_ws(",", "n_nodes", digest)).alias("plan_key"),
+        "n_nodes",
+        "feat_len",
+        digest.alias("vec_digest"),
+        _rq(
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda a, v: a + F.abs(v)), 2
+        ).alias("vec_l1"),
     )
 
 
@@ -1100,6 +1297,8 @@ REGISTRY = {
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,
     "snapshot_linear_fit": snapshot_linear_fit,
+    "snapshot_fit_dispatch": snapshot_fit_dispatch,
+    "shap_feature_reduction": shap_feature_reduction,
     "snapshot_template_sample": snapshot_template_sample,
     "normalize_quantity": normalize_quantity,
     "label_normalize_orders": label_normalize_orders,
@@ -1107,6 +1306,7 @@ REGISTRY = {
     "hash_split_customers": hash_split_customers,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
+    "mscn_serialize_plans": mscn_serialize_plans,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,

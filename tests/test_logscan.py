@@ -1,17 +1,26 @@
-"""Log-salvage source (A1/A2 analog) vs a pure-python golden parse."""
+"""Log-salvage sources (A1/A2) + MSCN serialization (A14) vs pure-python
+goldens, over recursive (depth-4) synthetic plan trees."""
 
 from __future__ import annotations
 
 import json
 
+import numpy as np
+
+from query_cost_feature_engineering_spark.plans.mscn import (
+    serialize_plan_dict,
+    serialize_plans_mscn,
+)
 from query_cost_feature_engineering_spark.sources.logs import (
     generate_console_log,
+    generate_serverlog,
     per_node_samples,
     read_plans_from_log,
+    read_plans_from_serverlog,
 )
 
 
-def _golden_parse(path):
+def _golden_console(path):
     plans = []
     for line in open(path):
         line = line.strip()
@@ -21,10 +30,40 @@ def _golden_parse(path):
     return plans
 
 
-def test_logscan_matches_golden(spark, tmp_path):
+def _golden_serverlog(path):
+    plans = []
+    for line in open(path):
+        if " CST [" not in line or "LOG:  plan:" not in line:
+            continue
+        plans.append(json.loads(line.split("LOG:  plan:", 1)[1].strip()))
+    return plans
+
+
+def _walk(node):
+    yield node
+    for k in node.get("Plans") or []:
+        yield from _walk(k)
+
+
+def _check_samples(spark, plans_df, golden):
+    samples = per_node_samples(plans_df).toPandas()
+    want = sorted(
+        (n["Node Type"], n["Actual Rows"])
+        for p in golden
+        for n in _walk(p)
+        if n["Actual Rows"] > 0
+    )
+    got = sorted(zip(samples["node_type"], samples["actual_rows"]))
+    assert got == want
+
+
+def test_console_logscan_matches_golden(spark, tmp_path):
     path = str(tmp_path / "console.log")
     generate_console_log(path, n_plans=150, seed=61)
-    golden = _golden_parse(path)
+    golden = _golden_console(path)
+    assert any(
+        k.get("Plans") for p in golden for k in p.get("Plans") or []
+    ), "fixture must contain depth>=3 trees"
 
     parsed = read_plans_from_log(spark, path).toPandas()
     assert len(parsed) == len(golden)
@@ -35,13 +74,102 @@ def test_logscan_matches_golden(spark, tmp_path):
         (p["Node Type"], p["Actual Rows"], len(p["Plans"])) for p in golden
     )
     assert got == want
+    # A5 collection now walks EVERY level of the tree (ref recursion)
+    _check_samples(spark, read_plans_from_log(spark, path), golden)
 
-    # A5 sample collection: parents + children, zero-row nodes dropped
-    samples = per_node_samples(read_plans_from_log(spark, path)).toPandas()
-    want_n = sum(
-        (1 if p["Actual Rows"] > 0 else 0)
-        + sum(1 for k in p["Plans"] if k["Actual Rows"] > 0)
-        for p in golden
+
+def test_serverlog_matches_golden(spark, tmp_path):
+    path = str(tmp_path / "server.log")
+    generate_serverlog(path, n_plans=120, seed=62)
+    golden = _golden_serverlog(path)
+    assert len(golden) == 120
+
+    parsed = read_plans_from_serverlog(spark, path).toPandas()
+    assert len(parsed) == len(golden)
+    got = sorted(zip(parsed["node_type"], parsed["actual_rows"]))
+    want = sorted((p["Node Type"], p["Actual Rows"]) for p in golden)
+    assert got == want
+    _check_samples(spark, read_plans_from_serverlog(spark, path), golden)
+
+
+def test_mscn_serialization_matches_golden(spark, tmp_path):
+    path = str(tmp_path / "console.log")
+    generate_console_log(path, n_plans=80, seed=63)
+    golden = _golden_console(path)
+
+    out = serialize_plans_mscn(read_plans_from_log(spark, path)).toPandas()
+    assert len(out) == len(golden)
+    want = {}
+    for p in golden:
+        vec, n = serialize_plan_dict(p)
+        want[tuple(np.round(vec, 9))] = n
+    for row in out.itertuples():
+        key = tuple(np.round(np.array(row.vec), 9))
+        assert key in want, "spark vector not produced by golden serializer"
+        assert row.n_nodes == want[key]
+
+
+def test_mscn_postorder_and_or_combine():
+    """Hand-built depth-3 tree pins the A14 contract: children before
+    parent, parent identity = OR of subtree, zero-pad tail."""
+    plan = {
+        "Node Type": "Hash Join",
+        "Plan Rows": 10,
+        "Actual Total Time": 5.0,
+        "Plans": [
+            {
+                "Node Type": "Seq Scan",
+                "Relation Name": "orders",
+                "Plan Rows": 7,
+                "Actual Total Time": 2.0,
+                "Plans": [],
+            },
+            {
+                "Node Type": "Hash",
+                "Plan Rows": 3,
+                "Actual Total Time": 1.0,
+                "Plans": [
+                    {
+                        "Node Type": "Seq Scan",
+                        "Relation Name": "lineitem",
+                        "Plan Rows": 3,
+                        "Actual Total Time": 0.5,
+                        "Plans": [],
+                    }
+                ],
+            },
+        ],
+    }
+    from query_cost_feature_engineering_spark.plans.mscn import (
+        MAX_NODES,
+        node_feat_len,
     )
-    assert len(samples) == want_n
-    assert (samples["actual_rows"] > 0).all()
+    from query_cost_feature_engineering_spark.sources.logs import (
+        NODE_TYPES,
+        REL_NAMES,
+    )
+
+    vec, n = serialize_plan_dict(plan)
+    flen = node_feat_len()
+    assert n == 4 and len(vec) == MAX_NODES * flen
+    nodes = vec.reshape(MAX_NODES, flen)
+    i_orders = REL_NAMES.index("orders")
+    i_li = REL_NAMES.index("lineitem")
+
+    def op(row):
+        return NODE_TYPES[int(np.argmax(row[: len(NODE_TYPES)]))]
+
+    def rels(row):
+        return set(
+            np.nonzero(row[len(NODE_TYPES): len(NODE_TYPES) + len(REL_NAMES)])[0]
+        )
+
+    # postorder: orders scan, lineitem scan, hash, join
+    assert [op(nodes[i]) for i in range(4)] == [
+        "Seq Scan", "Seq Scan", "Hash", "Hash Join",
+    ]
+    assert rels(nodes[0]) == {i_orders}
+    assert rels(nodes[1]) == {i_li}
+    assert rels(nodes[2]) == {i_li}  # OR-combined from child
+    assert rels(nodes[3]) == {i_orders, i_li}  # whole subtree
+    assert not nodes[4:].any()  # zero-pad align
