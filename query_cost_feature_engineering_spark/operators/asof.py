@@ -124,31 +124,51 @@ def asof_join_pandas_merge(
     # Detection runs on a key-only projection: Catalyst column-prunes the
     # upstream plan, so expensive feature UDFs (image decode) are NOT
     # evaluated for these statistics passes — only the final merge pays.
-    rkeys = right.select(rby, ron)
-    counts = rkeys.groupBy(rby).agg(F.count(F.lit(1)).alias("_cnt"))
-    if hot_threshold is None:
-        total = int(
-            counts.agg(F.sum("_cnt").alias("t")).collect()[0]["t"] or 0
-        )
-        hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
-    # only hot ids cross to the driver (tiny by construction)
-    hot_pd = counts.filter(F.col("_cnt") > hot_threshold).select(rby).toPandas()
-    hot_ids = set(hot_pd[rby].tolist())
+    # ONE scan of the right keys feeds everything: the per-entity counts
+    # (persisted — #entities rows, orders of magnitude smaller than the
+    # table) answer both the auto-threshold total and the hot-id filter,
+    # and the slice cut points come from the hot entities' per-(entity,
+    # slice-grain) timestamps rather than a second full key scan.
+    # Callers on a measured path can pass ``hot_threshold`` to skip the
+    # auto-threshold aggregate entirely.
+    from pyspark import StorageLevel
 
     def _ts_double(df: DataFrame, col: str) -> F.Column:
         t = df.schema[col].dataType.typeName()
         c = F.col(col)
         return c.cast("timestamp").cast("double") if t.startswith("timestamp") else c.cast("double")
 
-    # Global time cut points for hot-entity slicing (sampled quantiles —
-    # one cheap pass; at cluster scale this is approxQuantile on the key).
-    if hot_ids:
-        q = [i / slices for i in range(1, slices)]
-        cuts = rkeys.withColumn("_tsd", _ts_double(rkeys, ron)).approxQuantile(
-            "_tsd", q, 0.001
+    rkeys = right.select(rby, ron)
+    counts = (
+        rkeys.groupBy(rby)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        if hot_threshold is None:
+            total = int(
+                counts.agg(F.sum("_cnt").alias("t")).collect()[0]["t"] or 0
+            )
+            hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
+        # only hot ids cross to the driver (tiny by construction)
+        hot_pd = (
+            counts.filter(F.col("_cnt") > hot_threshold).select(rby).toPandas()
         )
-    else:
-        cuts = []
+        hot_ids = set(hot_pd[rby].tolist())
+
+        # Time cut points for hot-entity slicing: quantiles over the HOT
+        # entities' timestamps only (they are what the slicing balances;
+        # cold keys would just dilute the cuts and cost a full re-scan).
+        if hot_ids:
+            q = [i / slices for i in range(1, slices)]
+            hkeys = rkeys.filter(F.col(rby).isin(list(hot_ids)))
+            cuts = hkeys.withColumn(
+                "_tsd", _ts_double(hkeys, ron)
+            ).approxQuantile("_tsd", q, 0.001)
+        else:
+            cuts = []
+    finally:
+        counts.unpersist()
 
     def bucket_col(df: DataFrame, key: str, tscol: str) -> F.Column:
         base = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))

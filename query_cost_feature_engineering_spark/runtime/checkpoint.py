@@ -55,8 +55,16 @@ def input_fingerprint(spark, input_paths: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def completed_partitions(out_dir: str, fingerprint: str | None = None) -> set[int]:
-    """Partitions with a committed manifest (matching fingerprint if given)."""
+def completed_partitions(
+    out_dir: str,
+    fingerprint: str | None = None,
+    bucket_col: str | None = None,
+    n_buckets: int | None = None,
+) -> set[int]:
+    """Partitions with a committed manifest matching fingerprint AND the
+    bucketing scheme. A manifest written under a different bucket count or
+    key lives in a different hash space — treating it as done would
+    silently mix outputs, so it invalidates like a fingerprint change."""
     mdir = Path(out_dir) / MANIFEST_DIR
     done: set[int] = set()
     if not mdir.is_dir():
@@ -66,8 +74,13 @@ def completed_partitions(out_dir: str, fingerprint: str | None = None) -> set[in
             rec = json.loads(mf.read_text())
         except (json.JSONDecodeError, OSError):
             continue  # torn manifest == not committed
-        if fingerprint is None or rec.get("input_fingerprint") == fingerprint:
-            done.add(int(rec["partition"]))
+        if fingerprint is not None and rec.get("input_fingerprint") != fingerprint:
+            continue
+        if bucket_col is not None and rec.get("bucket_col") != bucket_col:
+            continue
+        if n_buckets is not None and rec.get("n_buckets") != n_buckets:
+            continue
+        done.add(int(rec["partition"]))
     return done
 
 
@@ -98,7 +111,7 @@ def write_resumable(
     """
     spark = df.sparkSession
     fp = input_fingerprint(spark, input_paths) if input_paths else "unversioned"
-    done = completed_partitions(out_dir, fp)
+    done = completed_partitions(out_dir, fp, bucket_col, n_buckets)
     all_parts = list(range(n_buckets))
     todo = [p for p in all_parts if p not in done]
     bucketed = df.withColumn(
@@ -141,6 +154,8 @@ def write_resumable(
                 "bytes": nbytes,
                 "input_fingerprint": fp,
                 "input_paths": sorted(input_paths or []),
+                "bucket_col": bucket_col,
+                "n_buckets": n_buckets,
                 "wall_s_job": round(wall, 3),
             },
         )

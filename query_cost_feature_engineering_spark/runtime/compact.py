@@ -52,13 +52,26 @@ def compact_parquet_dir(
         w = w.partitionBy(partition_col)
     w.parquet(tmp)
 
-    # swap atomically-ish: verify row count before replacing the original
+    # verify row count, then swap via rename-aside: the original is moved
+    # to <path>__old BEFORE the new data moves in, so no instant exists
+    # where the dataset is deleted — a crash mid-swap leaves both the
+    # backup and the compacted tmp on disk, recoverable by rename.
     n_new = spark.read.parquet(tmp).count()
     if n_new != n_rows:
         raise RuntimeError(f"compaction row mismatch: {n_rows} -> {n_new}")
+    import os
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    backup = path.rstrip("/") + "__old"
+    if Path(backup).exists():
+        shutil.rmtree(backup)  # stale leftover from an earlier crash
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    # a write_resumable output carries resume/lineage manifests — preserve
+    # them through compaction (data rows are unchanged, lineage still holds)
+    old_manifest = Path(backup) / "_manifest"
+    if old_manifest.is_dir():
+        shutil.move(str(old_manifest), str(Path(path) / "_manifest"))
+    shutil.rmtree(backup)
     after = table_file_stats(path)
     return {"rows": n_rows, "before": before, "after": after}

@@ -90,3 +90,19 @@ def test_changed_input_invalidates(spark, events_df, tmp_path):
     os.utime(f, (time.time() + 10, time.time() + 10))
     res = write_resumable(df, out, "user_id", N_BUCKETS, [src])
     assert sorted(res["written"]) == list(range(N_BUCKETS))
+
+
+def test_changed_bucketing_invalidates(spark, events_df, tmp_path):
+    """A manifest committed under a different n_buckets or bucket_col is a
+    different hash space — resuming over it must recompute, not skip."""
+    df, src = events_df
+    out = str(tmp_path / "out_bkt")
+    write_resumable(df, out, "user_id", N_BUCKETS, [src])
+    assert len(completed_partitions(out, bucket_col="user_id",
+                                    n_buckets=N_BUCKETS)) == N_BUCKETS
+    # different bucket count: nothing counts as done
+    r = write_resumable(df, out, "user_id", N_BUCKETS * 2, [src])
+    assert r["skipped"] == [] and len(r["written"]) == N_BUCKETS * 2
+    # different bucket key over the new layout: again recomputed
+    r2 = write_resumable(df, out, "event_id", N_BUCKETS * 2, [src])
+    assert r2["skipped"] == [] and len(r2["written"]) == N_BUCKETS * 2
