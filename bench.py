@@ -10,9 +10,10 @@ The flagship number is the image as-of+window feature pipeline
 (BASELINE.json north-star metric: images/sec), reported in the extra
 ``images_per_sec`` key; ``value`` is total headline wall seconds.
 
-Quadratic all-pairs queries (ngram_jaccard_pairs, embedding_neardup_pairs)
-are correctness-only at sf0.01 and intentionally not in the headline set —
-their scale path is the LSH/banded variants which ARE benched.
+Round 2: ngram_jaccard_pairs (exact prefix-filtered similarity join) and
+embedding_neardup_pairs (SRP-LSH candidates) no longer contain all-pairs
+joins, so they joined the headline set alongside the new exact-Gram fit
+queries.
 """
 
 from __future__ import annotations
@@ -51,12 +52,18 @@ HEADLINE = [
     "asof_purchases_pandas",
     "asof_strict_purchases",
     "snapshot_linear_fit",
+    "snapshot_fit_dispatch",
+    "shap_feature_reduction",
+    "ablation_leave_one_out",
+    "structural_grouping_users",
     "normalize_quantity",
     "label_normalize_orders",
     "qerror_snapshot_fit",
     "hash_split_customers",
     "dedup_exact_docs",
     "minhash_band_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
     "simhash_docs",
     "embedding_cosine_topk",
     "ann_lsh_topk",

@@ -749,3 +749,58 @@ def _shap_oracle() -> str:
 
 
 ORACLES["shap_feature_reduction"] = _shap_oracle()
+
+
+def _ablation_oracle() -> str:
+    """Mirror of ablation_leave_one_out: per-candidate exact-Gram fit +
+    holdout relative MSE; verdicts from ROUNDED ratios on both engines."""
+    from query_cost_feature_engineering_spark.operators.mls import (
+        gram_sql_exprs,
+        solve_sql,
+    )
+    from query_cost_feature_engineering_spark.queries import ABLATION_SPECS
+
+    parts = []
+    for tag, regs in ABLATION_SPECS.items():
+        n = len(regs)
+        grams = ",\n                   ".join(gram_sql_exprs(regs, "y100"))
+        coeffs = solve_sql(n)
+        csel = ",\n                   ".join(
+            f"{coeffs[k]} AS c{k}" for k in range(n)
+        )
+        pred = " + ".join(
+            f"f.c{k} * CAST(t.{r} AS DOUBLE)" for k, r in enumerate(regs)
+        )
+        parts.append(f"""
+        SELECT '{tag}' AS dropped,
+               round(avg(((({pred}) - t.y100) / t.y100)
+                         * ((({pred}) - t.y100) / t.y100)) + 1e-9, 4) AS rel_mse,
+               max(f.n_train) AS n_train,
+               count(*) AS n_test
+        FROM li t CROSS JOIN (
+            SELECT {csel}, n_train FROM (
+                SELECT {grams},
+                       count(*) AS n_train
+                FROM li WHERE is_train
+            )
+        ) f
+        WHERE NOT t.is_train
+        GROUP BY 1""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"""
+        WITH {_LI_FIXEDPOINT_CTE},
+        cand AS ({body})
+        SELECT dropped, rel_mse,
+               round(rel_mse / (SELECT rel_mse FROM cand WHERE dropped = 'none')
+                     + 1e-9, 4) AS rel_mse_ratio,
+               CASE WHEN dropped = 'none' THEN 'baseline'
+                    WHEN round(rel_mse / (SELECT rel_mse FROM cand
+                                          WHERE dropped = 'none') + 1e-9, 4)
+                         <= 1.001 THEN 'droppable'
+                    ELSE 'needed' END AS verdict,
+               n_train, n_test
+        FROM cand
+    """
+
+
+ORACLES["ablation_leave_one_out"] = _ablation_oracle()

@@ -681,6 +681,69 @@ def shap_feature_reduction(spark, sf_dir):
     )
 
 
+ABLATION_SPECS = {
+    # dropped-feature tag -> remaining regressors (A20 single-pass probe)
+    "none": ["q100", "d100", "t100", "one"],
+    "l_quantity": ["d100", "t100", "one"],
+    "l_discount": ["q100", "t100", "one"],
+    "l_tax": ["q100", "d100", "one"],
+}
+
+
+def ablation_leave_one_out(spark, sf_dir):
+    """A20 analog with a driver-visible oracle: one-pass leave-one-out
+    ablation of the linear probe (greedy/deepNN.py:92-136 evaluates each
+    candidate drop by retraining; here each drop is a closed-form
+    exact-Gram OLS fit + holdout relative MSE — all four candidate fits
+    in one job). ``rel_mse_ratio`` vs the full model is the reference's
+    keep/drop signal; the recursive greedy search over these one-pass
+    scores is `greedy_ablation_lineitem` (rows-only, driver-side loop).
+    Verdicts compare ROUNDED ratios so both engines decide identically."""
+    from query_cost_feature_engineering_spark.operators.snapshot import (
+        fit_gram_by_group,
+    )
+
+    li = _li_fixedpoint(spark, sf_dir).withColumn("_g", F.lit(1))
+    train = li.filter(F.col("is_train"))
+    test = li.filter(~F.col("is_train"))
+    outs = []
+    for tag, regs in ABLATION_SPECS.items():
+        fit = fit_gram_by_group(
+            train, "_g", [F.col(r) for r in regs], F.col("y100")
+        ).withColumnRenamed("n_samples", "n_train")
+        t = test.join(F.broadcast(fit), "_g")
+        pred = None
+        for k, r in enumerate(regs):
+            term = F.col(f"c{k}") * F.col(r).cast("double")
+            pred = term if pred is None else pred + term
+        rel = (pred - F.col("y100")) / F.col("y100")
+        res = t.groupBy("_g", "n_train").agg(
+            _rq(F.avg(rel * rel)).alias("rel_mse"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+        outs.append(res.withColumn("dropped", F.lit(tag)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    full = out.filter(F.col("dropped") == "none").select(
+        F.col("_g"), F.col("rel_mse").alias("_full_mse")
+    )
+    out = out.join(F.broadcast(full), "_g").withColumn(
+        "rel_mse_ratio", _rq(F.col("rel_mse") / F.col("_full_mse"))
+    )
+    return out.select(
+        "dropped",
+        "rel_mse",
+        "rel_mse_ratio",
+        F.when(F.col("dropped") == "none", F.lit("baseline"))
+        .when(F.col("rel_mse_ratio") <= 1.001, F.lit("droppable"))
+        .otherwise(F.lit("needed"))
+        .alias("verdict"),
+        "n_train",
+        "n_test",
+    )
+
+
 def hash_split_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
@@ -1299,6 +1362,7 @@ REGISTRY = {
     "snapshot_linear_fit": snapshot_linear_fit,
     "snapshot_fit_dispatch": snapshot_fit_dispatch,
     "shap_feature_reduction": shap_feature_reduction,
+    "ablation_leave_one_out": ablation_leave_one_out,
     "snapshot_template_sample": snapshot_template_sample,
     "normalize_quantity": normalize_quantity,
     "label_normalize_orders": label_normalize_orders,
