@@ -125,3 +125,44 @@ def solve_sql(n: int) -> list[str]:
     sym = lambda name: f"CAST({name} AS DOUBLE)"  # noqa: E731
     d = det_sql(n, None, sym)
     return [f"({det_sql(n, k, sym)} / {d})" for k in range(n)]
+
+
+def det_py(n: int, rhs_col: int | None, vals: dict[str, float]) -> float:
+    """Determinant in driver-side Python — the SAME term and operation
+    order as ``det_spark``/``det_sql`` (all IEEE doubles), so the three
+    renderers produce bit-identical results from identical inputs."""
+    m = _matrix_symbols(n, rhs_col)
+    total = None
+    for sign, cols in det_terms(n):
+        prod = float(sign)
+        for i, j in enumerate(cols):
+            prod = prod * vals[m[i][j]]
+        total = prod if total is None else total + prod
+    return total
+
+
+def solve_py(n: int, vals: dict[str, float]) -> list[float]:
+    """Coefficients from a collected Gram row. For FEW groups (the normal
+    snapshot case: one row per operator type), collecting the tiny Gram
+    aggregate and solving on the driver beats embedding the 24-term
+    Cramer expansion in codegen — the distributed work (the Gram
+    aggregation) is unchanged, and the generated-code size stops scaling
+    with the expansion. ``solve_spark`` remains for high-cardinality
+    groups where a collect would not be tiny."""
+    d = det_py(n, None, vals)
+    return [det_py(n, k, vals) / d for k in range(n)]
+
+
+def solve_sub_py(
+    active: list[int], vals: dict[str, float]
+) -> list[float]:
+    """Solve the OLS restricted to the regressor subset ``active`` using
+    the FULL Gram's entries (every sub-Gram is a submatrix): one
+    distributed aggregation serves all candidate subsets — the engine's
+    leave-one-out ablation needs no extra passes."""
+    sub = {}
+    for a, i in enumerate(active):
+        for b, j in enumerate(active):
+            sub[_gram_symbol(a, b)] = vals[_gram_symbol(i, j)]
+        sub[f"b_{a}"] = vals[f"b_{i}"]
+    return solve_py(len(active), sub)

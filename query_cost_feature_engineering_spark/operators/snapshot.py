@@ -75,6 +75,42 @@ def fit_gram_by_group(
     )
 
 
+def fit_gram_collect(
+    df: DataFrame, group_col: str, regs, y
+) -> dict:
+    """Collect-and-solve variant of ``fit_gram_by_group`` for FEW groups
+    (the snapshot norm: one per operator type). The distributed work — the
+    exact-integer Gram aggregation — is identical; only the O(groups)
+    Cramer solve moves to the driver (operators/mls.solve_py, same term
+    order as the SQL oracle ⇒ identical doubles), which keeps the 24-term
+    determinant expansion out of whole-stage codegen (measured: ~2 s of
+    compile time per embedded solve at any data size).
+
+    Returns {group_value: {"gram": {sym: float}, "coeffs": [c0..], "n": int}}.
+    """
+    from query_cost_feature_engineering_spark.operators.mls import (
+        gram_agg_exprs,
+        solve_py,
+    )
+
+    n = len(regs)
+    rows = df.groupBy(group_col).agg(
+        *gram_agg_exprs(regs, y), F.count(F.lit(1)).alias("n_samples")
+    ).collect()
+    out = {}
+    for r in rows:
+        vals = {
+            k: float(v) for k, v in r.asDict().items()
+            if k not in (group_col, "n_samples")
+        }
+        out[r[group_col]] = {
+            "gram": vals,
+            "coeffs": solve_py(n, vals),
+            "n": int(r["n_samples"]),
+        }
+    return out
+
+
 def annotate_group_fit(
     df: DataFrame,
     group_col: str,

@@ -564,48 +564,80 @@ def snapshot_fit_dispatch(spark, sf_dir):
     """A6 parity: per-group op-specific cost-curve fits with a relative-MSE
     holdout (ref getMSE, snapshot_linear.py:25-37). Each group dispatches
     to its own model shape (FIT_SPECS); the fit is one exact-integer Gram
-    aggregation + generated Cramer solve, the holdout metric one more
-    aggregation over the test split."""
+    aggregation (collected: one tiny row per group, solved driver-side in
+    the oracle's exact term order — operators/mls.solve_py), the holdout
+    metric one aggregation over the test split with LITERAL coefficients
+    (keeps the 24-term Cramer expansion out of codegen)."""
     from query_cost_feature_engineering_spark.operators.snapshot import (
-        fit_gram_by_group,
+        fit_gram_collect,
     )
 
+    from query_cost_feature_engineering_spark.operators.mls import solve_sub_py
+
     li = _li_fixedpoint(spark, sf_dir)
-    outs = []
+    # ONE Gram aggregation over the regressor SUPERSET serves every
+    # group's model shape (each kind's Gram is a submatrix); one more
+    # aggregation scores all groups' holdouts. Two jobs total.
+    superset = ["qd", "q100", "d100", "nlq", "one"]
+    grams = fit_gram_collect(
+        li.filter(F.col("is_train")),
+        "l_returnflag",
+        [F.col(r) for r in superset],
+        F.col("y100"),
+    )
+    coeffs: dict[str, list[float]] = {}
+    pred = None
     for flag, (kind, regs) in FIT_SPECS.items():
-        sub = li.filter(F.col("l_returnflag") == flag)
-        fit = fit_gram_by_group(
-            sub.filter(F.col("is_train")),
-            "l_returnflag",
-            [F.col(r) for r in regs],
-            F.col("y100"),
-        ).withColumnRenamed("n_samples", "n_train")
-        for k in range(len(regs), 4):
-            fit = fit.withColumn(f"c{k}", F.lit(0.0))
-        test = sub.filter(~F.col("is_train")).join(
-            F.broadcast(fit), "l_returnflag"
+        cs = solve_sub_py(
+            [superset.index(r) for r in regs], grams[flag]["gram"]
         )
-        pred = None
+        coeffs[flag] = list(cs) + [0.0] * (4 - len(regs))
+        p = None
         for k, r in enumerate(regs):
-            term = F.col(f"c{k}") * F.col(r).cast("double")
-            pred = term if pred is None else pred + term
-        rel = (pred - F.col("y100")) / F.col("y100")
-        res = test.groupBy(
-            "l_returnflag", *[f"c{k}" for k in range(4)], "n_train"
-        ).agg(
+            term = F.lit(cs[k]) * F.col(r).cast("double")
+            p = term if p is None else p + term
+        pred = (
+            F.when(F.col("l_returnflag") == flag, p)
+            if pred is None
+            else pred.when(F.col("l_returnflag") == flag, p)
+        )
+    rel = (pred - F.col("y100")) / F.col("y100")
+    res = (
+        li.filter(
+            F.col("l_returnflag").isin(list(FIT_SPECS)) & ~F.col("is_train")
+        )
+        .groupBy("l_returnflag")
+        .agg(
             F.avg(rel * rel).alias("rel_mse"),
             F.count(F.lit(1)).alias("n_test"),
         )
-        outs.append(res.withColumn("kind", F.lit(kind)))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.select(
+    )
+    kind_col = F.create_map(
+        *[x for f, (k, _) in FIT_SPECS.items() for x in (F.lit(f), F.lit(k))]
+    )[F.col("l_returnflag")]
+    ntr_col = F.create_map(
+        *[
+            x
+            for f in FIT_SPECS
+            for x in (F.lit(f), F.lit(grams[f]["n"]).cast("long"))
+        ]
+    )[F.col("l_returnflag")]
+    ccols = [
+        F.create_map(
+            *[
+                x
+                for f in FIT_SPECS
+                for x in (F.lit(f), F.lit(coeffs[f][k]))
+            ]
+        )[F.col("l_returnflag")].alias(f"_c{k}")
+        for k in range(4)
+    ]
+    return res.select(
         "l_returnflag",
-        "kind",
-        *[_rq(f"c{k}", 6).alias(f"c{k}") for k in range(4)],
+        kind_col.alias("kind"),
+        *[_rq(c, 6).alias(f"c{k}") for k, c in enumerate(ccols)],
         _rq("rel_mse").alias("rel_mse"),
-        "n_train",
+        ntr_col.alias("n_train"),
         "n_test",
     )
 
@@ -622,54 +654,40 @@ def shap_feature_reduction(spark, sf_dir):
     is computable distributively: one exact-Gram OLS fit on the train
     split + one deviation aggregation — no sampling, no explainer loop.
     Features carrying < 1% of total |φ| mass are dropped (the reference's
-    zero-mass filter, :497-519, with a tolerance suited to floats)."""
+    zero-mass filter, :497-519, with a tolerance suited to floats).
+
+    Two distributed passes (exact Gram + deviations with literal means),
+    then O(features) driver arithmetic in the oracle's float-op order."""
     li = _li_fixedpoint(spark, sf_dir).withColumn("_g", F.lit(1))
     from query_cost_feature_engineering_spark.operators.snapshot import (
-        fit_gram_by_group,
+        fit_gram_collect,
     )
 
     regs = ["q100", "d100", "t100", "one"]
-    fit = fit_gram_by_group(
-        li.filter(F.col("is_train")),
-        "_g",
-        [F.col(r) for r in regs],
-        F.col("y100"),
-    )
     tr = li.filter(F.col("is_train"))  # stats on train only (no leakage)
-    means = tr.groupBy("_g").agg(
+    fit = fit_gram_collect(
+        tr, "_g", [F.col(r) for r in regs], F.col("y100")
+    )[1]
+    cs = fit["coeffs"]
+    means = tr.groupBy().agg(
         *[F.avg(r).alias(f"m_{r}") for r in regs[:3]]
-    )
-    dev = (
-        tr.join(F.broadcast(means), "_g")
-        .groupBy("_g")
-        .agg(
-            *[
-                F.avg(F.abs(F.col(r).cast("double") - F.col(f"m_{r}"))).alias(
-                    f"dev_{r}"
-                )
-                for r in regs[:3]
-            ]
-        )
-    )
-    row = fit.join(dev, "_g")
-    imps = [
-        (F.abs(F.col(f"c{k}")) * F.col(f"dev_{r}")).alias(f"imp_{k}")
-        for k, r in enumerate(regs[:3])
-    ]
-    row = row.select("*", *imps)
-    total = F.col("imp_0") + F.col("imp_1") + F.col("imp_2")
-    entries = F.array(
+    ).collect()[0]
+    devs_row = tr.groupBy().agg(
         *[
-            F.struct(
-                F.lit(SHAP_FEATURES[k]).alias("feature"),
-                F.col(f"c{k}").alias("beta"),
-                F.col(f"imp_{k}").alias("mean_abs_shap"),
-                (F.col(f"imp_{k}") / total).alias("share"),
-            )
-            for k in range(3)
+            F.avg(
+                F.abs(F.col(r).cast("double") - F.lit(float(means[f"m_{r}"])))
+            ).alias(f"dev_{k}")
+            for k, r in enumerate(regs[:3])
         ]
+    ).collect()[0]
+    imps = [abs(cs[k]) * float(devs_row[f"dev_{k}"]) for k in range(3)]
+    total = imps[0] + imps[1] + imps[2]
+    rows = [
+        (SHAP_FEATURES[k], cs[k], imps[k], imps[k] / total) for k in range(3)
+    ]
+    out = spark.createDataFrame(
+        rows, "feature string, beta double, mean_abs_shap double, share double"
     )
-    out = row.select(F.explode(entries).alias("e")).select("e.*")
     return out.select(
         "feature",
         _rq("beta", 6).alias("beta"),
@@ -698,45 +716,50 @@ def ablation_leave_one_out(spark, sf_dir):
     in one job). ``rel_mse_ratio`` vs the full model is the reference's
     keep/drop signal; the recursive greedy search over these one-pass
     scores is `greedy_ablation_lineitem` (rows-only, driver-side loop).
-    Verdicts compare ROUNDED ratios so both engines decide identically."""
+    Verdicts compare ROUNDED ratios so both engines decide identically.
+
+    ONE Gram aggregation serves every candidate (each sub-fit solves a
+    submatrix of the full Gram — operators/mls.solve_sub_py), and ONE
+    test-split aggregation scores all candidates' predictions."""
+    from query_cost_feature_engineering_spark.operators.mls import solve_sub_py
     from query_cost_feature_engineering_spark.operators.snapshot import (
-        fit_gram_by_group,
+        fit_gram_collect,
     )
 
     li = _li_fixedpoint(spark, sf_dir).withColumn("_g", F.lit(1))
-    train = li.filter(F.col("is_train"))
-    test = li.filter(~F.col("is_train"))
-    outs = []
-    for tag, regs in ABLATION_SPECS.items():
-        fit = fit_gram_by_group(
-            train, "_g", [F.col(r) for r in regs], F.col("y100")
-        ).withColumnRenamed("n_samples", "n_train")
-        t = test.join(F.broadcast(fit), "_g")
+    full_regs = ABLATION_SPECS["none"]
+    fit = fit_gram_collect(
+        li.filter(F.col("is_train")),
+        "_g",
+        [F.col(r) for r in full_regs],
+        F.col("y100"),
+    )[1]
+    aggs = [F.count(F.lit(1)).alias("n_test")]
+    tags = list(ABLATION_SPECS)
+    for tag in tags:
+        regs = ABLATION_SPECS[tag]
+        cs = solve_sub_py([full_regs.index(r) for r in regs], fit["gram"])
         pred = None
         for k, r in enumerate(regs):
-            term = F.col(f"c{k}") * F.col(r).cast("double")
+            term = F.lit(cs[k]) * F.col(r).cast("double")
             pred = term if pred is None else pred + term
         rel = (pred - F.col("y100")) / F.col("y100")
-        res = t.groupBy("_g", "n_train").agg(
-            _rq(F.avg(rel * rel)).alias("rel_mse"),
-            F.count(F.lit(1)).alias("n_test"),
-        )
-        outs.append(res.withColumn("dropped", F.lit(tag)))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    full = out.filter(F.col("dropped") == "none").select(
-        F.col("_g"), F.col("rel_mse").alias("_full_mse")
+        aggs.append(F.avg(rel * rel).alias(f"mse_{tag}"))
+    row = li.filter(~F.col("is_train")).groupBy().agg(*aggs).collect()[0]
+    out = spark.createDataFrame(
+        [(tag, float(row[f"mse_{tag}"]), fit["n"], int(row["n_test"]))
+         for tag in tags],
+        "dropped string, raw_mse double, n_train long, n_test long",
     )
-    out = out.join(F.broadcast(full), "_g").withColumn(
-        "rel_mse_ratio", _rq(F.col("rel_mse") / F.col("_full_mse"))
-    )
+    rel_mse = _rq("raw_mse")
+    full_mse = _rq(F.lit(float(row["mse_none"])))
+    ratio = _rq(rel_mse / full_mse)
     return out.select(
         "dropped",
-        "rel_mse",
-        "rel_mse_ratio",
+        rel_mse.alias("rel_mse"),
+        ratio.alias("rel_mse_ratio"),
         F.when(F.col("dropped") == "none", F.lit("baseline"))
-        .when(F.col("rel_mse_ratio") <= 1.001, F.lit("droppable"))
+        .when(ratio <= 1.001, F.lit("droppable"))
         .otherwise(F.lit("needed"))
         .alias("verdict"),
         "n_train",
