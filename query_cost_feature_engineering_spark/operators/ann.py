@@ -155,6 +155,112 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_q: str = "target_id",
+    id_c: str = "neighbor_id",
+    vec_q: str = "qv",
+    vec_c: str = "cv",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 97,
+) -> DataFrame:
+    """IVF (inverted-file) cosine top-k — the second ANN scale path.
+
+    Train: a seeded deterministic sample of the corpus (hash-ordered, so
+    engine- and partitioning-independent) is collected and k-means runs
+    DRIVER-side (centroids are tiny: n_cells × dim). Index: one Arrow
+    matmul pass assigns every corpus vector to its nearest-centroid cell.
+    Search: each query probes its ``n_probe`` nearest cells; candidates
+    come from ONE equi-join on cell id; exact cosine + top-k after.
+
+    At 10^12 rows the assignment is a linear scan (no shuffle), the join
+    shuffles on cell id, and centroid training never touches more than
+    ``sample_n`` rows. Iterative k-means is not SQL-expressible, so this
+    is a rows-only driver query; recall vs brute force is pytest-gated.
+    """
+    # deterministic sample: smallest md5(id) order — stable under any
+    # partitioning, no RNG in the distributed path
+    samp = (
+        corpus.select(vec_c, F.md5(F.col(id_c).cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_n)
+        .toPandas()
+    )
+    V = np.asarray(samp[vec_c].tolist(), dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = Vn[rng.choice(len(Vn), size=min(n_cells, len(Vn)), replace=False)]
+    for _ in range(kmeans_iters):
+        sims = Vn @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = Vn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    C = cent  # (cells, dim), unit-norm
+
+    def _cells_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def f(vecs: pd.Series) -> pd.Series:
+            X = np.asarray(vecs.tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(list(top))
+
+        return f
+
+    ck = corpus.select(
+        "*",
+        F.element_at(
+            _cells_udf(1)(F.col(vec_c).cast("array<double>")), 1
+        ).alias("_cell"),
+    )
+    qk = queries.select(
+        "*",
+        F.explode(
+            _cells_udf(n_probe)(F.col(vec_q).cast("array<double>"))
+        ).alias("_cell"),
+    )
+    cand = (
+        qk.join(ck, "_cell")
+        .drop("_cell")
+        .filter(F.col(id_q) != F.col(id_c))
+        .dropDuplicates([id_q, id_c])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_q), F.col(vec_c),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, v: a + v,
+            )
+        )
+
+    scored = cand.withColumn(
+        "cos", dot / (_norm(F.col(vec_q)) * _norm(F.col(vec_c)))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos").desc(), F.col(id_c))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_q, id_c, "cos", "rnk")
+    )
+
+
 # --- oracle SQL generation (DuckDB mirror of the identical algorithm) -------
 
 def _duck_dot_signs(vec: str, signs: list[int]) -> str:

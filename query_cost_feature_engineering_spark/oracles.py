@@ -474,6 +474,36 @@ ORACLES: dict[str, str] = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """,
+    "dedup_clusters_docs": _SIGS_CTE
+    + """
+        , bands AS (
+            SELECT doc_id, 0 AS band,
+                   CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) || '_' ||
+                   CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1,
+                   CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) || '_' ||
+                   CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sigs
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+        )
+        SELECT node AS doc_id, min(comp) AS cluster_id,
+               (node = min(comp)) AS is_survivor
+        FROM walk GROUP BY node
+    """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE}
         SELECT doc_a, doc_b, round(jac + 1e-9, 4) AS jaccard FROM (
@@ -557,6 +587,11 @@ ORACLES: dict[str, str] = {
 # asof_purchases_pandas shares the union-window oracle (same semantics,
 # different physical strategy on the Spark side).
 ORACLES["asof_purchases_pandas"] = ORACLES["asof_purchases_window"]
+
+# the connected-components walk needs the RECURSIVE marker on the WITH list
+ORACLES["dedup_clusters_docs"] = ORACLES["dedup_clusters_docs"].replace(
+    "WITH", "WITH RECURSIVE", 1
+)
 
 
 def _ann_oracle() -> str:

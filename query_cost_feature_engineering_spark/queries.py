@@ -975,6 +975,24 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def dedup_clusters_docs(spark, sf_dir):
+    """Dedup clustering: connected components over the minhash-LSH
+    candidate pairs (operators/cluster.py iterative min-label
+    propagation), singletons included, one survivor (min doc_id) per
+    cluster — the verdict table a 100-TB dedup pipeline filters on.
+    Oracle: DuckDB recursive CTE over the identical pair set."""
+    from query_cost_feature_engineering_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    pairs = minhash_band_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = dedup_clusters(
+        pairs, "doc_a", "doc_b", all_ids=docs, id_col="doc_id"
+    )
+    return out.select("doc_id", "cluster_id", "is_survivor")
+
+
 def simhash_docs(spark, sf_dir):
     """16-bit simhash over whitespace tokens (md5-derived bit hashes)."""
     d = _t(spark, sf_dir, "documents")
@@ -1167,6 +1185,25 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
     out = ann_topk(q, c, k=3)
+    return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed cosine top-3 — the second ANN scale path
+    (operators/ann.ivf_topk): driver-side seeded k-means on a
+    deterministic sample, distributed cell assignment, one cell-id
+    equi-join for candidates, exact rescoring. Rows-only (iterative
+    k-means is not SQL-expressible); recall pytest-gated."""
+    from query_cost_feature_engineering_spark.operators.ann import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("target_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    out = ivf_topk(q, c, k=3)
     return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
 
 
@@ -1398,10 +1435,12 @@ REGISTRY = {
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_analysis_docs": text_analysis_docs,
     "image_features": image_features,
     "image_asof_features": image_asof_features,

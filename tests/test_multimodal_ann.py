@@ -101,3 +101,41 @@ def test_ann_recall_vs_bruteforce(spark):
     approx_pairs = {(r.target_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF top-3 (seeded k-means cells + n_probe search) must recover a
+    meaningful share of the exact top-3; returned cosines are exact."""
+    from query_cost_feature_engineering_spark.queries import (
+        ann_ivf_topk,
+        embedding_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_cosine_topk(spark, sf).toPandas()
+    approx = ann_ivf_topk(spark, sf).toPandas()
+    exact_pairs = {(r.target_id, r.neighbor_id) for r in exact.itertuples()}
+    approx_pairs = {(r.target_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    # every emitted cosine must equal the brute-force value for that pair
+    exact_cos = {
+        (r.target_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in approx.itertuples():
+        key = (r.target_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cos - exact_cos[key]) < 1e-9
+
+
+def test_ivf_determinism(spark):
+    from query_cost_feature_engineering_spark.queries import ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    a = ann_ivf_topk(spark, sf).toPandas().sort_values(
+        ["target_id", "rnk"]).reset_index(drop=True)
+    b = ann_ivf_topk(spark, sf).toPandas().sort_values(
+        ["target_id", "rnk"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
