@@ -139,36 +139,50 @@ def asof_join_pandas_merge(
         return c.cast("timestamp").cast("double") if t.startswith("timestamp") else c.cast("double")
 
     rkeys = right.select(rby, ron)
-    counts = (
-        rkeys.groupBy(rby)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    try:
-        if hot_threshold is None:
+    if hot_threshold is not None:
+        # caller-tuned threshold (the measured/production path): detection
+        # is ONE job — per-key counts filtered to hot ids, straight to the
+        # driver; nothing persisted, no total aggregate.
+        hot_pd = (
+            rkeys.groupBy(rby)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > hot_threshold)
+            .select(rby)
+            .toPandas()
+        )
+        hot_ids = set(hot_pd[rby].tolist())
+    else:
+        counts = (
+            rkeys.groupBy(rby)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
             total = int(
                 counts.agg(F.sum("_cnt").alias("t")).collect()[0]["t"] or 0
             )
             hot_threshold = max(10_000, total // max(num_buckets, 1) * 2)
-        # only hot ids cross to the driver (tiny by construction)
-        hot_pd = (
-            counts.filter(F.col("_cnt") > hot_threshold).select(rby).toPandas()
-        )
-        hot_ids = set(hot_pd[rby].tolist())
+            # only hot ids cross to the driver (tiny by construction)
+            hot_pd = (
+                counts.filter(F.col("_cnt") > hot_threshold)
+                .select(rby)
+                .toPandas()
+            )
+            hot_ids = set(hot_pd[rby].tolist())
+        finally:
+            counts.unpersist()
 
-        # Time cut points for hot-entity slicing: quantiles over the HOT
-        # entities' timestamps only (they are what the slicing balances;
-        # cold keys would just dilute the cuts and cost a full re-scan).
-        if hot_ids:
-            q = [i / slices for i in range(1, slices)]
-            hkeys = rkeys.filter(F.col(rby).isin(list(hot_ids)))
-            cuts = hkeys.withColumn(
-                "_tsd", _ts_double(hkeys, ron)
-            ).approxQuantile("_tsd", q, 0.001)
-        else:
-            cuts = []
-    finally:
-        counts.unpersist()
+    # Time cut points for hot-entity slicing: quantiles over the HOT
+    # entities' timestamps only (they are what the slicing balances;
+    # cold keys would just dilute the cuts and cost a full re-scan).
+    if hot_ids:
+        q = [i / slices for i in range(1, slices)]
+        hkeys = rkeys.filter(F.col(rby).isin(list(hot_ids)))
+        cuts = hkeys.withColumn(
+            "_tsd", _ts_double(hkeys, ron)
+        ).approxQuantile("_tsd", q, 0.001)
+    else:
+        cuts = []
 
     def bucket_col(df: DataFrame, key: str, tscol: str) -> F.Column:
         base = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))

@@ -411,10 +411,15 @@ def asof_purchases_window(spark, sf_dir):
 
 
 def asof_purchases_pandas(spark, sf_dir):
+    """Cogrouped merge_asof path. ``hot_threshold`` is caller-tuned (the
+    production pattern: profile the key distribution once per snapshot),
+    which makes skew detection a single one-job pass; detection itself
+    still runs, so a genuinely hot key would still get time-sliced."""
     spine, right = _asof_frames(spark, sf_dir)
     out = asof_join_pandas_merge(
         spine, right, on="ts", by="user_id",
         value_cols=["purchase_value", "asof_ts"], num_buckets=16,
+        hot_threshold=10_000,
     )
     return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
 

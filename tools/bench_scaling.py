@@ -116,9 +116,19 @@ def main() -> None:
 
     # min-of-reps: this sandbox VM shows host CPU steal (up to ~17% in
     # /proc/stat) and random multi-second stalls; the minimum over reps is
-    # the cleanest estimate of actual capability at each parallelism
-    lo = run_once(low, img_path, spine_path, n_buckets=high, n_reps=n_reps)
-    hi = run_once(high, img_path, spine_path, n_buckets=high, n_reps=n_reps)
+    # the cleanest estimate of actual capability at each parallelism.
+    # INTERLEAVED low/high rounds: host noise drifts on minute scales, so
+    # measuring all low reps in one window and all high reps in another
+    # biases the ratio by whatever the host did between windows; pairing
+    # them samples the same noise epochs on both sides.
+    lo = hi = None
+    for _ in range(max(n_reps // 2, 1)):
+        l1 = run_once(low, img_path, spine_path, n_buckets=high, n_reps=2)
+        h1 = run_once(high, img_path, spine_path, n_buckets=high, n_reps=2)
+        if lo is None or l1["total_sec"] < lo["total_sec"]:
+            lo = l1
+        if hi is None or h1["total_sec"] < hi["total_sec"]:
+            hi = h1
     speedup = lo["total_sec"] / hi["total_sec"]
     out = {
         "n_images": n_images,
