@@ -32,6 +32,8 @@ after:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,8 +107,200 @@ def jaccard_pairs_prefix(
     set_col: str,
     threshold: float,
     block_col: str | None = None,
+    vocab_limit: int = 4_000_000,
 ) -> DataFrame:
     """Exact Jaccard-similarity join: pairs (a < b) with jac >= threshold.
+
+    Dispatch: when the token vocabulary fits on the driver (one row per
+    DISTINCT token — for 3-char shingles that is bounded by alphabet³,
+    independent of corpus size), the vectorized small-vocab plan
+    (``_jaccard_pairs_vocab``) runs: int-indexed prefixes + bitset
+    verification, several× faster than the string-keyed join. Otherwise
+    the unbounded-vocabulary join plan (``_jaccard_pairs_prefix_join``)
+    runs. Both produce exactly the pairs of the O(N²) formulation
+    (golden-tested against each other and against brute force).
+    """
+    blocks = [block_col] if block_col else []
+    ex = docs.select(
+        *[F.col(c) for c in blocks], F.explode(set_col).alias("_tok")
+    )
+    dfreq = ex.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
+    vocab_pd = None
+    if vocab_limit > 0:
+        # vocabulary probe: cap the collect at the limit + 1 rows so an
+        # unbounded vocab costs one aggregate, never a driver OOM
+        head = dfreq.limit(vocab_limit + 1).collect()
+        if len(head) <= vocab_limit:
+            vocab_pd = head
+    if vocab_pd is None:
+        return _jaccard_pairs_prefix_join(
+            docs, id_col, set_col, threshold, block_col
+        )
+    return _jaccard_pairs_vocab(
+        docs, id_col, set_col, threshold, blocks, vocab_pd
+    )
+
+
+def _jaccard_pairs_vocab(
+    docs: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    blocks: list,
+    vocab_rows,
+) -> DataFrame:
+    """Small-vocabulary AllPairs plan (see ``jaccard_pairs_prefix``).
+
+    One Arrow UDF pass per document emits (size, df-ordered prefix as
+    INT token indices, fixed-width BITSET over the per-block vocab);
+    candidates come from one int-keyed equi-join with size + positional
+    filters; verification is ``bit_count(a AND b)`` over the bitsets —
+    ~30 long ops per pair instead of a hash intersection of hundreds of
+    strings. Exact: bitsets are an injective encoding of the sets.
+    """
+    import pandas as pd
+
+    t = float(threshold)
+    # per-block df-ascending token index (ties by token) — the shared
+    # total order the prefix theorem needs; index is block-local
+    order: dict = {}
+    widths: dict = {}
+    for row in sorted(
+        vocab_rows, key=lambda r: (tuple(str(r[c]) for c in blocks), r["_df"], r["_tok"])
+    ):
+        bk = "\x1f".join(str(row[c]) for c in blocks)
+        d = order.setdefault(bk, {})
+        d[row["_tok"]] = len(d)
+    for bk, d in order.items():
+        widths[bk] = (len(d) + 63) // 64
+
+    max_width = max(widths.values()) if widths else 1
+
+    def _featurize(batches):
+        for pdf in batches:
+            szs, prefixes, bitsets = [], [], []
+            for bk, toks in zip(pdf["_bk"], pdf["_set"]):
+                idx_map = order.get(bk, {})
+                idxs = sorted({idx_map[s] for s in toks})
+                sz = len(idxs)
+                plen = sz - math.ceil(t * sz) + 1
+                bits = [0] * max_width
+                for j in idxs:
+                    bits[j >> 6] |= 1 << (j & 63)
+                szs.append(sz)
+                prefixes.append(idxs[:plen])
+                bitsets.append(
+                    [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+                )
+            out = pdf.drop(columns=["_bk", "_set"])
+            out["_sz"] = szs
+            out["_prefix"] = prefixes
+            out["_bits"] = bitsets
+            yield out
+
+    bkey = (
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in blocks])
+        if blocks
+        else F.lit("")
+    )
+    src = docs.select(
+        F.col(id_col), *[F.col(c) for c in blocks],
+        bkey.alias("_bk"), F.col(set_col).alias("_set"),
+    )
+    block_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in ([id_col] + [str(c) for c in blocks])
+    )
+    # repartition to the session's shuffle parallelism BEFORE the stage
+    # cut: the candidate join inherits this partitioning, and without it
+    # a small parquet source would leave the 10⁴×-amplifying join running
+    # on the input's file-split count (1-2 tasks)
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    feat = (
+        src.mapInPandas(
+            _featurize,
+            schema=f"{block_fields}, _sz int, _prefix array<int>, _bits array<bigint>",
+        )
+        .repartition(n_parts)
+        .localCheckpoint(eager=False)
+    )
+
+    toks = feat.select(
+        F.col(id_col), *[F.col(c) for c in blocks], "_sz",
+        F.posexplode("_prefix").alias("_pos", "_tok"),
+    )
+    a = toks.select(
+        F.col(id_col).alias("_id_a"), F.col("_sz").alias("_sz_a"),
+        F.col("_pos").alias("_pos_a"), *[F.col(c) for c in blocks], "_tok",
+    )
+    b = toks.select(
+        F.col(id_col).alias("_id_b"), F.col("_sz").alias("_sz_b"),
+        F.col("_pos").alias("_pos_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in blocks],
+        F.col("_tok").alias("_b_tok"),
+    )
+    need = F.lit(t / (1.0 + t)) * (a["_sz_a"] + b["_sz_b"])
+    ubound = F.least(a["_sz_a"] - a["_pos_a"], b["_sz_b"] - b["_pos_b"])
+    cond = (
+        (a["_tok"] == b["_b_tok"])
+        & (a["_id_a"] < b["_id_b"])
+        & (b["_sz_b"] * t <= a["_sz_a"])
+        & (a["_sz_a"] * t <= b["_sz_b"])
+        & (ubound >= need)
+    )
+    for c in blocks:
+        cond = cond & (a[c] == b[f"_b_{c}"])
+    cand = a.join(b, cond).select("_id_a", "_id_b").distinct()
+
+    sets = feat.select(F.col(id_col), "_sz", "_bits")
+    small = sets.count() <= 500_000
+    sa = sets.select(
+        F.col(id_col).alias("_id_a"), F.col("_sz").alias("_bsz_a"),
+        F.col("_bits").alias("_ba"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("_id_b"), F.col("_sz").alias("_bsz_b"),
+        F.col("_bits").alias("_bb"),
+    )
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("_ba"), F.col("_bb"),
+            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    jac = inter / (
+        F.col("_bsz_a").cast("double")
+        + F.col("_bsz_b").cast("double")
+        - inter
+    )
+    return (
+        cand.join(sa, "_id_a")
+        .join(sb, "_id_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.col("_id_a").alias(f"{id_col}_a"),
+            F.col("_id_b").alias(f"{id_col}_b"),
+            "jac",
+        )
+    )
+
+
+def _jaccard_pairs_prefix_join(
+    docs: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Unbounded-vocabulary AllPairs plan: pairs (a < b), jac >= threshold.
 
     The AllPairs/SSJoin candidate scheme, complete by construction:
 
@@ -118,7 +312,15 @@ def jaccard_pairs_prefix(
     * prefix length |x| - ceil(t·|x|) + 1 per set.
     * size filter: jac >= t forces t·|a| <= |b| <= |a|/t, applied in the
       candidate join (sizes ride with the prefix tokens).
-    * exact ``array_intersect/array_union`` verification on candidates.
+    * positional filter (PPJoin): a match at position p leaves at most
+      ``|x| - p`` elements that can still intersect; pairs whose bound
+      falls below the equivalent-overlap requirement
+      ``t/(1+t)·(|a|+|b|)`` are dropped BEFORE pair materialization.
+      Lossless (the bound over-counts the true intersection).
+    * exact ``array_intersect`` verification on candidates, over 64-bit
+      token hashes (intersecting longs, not strings — same Jaccard
+      unless two distinct tokens of one pair's union collide in 64 bits,
+      p < 1e-14 per pair for thousand-token sets).
 
     ``block_col`` (e.g. language) partitions the key space; the df order
     is computed per block (pairs never cross blocks, so the order is
@@ -131,7 +333,11 @@ def jaccard_pairs_prefix(
         F.explode(set_col).alias("_tok"),
     )
     dfreq = ex.groupBy(*blocks, "_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(dfreq, blocks + ["_tok"])
+    # The document-frequency table is one row per distinct token (×
+    # block) — vocabulary-sized, not corpus-sized (3-char shingles are
+    # bounded by alphabet³) — so broadcast it instead of shuffling the
+    # full token stream into a sort-merge join.
+    ranked = ex.join(F.broadcast(dfreq), blocks + ["_tok"])
     per_doc = ranked.groupBy(id_col, *blocks).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
@@ -142,41 +348,67 @@ def jaccard_pairs_prefix(
     toks = per_doc.select(
         F.col(id_col), *[F.col(c) for c in blocks],
         size.alias("_sz"),
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice(F.col("_ordered"), F.lit(1), plen), lambda x: x["_tok"]
             )
-        ).alias("_tok"),
+        ).alias("_pos", "_tok"),
     )
+    # Both self-join branches consume this frame; without a stage cut the
+    # whole explode→dfreq-join→collect_list pipeline runs twice. The
+    # checkpoint is narrow (id, sizes, prefix token) — a fraction of the
+    # input — so materializing it once is the 100-TB-safe choice too.
+    toks = toks.localCheckpoint(eager=False)
     a = toks.select(
         F.col(id_col).alias("_id_a"),
         F.col("_sz").alias("_sz_a"),
+        F.col("_pos").alias("_pos_a"),
         *[F.col(c) for c in blocks],
         "_tok",
     )
     b = toks.select(
         F.col(id_col).alias("_id_b"),
         F.col("_sz").alias("_sz_b"),
+        F.col("_pos").alias("_pos_b"),
         *[F.col(c).alias(f"_b_{c}") for c in blocks],
         F.col("_tok").alias("_b_tok"),
     )
     t = float(threshold)
+    # jac >= t  ⟺  |a∩b| >= t/(1+t)·(|a|+|b|); a match at 0-based
+    # position p leaves at most |x| - p intersectable elements.
+    need = F.lit(t / (1.0 + t)) * (a["_sz_a"] + b["_sz_b"])
+    ubound = F.least(a["_sz_a"] - a["_pos_a"], b["_sz_b"] - b["_pos_b"])
     cond = (
         (a["_tok"] == b["_b_tok"])
         & (a["_id_a"] < b["_id_b"])
         & (b["_sz_b"] * t <= a["_sz_a"])
         & (a["_sz_a"] * t <= b["_sz_b"])
+        & (ubound >= need)
     )
     for c in blocks:
         cond = cond & (a[c] == b[f"_b_{c}"])
     cand = a.join(b, cond).select("_id_a", "_id_b").distinct()
-    sets = docs.select(F.col(id_col), F.col(set_col))
+    # Verification side: one doc_id -> set array per document. Candidate
+    # pairs outnumber documents by orders of magnitude whenever near-dups
+    # are dense, so shuffling the candidates into two sort-merge joins
+    # moves the big side twice; broadcasting the (small) per-doc arrays
+    # keeps the candidate stream map-side. Materialize once so the
+    # set-construction expression isn't re-evaluated per branch, and
+    # broadcast only when the doc side is genuinely broadcast-sized —
+    # beyond that the join falls back to shuffle (correct at any scale).
+    sets = docs.select(
+        F.col(id_col),
+        F.transform(F.col(set_col), lambda s: F.xxhash64(s)).alias("_shh"),
+    ).localCheckpoint(eager=False)
+    small = sets.count() <= 500_000
     sa = sets.select(
-        F.col(id_col).alias("_id_a"), F.col(set_col).alias("_sh_a")
+        F.col(id_col).alias("_id_a"), F.col("_shh").alias("_sh_a")
     )
     sb = sets.select(
-        F.col(id_col).alias("_id_b"), F.col(set_col).alias("_sh_b")
+        F.col(id_col).alias("_id_b"), F.col("_shh").alias("_sh_b")
     )
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     # |a∪b| = |a| + |b| - |a∩b| (sets are distinct): one array traversal
     # per candidate instead of intersect + union materialization
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")

@@ -935,28 +935,47 @@ def minhash_signatures(spark, sf_dir):
 
 
 def minhash_band_pairs(spark, sf_dir):
-    """LSH banding: 2 bands × 4 rows; candidate pairs share any band."""
+    """LSH banding: 2 bands × 4 rows; candidate pairs share any band.
+
+    Shape note (100-TB): the naive form is a self-join of the banded
+    signature frame — which makes Spark recompute the md5-per-shingle
+    signature pipeline on BOTH join branches (4× total with the band
+    union). Instead each row emits its 2 band keys via ONE posexplode
+    (signatures computed once per doc), then a single groupBy(band, key)
+    shuffle collects each bucket and emits the i<j pairs JVM-side with a
+    nested array transform. Same output, one scan, one shuffle + the
+    final cross-band dedup."""
     sigs = minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(2):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"sig_{4 * b + r}") for r in range(4)]
-            ).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    return (
-        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"sig_{4 * b + r}") for r in range(4)])
+            for b in range(2)
+        ]
     )
+    banded = sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.size(F.col("ids"))
+                        ),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
