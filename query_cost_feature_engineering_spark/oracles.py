@@ -637,18 +637,23 @@ def _ann_oracle() -> str:
 ORACLES["ann_lsh_topk"] = _ann_oracle()
 
 
-def _neardup_oracle() -> str:
+def _neardup_oracle(bits: int | None = None) -> str:
     """DuckDB mirror of operators/neardup.srp_candidate_pairs: identical
     SRP buckets (quantized projections) generate candidates, exact cosine
     verifies — same rows as Spark by construction."""
     from query_cost_feature_engineering_spark.operators.ann import (
+        ANN_BITS,
         ANN_TABLES,
         duck_bucket_key,
     )
 
+    if bits is None:
+        bits = ANN_BITS
+
     joins = "\n            UNION ALL\n".join(
         f"            SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a "
-        f"JOIN e b ON {duck_bucket_key('a.v', t)} = {duck_bucket_key('b.v', t)} "
+        f"JOIN e b ON {duck_bucket_key('a.v', t, bits=bits)} = "
+        f"{duck_bucket_key('b.v', t, bits=bits)} "
         f"AND a.vec_id < b.vec_id"
         for t in range(ANN_TABLES)
     )
