@@ -541,6 +541,32 @@ ORACLES: dict[str, str] = {
     # embedding_neardup_pairs is generated below (_neardup_oracle): the
     # Spark side routes through SRP-LSH candidates, so the oracle mirrors
     # the identical bucket keys instead of the O(N²) self-join.
+    # stream_dedup_events: dropDuplicatesWithinWatermark over a bounded
+    # single-batch stream = first arrival per key, keys only — exactly
+    # the batch DISTINCT of the key columns.
+    "stream_dedup_events": """
+        SELECT DISTINCT user_id, ts, event_type FROM events
+    """,
+    "repetition_docs": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\n'),
+                               s -> len(s) > 0) AS lines,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                               s -> len(s) > 0) AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                     / greatest(CAST(len(lines) AS DOUBLE), 1.0) + 1e-9, 4)
+                 AS dup_line_frac,
+               round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                     / greatest(CAST(len(words) AS DOUBLE), 1.0) + 1e-9, 4)
+                 AS dup_word_frac
+        FROM base
+    """,
     "text_analysis_docs": """
         WITH base AS (
             SELECT doc_id, text,

@@ -1196,6 +1196,59 @@ def stream_enrich_events(spark, sf_dir):
     )
 
 
+def stream_dedup_events(spark, sf_dir):
+    """Streaming exact dedup via dropDuplicatesWithinWatermark — bounded
+    state (watermark-evicted), unlike plain dropDuplicates. Emits the key
+    set only (arrival order within a batch is scheduling-dependent, the
+    key set is not), so the batch oracle is SELECT DISTINCT keys."""
+    import os
+    import shutil
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = os.path.join(_workdir(), "stream_" + str(abs(hash(sf_dir)) % 10**8))
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    out = run_stream_to_memory(dedup_stream(read_events_stream(spark, d)))
+    return out.select("user_id", "ts", "event_type")
+
+
+def repetition_docs(spark, sf_dir):
+    """Gopher-style repetition quality signals per document — duplicate
+    line fraction and duplicate word fraction, the standard "remove
+    boilerplate/looping text" pretraining filters. All JVM-side array
+    expressions (split / array_distinct / size); no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda s: F.length(s) > 0
+    )
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-zà-ÿ]+"),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    return d.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_words.cast("long").alias("n_words"),
+        _rq(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(n_lines, F.lit(1)).cast("double")
+        ).alias("dup_line_frac"),
+        _rq(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        ).alias("dup_word_frac"),
+    )
+
+
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed cosine top-3 — the scale path for embedding_cosine_topk
     (operators/ann.py). Oracle runs the identical algorithm in DuckDB."""
@@ -1440,6 +1493,7 @@ REGISTRY = {
     "stream_sessionize_events": stream_sessionize_events,
     "stream_enrich_events": stream_enrich_events,
     "stream_tumbling_events": stream_tumbling_events,
+    "stream_dedup_events": stream_dedup_events,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,
@@ -1466,6 +1520,7 @@ REGISTRY = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "text_analysis_docs": text_analysis_docs,
+    "repetition_docs": repetition_docs,
     "image_features": image_features,
     "image_asof_features": image_asof_features,
     "phash_neardup_images": phash_neardup_images,

@@ -109,6 +109,32 @@ def enrich_stream(
     return j
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple = ("user_id", "ts", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps the
+    first arrival per key and drops re-arrivals within the watermark
+    delay; state is evicted once the watermark passes a key's event time,
+    so the state store is bounded by (keys active within the delay), not
+    stream length — the shape that survives an unbounded 10^12-row
+    stream, unlike plain ``dropDuplicates`` whose state grows forever.
+
+    Only the KEY columns are emitted: which physical row arrives first
+    within a micro-batch is scheduling-dependent, the key set is not —
+    this keeps the operator's output deterministic and batch-equivalent
+    (SELECT DISTINCT keys) whenever every duplicate re-arrives within
+    the watermark delay of its first occurrence.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .select(*key_cols)
+    )
+
+
 def run_stream_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame."""
