@@ -944,7 +944,11 @@ def minhash_band_pairs(spark, sf_dir):
     (signatures computed once per doc), then a single groupBy(band, key)
     shuffle collects each bucket and emits the i<j pairs JVM-side with a
     nested array transform. Same output, one scan, one shuffle + the
-    final cross-band dedup."""
+    final cross-band dedup. Caveat: collect_list materializes a bucket
+    per row (O(bucket) memory); the pair OUTPUT is O(bucket²) either
+    way, so any bucket small enough to emit its pairs at all fits — but
+    a mass-duplication corpus (one giant bucket) should route through
+    dedup_clusters' representative-contraction instead of pair listing."""
     sigs = minhash_signatures(spark, sf_dir)
     keys = F.array(
         *[

