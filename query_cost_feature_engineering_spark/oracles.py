@@ -547,6 +547,16 @@ ORACLES: dict[str, str] = {
     "stream_dedup_events": """
         SELECT DISTINCT user_id, ts, event_type FROM events
     """,
+    # stream_stateful_user_stats: one availableNow micro-batch ⇒ the
+    # final per-user state emission = the batch aggregate.
+    "stream_stateful_user_stats": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value) + 1e-9, 4) AS sum_value,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
     "repetition_docs": """
         WITH base AS (
             SELECT doc_id,

@@ -1221,6 +1221,36 @@ def stream_dedup_events(spark, sf_dir):
     return out.select("user_id", "ts", "event_type")
 
 
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, sum, last_ts) state folded across
+    micro-batches — the API surface for stateful logic session_window
+    can't express. Bounded availableNow run ⇒ final emission per user
+    equals the batch aggregate, which the oracle checks."""
+    import os
+    import shutil
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_stats_stream,
+    )
+
+    d = os.path.join(_workdir(), "stream_" + str(abs(hash(sf_dir)) % 10**8))
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    out = run_stream_to_memory(
+        stateful_user_stats_stream(read_events_stream(spark, d)),
+        mode="update",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        _rq("sum_value").alias("sum_value"),
+        "last_ts",
+    )
+
+
 def repetition_docs(spark, sf_dir):
     """Gopher-style repetition quality signals per document — duplicate
     line fraction and duplicate word fraction, the standard "remove
@@ -1498,6 +1528,7 @@ REGISTRY = {
     "stream_enrich_events": stream_enrich_events,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_dedup_events": stream_dedup_events,
+    "stream_stateful_user_stats": stream_stateful_user_stats,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,

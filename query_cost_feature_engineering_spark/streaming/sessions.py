@@ -135,6 +135,61 @@ def dedup_stream(
     )
 
 
+def stateful_user_stats_stream(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for per-entity streaming state that windowed aggregates
+    can't express (ref A17's child→parent accumulation, kept alive
+    across micro-batches). State per entity = (n, Σvalue, max ts); each
+    micro-batch folds its Arrow batches into the state and emits the
+    entity's updated running stats. State lives in the state store
+    (checkpointed, partitioned by entity hash), so memory is O(active
+    entities), not O(events) — the 10^12-row-stream shape.
+
+    Update-mode emission: one row per entity per micro-batch that touched
+    it. Over a bounded availableNow run the LAST emission per entity
+    equals the batch aggregate, which is what the driver oracle checks.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            m = pdf[ts_col].max()
+            mx = m if mx is None else max(mx, m)
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [mx],
+            }
+        )
+
+    return (
+        events.groupBy(entity_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{entity_col} long, n_events long, sum_value double, "
+                "last_ts timestamp"
+            ),
+            stateStructType="n long, s double, mx timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame."""

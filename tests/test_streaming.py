@@ -134,3 +134,54 @@ def test_stream_tumbling_counts_match_batch(spark, events_dir):
         b = batch.loc[(row.day, row.event_type)]
         assert row.n_events == b["n_events"]
         assert abs(row.sum_value - b["sum_value"]) < 1e-6
+
+
+def test_stateful_user_stats_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState must FOLD state across micro-batches: two
+    files with maxFilesPerTrigger=1 force two batches; the last emission
+    per user must equal the batch aggregate over BOTH files."""
+    import shutil
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        stateful_user_stats_stream,
+    )
+
+    e = spark.read.parquet(EVENTS)
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+    d = str(tmp_path / "two_batches")
+    half_a.coalesce(1).write.parquet(f"{d}/stage_a")
+    half_b.coalesce(1).write.parquet(f"{d}/stage_b")
+    src = tmp_path / "src"
+    src.mkdir()
+    import glob
+
+    for i, stage in enumerate(("stage_a", "stage_b")):
+        f = glob.glob(f"{d}/{stage}/part-*.parquet")[0]
+        shutil.copy(f, src / f"part-{i:03d}.parquet")
+
+    stream = read_events_stream(spark, str(src), max_files=1)
+    out = run_stream_to_memory(
+        stateful_user_stats_stream(stream), mode="update"
+    ).toPandas()
+    # update mode: users touched in both batches emit twice; the LAST
+    # emission (max n_events) carries the folded state
+    final = out.sort_values("n_events").groupby("user_id").tail(1)
+    batch = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    multi_emit = len(out) > len(batch)
+    assert multi_emit, "two batches should produce >1 emission for some user"
+    for row in final.itertuples():
+        b = batch.loc[row.user_id]
+        assert row.n_events == b["n_events"]
+        assert abs(row.sum_value - b["sum_value"]) < 1e-6
+        assert row.last_ts == b["last_ts"]
