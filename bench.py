@@ -68,7 +68,10 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "text_analysis_docs",
+    "repetition_docs",
     "stream_sessionize_events",
+    "stream_dedup_events",
+    "stream_stateful_user_stats",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))
@@ -167,10 +170,19 @@ def main() -> None:
     # warm up the JVM + python workers once (excluded from timings)
     _run_count(qs["q1_pricing_summary"](spark, sf_dir))
 
+    # min over reps per query: the first execution pays one-off Janino
+    # codegen compilation (serial on the driver) and this host shows CPU
+    # steal (BENCH.md); min-of-reps is the capability estimate used
+    # everywhere in BENCH.md
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _run_count(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            _run_count(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     with tempfile.TemporaryDirectory(prefix="qcfe_bench_") as workdir:
         img = bench_image_pipeline(spark, workdir)

@@ -160,8 +160,6 @@ def _jaccard_pairs_vocab(
     ~30 long ops per pair instead of a hash intersection of hundreds of
     strings. Exact: bitsets are an injective encoding of the sets.
     """
-    import pandas as pd
-
     t = float(threshold)
     # per-block df-ascending token index (ties by token) — the shared
     # total order the prefix theorem needs; index is block-local

@@ -75,7 +75,11 @@ def test_hamming_banded_equals_bruteforce(spark):
     pd.testing.assert_frame_equal(banded, brute, check_dtype=False)
 
 
-def test_jaccard_prefix_equals_bruteforce(spark):
+@pytest.mark.parametrize(
+    "vocab_limit", [4_000_000, 0],
+    ids=["vocab-bitset-path", "string-join-fallback"],
+)
+def test_jaccard_prefix_equals_bruteforce(spark, vocab_limit):
     rng = np.random.default_rng(11)
     vocab = [f"tok{i}" for i in range(60)]
     docs = []
@@ -91,7 +95,10 @@ def test_jaccard_prefix_equals_bruteforce(spark):
         docs.append((i, "en" if i % 2 else "de", sorted(set(base))))
     df = spark.createDataFrame(docs, "doc_id long, lang string, sh array<string>")
     fast = (
-        jaccard_pairs_prefix(df, "doc_id", "sh", 0.5, block_col="lang")
+        jaccard_pairs_prefix(
+            df, "doc_id", "sh", 0.5, block_col="lang",
+            vocab_limit=vocab_limit,
+        )
         .toPandas()
         .sort_values(["doc_id_a", "doc_id_b"])
         .reset_index(drop=True)
