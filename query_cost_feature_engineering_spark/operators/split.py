@@ -31,6 +31,33 @@ def hash_split(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the distributed twin of
+    ``df.sampleBy`` and of sklearn's class-rebalancing resample, but
+    seedless and engine-agnostic): a row survives iff the first 8 hex
+    digits of md5(key) fall under its stratum's threshold. Same digest on
+    any engine ⇒ the DuckDB oracle reproduces the exact row set. One
+    narrow filter — no shuffle, fully pushed into the scan stage, so at
+    100 TB this is a map-only pass."""
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(strata_col) == stratum) & (h < _hex_threshold(frac))
+        cond = c if cond is None else cond | c
+    others = ~F.col(strata_col).isin(*fractions.keys())
+    if default_frac >= 1.0:
+        cond = cond | others
+    else:
+        cond = cond | (others & (h < _hex_threshold(default_frac)))
+    return df.filter(cond)
+
+
 def time_cutoff_split(
     df: DataFrame, ts_col: str = "ts", cutoff: str | None = None,
     quantile: float = 0.8, out_col: str = "split",

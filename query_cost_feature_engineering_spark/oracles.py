@@ -436,6 +436,19 @@ ORACLES: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split
         FROM customer
     """,
+    # thresholds: first 8 hex digits of frac * 16^8 (0.1 -> 19999999,
+    # 0.5 -> 80000000) — same formula as operators/split._hex_threshold
+    "stratified_sample_events": f"""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE (event_type = 'view'
+               AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                   < '{format(int(0.1 * 16**8), "08x")}')
+           OR (event_type = 'click'
+               AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                   < '{format(int(0.5 * 16**8), "08x")}')
+           OR event_type NOT IN ('view', 'click')
+    """,
     "structural_grouping_users": """
         WITH seqs AS (
             SELECT user_id,

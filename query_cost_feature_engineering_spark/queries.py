@@ -28,7 +28,10 @@ from query_cost_feature_engineering_spark.operators.snapshot import (
     fit_linear_by_group,
     normalize_by_group,
 )
-from query_cost_feature_engineering_spark.operators.split import hash_split
+from query_cost_feature_engineering_spark.operators.split import (
+    hash_split,
+    stratified_hash_sample,
+)
 from query_cost_feature_engineering_spark.operators.windows import (
     with_backfill,
     with_lag_lead,
@@ -775,6 +778,18 @@ def ablation_leave_one_out(spark, sf_dir):
 def hash_split_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
+
+
+def stratified_sample_events(spark, sf_dir):
+    """Per-stratum deterministic downsample (class rebalancing, the
+    sampleBy twin): keep 10% of views, 50% of clicks, everything else.
+    Seedless md5 thresholds => exact DuckDB mirror; single narrow filter,
+    no shuffle (map-only at any scale)."""
+    e = _t(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        e, "event_id", "event_type", {"view": 0.1, "click": 0.5}
+    )
+    return out.select("event_id", "user_id", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1541,6 +1556,7 @@ REGISTRY = {
     "label_normalize_orders": label_normalize_orders,
     "qerror_snapshot_fit": qerror_snapshot_fit,
     "hash_split_customers": hash_split_customers,
+    "stratified_sample_events": stratified_sample_events,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
