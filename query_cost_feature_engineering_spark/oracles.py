@@ -125,6 +125,26 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "cube_revenue": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "range_join_promos": """
+        SELECT o_orderkey AS promo_id,
+               o_orderdate AS promo_start,
+               count(*) AS n_items,
+               round(sum(l_quantity) + 1e-9, 4) AS sum_qty
+        FROM orders
+        JOIN lineitem
+          ON l_shipdate BETWEEN o_orderdate
+                            AND o_orderdate + INTERVAL 10 DAY
+        WHERE o_orderkey % 500 = 0
+        GROUP BY 1, 2
+    """,
     "predicate_scan_parts": """
         SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         FROM part

@@ -775,6 +775,56 @@ def ablation_leave_one_out(spark, sf_dir):
     )
 
 
+def cube_revenue(spark, sf_dir):
+    """CUBE aggregation: all four grouping sets over (flag, status) — the
+    grouping-sets surface the rollup query doesn't reach."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.cube("l_returnflag", "l_linestatus").agg(
+        _rq(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "revenue",
+        "n_items",
+    )
+
+
+def range_join_promos(spark, sf_dir):
+    """Interval join WITHOUT a nested-loop plan: every 500th order opens a
+    10-day "promo" window; count lineitems whose ship date falls inside
+    each window. No equality key exists, so the naive plan is a
+    BroadcastNestedLoopJoin (O(F*I) compares); operators/rangejoin.py
+    bins time (7-day bins), explodes each interval to its covered bins,
+    equi-joins on the bin id, then exact-verifies BETWEEN — one
+    broadcast (or shuffle) equi-join that AQE can skew-split at scale."""
+    from query_cost_feature_engineering_spark.operators.rangejoin import (
+        range_join_binned,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    promos = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").alias("promo_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("promo_end"),
+    )
+    j = range_join_binned(
+        li.select("l_shipdate", "l_quantity"),
+        "l_shipdate",
+        promos,
+        "promo_start",
+        "promo_end",
+        bin_width_days=7,
+    )
+    return j.groupBy("promo_id", "promo_start").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _rq(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
 def hash_split_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return hash_split(c, "c_custkey", 0.8).select("c_custkey", "split")
@@ -1525,6 +1575,8 @@ REGISTRY = {
     "q4_semi_orders": q4_semi_orders,
     "customers_no_orders": customers_no_orders,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "range_join_promos": range_join_promos,
     "predicate_scan_parts": predicate_scan_parts,
     "set_ops_nations": set_ops_nations,
     "topk_orders_per_customer": topk_orders_per_customer,
