@@ -333,6 +333,18 @@ ORACLES: dict[str, str] = {
         HAVING date_trunc('day', max(ts)) + INTERVAL 1 DAY
                <= (SELECT max(ts) FROM events) - INTERVAL 7200 SECOND
     """,
+    "stream_interval_join_events": """
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id,
+               p.ts AS purchase_ts,
+               round(p.value + 1e-9, 4) AS purchase_value
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
     "stream_enrich_events": """
         WITH dim AS (
             SELECT user_id, count(*) AS n_events_total, min(ts) AS first_seen

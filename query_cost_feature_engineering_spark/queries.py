@@ -1568,6 +1568,59 @@ def phash_neardup_images(spark, sf_dir):
     )
 
 
+def stream_interval_join_events(spark, sf_dir):
+    """Stream-stream interval join (click->purchase attribution within 1h,
+    same user) — watermarks on BOTH sides + event-time-bounded condition,
+    the form Spark needs to evict join state. Inner join => emitted pairs
+    equal the batch theta-join, so the oracle is exact."""
+    import os
+    import shutil
+
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        attribute_purchases_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = os.path.join(_workdir(), "stream_ij_" + str(abs(hash(sf_dir)) % 10**8))
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    clicks = read_events_stream(spark, d).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_memory(attribute_purchases_stream(clicks, purchases))
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        _rq("purchase_value").alias("purchase_value"),
+    )
+
+
+def image_dedup_clusters(spark, sf_dir):
+    """End-to-end image dedup verdict table: phash banding candidates
+    (hamming <= 12 over 13 bands — lossless, no crossJoin) -> connected
+    components -> one survivor (min image_id) per cluster, singletons
+    included. The same shape a 100-TB image-corpus dedup pipeline
+    filters on before training-set export."""
+    from query_cost_feature_engineering_spark.operators.cluster import (
+        dedup_clusters,
+    )
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        hamming_neardup_pairs,
+    )
+
+    images = _synth_images(spark).select("image_id", "phash")
+    pairs = hamming_neardup_pairs(images, "image_id", "phash", bits=64, max_dist=12)
+    out = dedup_clusters(
+        pairs, "image_id_a", "image_id_b",
+        all_ids=images.select("image_id"), id_col="image_id",
+    )
+    return out.select("image_id", "cluster_id", "is_survivor")
+
+
 REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1595,6 +1648,7 @@ REGISTRY = {
     "stream_enrich_events": stream_enrich_events,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_dedup_events": stream_dedup_events,
+    "stream_interval_join_events": stream_interval_join_events,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
@@ -1627,6 +1681,7 @@ REGISTRY = {
     "image_features": image_features,
     "image_asof_features": image_asof_features,
     "phash_neardup_images": phash_neardup_images,
+    "image_dedup_clusters": image_dedup_clusters,
     "resize_images_meta": resize_images_meta,
     "video_frame_sample": video_frame_sample,
     "audio_features_clips": audio_features_clips,

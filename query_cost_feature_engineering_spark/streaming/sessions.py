@@ -190,6 +190,43 @@ def stateful_user_stats_stream(
     )
 
 
+def attribute_purchases_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user within the preceding ``lookback``. Both sides carry a
+    watermark and the join condition bounds event-time distance, which is
+    exactly what Spark requires to evict join state (a click older than
+    purchase-watermark − lookback can never match again and is dropped) —
+    state stays bounded no matter how long the streams run. Inner join ⇒
+    the emitted pair set equals the batch theta-join, so the DuckDB oracle
+    is exact."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            f"click_ts BETWEEN purchase_ts - INTERVAL {lookback} "
+            "AND purchase_ts"
+        ),
+    ).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "purchase_value"
+    )
+
+
 def run_stream_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame."""

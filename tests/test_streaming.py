@@ -185,3 +185,72 @@ def test_stateful_user_stats_state_carries_across_batches(spark, tmp_path):
         assert row.n_events == b["n_events"]
         assert abs(row.sum_value - b["sum_value"]) < 1e-6
         assert row.last_ts == b["last_ts"]
+
+
+def test_stream_interval_join_matches_batch_across_batches(spark, tmp_path):
+    """Stream-stream interval join with the input split into 4 files and
+    maxFilesPerTrigger=1 — matches land across microbatch boundaries, so
+    the join state (and its watermark eviction) is genuinely exercised.
+    Emitted pair set must equal the batch theta-join."""
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        attribute_purchases_stream,
+    )
+
+    e = spark.read.parquet(EVENTS)
+    d = tmp_path / "ij_parts"
+    d.mkdir()
+    # split into time quartiles: files arrive in event-time order (the
+    # realistic arrival pattern), so nothing falls behind the 2h
+    # watermark, while 1h-lookback matches still span file boundaries —
+    # the cross-batch join state is what satisfies them
+    e2 = e.withColumn(
+        "_q",
+        F.ntile(4).over(
+            __import__("pyspark").sql.Window.orderBy("ts", "event_id")
+        ),
+    )
+    for i in range(1, 5):
+        e2.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(
+            str(d / f"stripe={i}")
+        )
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    out = run_stream_to_memory(
+        attribute_purchases_stream(
+            stream().filter(F.col("event_type") == "click"),
+            stream().filter(F.col("event_type") == "purchase"),
+        )
+    )
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in out.select("purchase_id", "click_id").collect()
+    }
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & F.col("cts").between(
+                F.col("pts") - F.expr("INTERVAL 1 HOUR"), F.col("pts")
+            ),
+        ).collect()
+    }
+    assert want, "fixture must produce at least one attributed pair"
+    assert got == want
