@@ -59,14 +59,12 @@ def fit_gram_by_group(
     per fit; coefficients are engine-exact doubles (same integer sums,
     same expression tree on Spark and the DuckDB oracle)."""
     from query_cost_feature_engineering_spark.operators.mls import (
-        gram_agg_exprs,
+        gram_aggregate,
         solve_spark,
     )
 
     n = len(regs)
-    agg = df.groupBy(group_col).agg(
-        *gram_agg_exprs(regs, y), F.count(F.lit(1)).alias("n_samples")
-    )
+    agg = gram_aggregate(df, group_col, regs, y)
     coeffs = solve_spark(n)
     return agg.select(
         F.col(group_col),
@@ -89,14 +87,12 @@ def fit_gram_collect(
     Returns {group_value: {"gram": {sym: float}, "coeffs": [c0..], "n": int}}.
     """
     from query_cost_feature_engineering_spark.operators.mls import (
-        gram_agg_exprs,
+        gram_aggregate,
         solve_py,
     )
 
     n = len(regs)
-    rows = df.groupBy(group_col).agg(
-        *gram_agg_exprs(regs, y), F.count(F.lit(1)).alias("n_samples")
-    ).collect()
+    rows = gram_aggregate(df, group_col, regs, y).collect()
     out = {}
     for r in rows:
         vals = {
