@@ -36,6 +36,8 @@ HEADLINE = [
     "q4_semi_orders",
     "customers_no_orders",
     "rollup_revenue",
+    "cube_revenue",
+    "range_join_promos",
     "predicate_scan_parts",
     "topk_orders_per_customer",
     "agg_events_daily",
@@ -60,6 +62,7 @@ HEADLINE = [
     "label_normalize_orders",
     "qerror_snapshot_fit",
     "hash_split_customers",
+    "stratified_sample_events",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
@@ -72,6 +75,8 @@ HEADLINE = [
     "stream_sessionize_events",
     "stream_dedup_events",
     "stream_stateful_user_stats",
+    "stream_interval_join_events",
+    "image_dedup_clusters",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -1191,7 +1191,8 @@ def stream_sessionize_events(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     stream = read_events_stream(spark, d)
     out = run_stream_to_memory(
-        sessionize_stream(stream, gap_s=1800, watermark="7200 seconds")
+        sessionize_stream(stream, gap_s=1800, watermark="7200 seconds"),
+        state_partitions=8,
     )
     return out.select(
         "user_id",
@@ -1218,7 +1219,8 @@ def stream_tumbling_events(spark, sf_dir):
     os.makedirs(d, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     out = run_stream_to_memory(
-        tumbling_counts_stream(read_events_stream(spark, d))
+        tumbling_counts_stream(read_events_stream(spark, d)),
+        state_partitions=8,
     )
     return out.select(
         "day",
@@ -1282,7 +1284,9 @@ def stream_dedup_events(spark, sf_dir):
     d = os.path.join(_workdir(), "stream_" + str(abs(hash(sf_dir)) % 10**8))
     os.makedirs(d, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
-    out = run_stream_to_memory(dedup_stream(read_events_stream(spark, d)))
+    out = run_stream_to_memory(
+        dedup_stream(read_events_stream(spark, d)), state_partitions=8
+    )
     return out.select("user_id", "ts", "event_type")
 
 
@@ -1307,6 +1311,7 @@ def stream_stateful_user_stats(spark, sf_dir):
     out = run_stream_to_memory(
         stateful_user_stats_stream(read_events_stream(spark, d)),
         mode="update",
+        state_partitions=8,
     )
     return out.select(
         "user_id",
@@ -1589,7 +1594,9 @@ def stream_interval_join_events(spark, sf_dir):
     purchases = read_events_stream(spark, d).filter(
         F.col("event_type") == "purchase"
     )
-    out = run_stream_to_memory(attribute_purchases_stream(clicks, purchases))
+    out = run_stream_to_memory(
+        attribute_purchases_stream(clicks, purchases), state_partitions=8
+    )
     return out.select(
         "purchase_id",
         "click_id",
