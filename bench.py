@@ -179,7 +179,7 @@ def main() -> None:
     # codegen compilation (serial on the driver) and this host shows CPU
     # steal (BENCH.md); min-of-reps is the capability estimate used
     # everywhere in BENCH.md
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in HEADLINE:
         best = None
         for _ in range(n_reps):
