@@ -481,6 +481,31 @@ ORACLES: dict[str, str] = {
                    < '{format(int(0.5 * 16**8), "08x")}')
            OR event_type NOT IN ('view', 'click')
     """,
+    "profile_orders": """
+        SELECT 'o_orderkey' AS col_name, count(*) AS n,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               round(min(o_orderkey) + 1e-9, 4) AS min_v,
+               round(max(o_orderkey) + 1e-9, 4) AS max_v,
+               round(avg(o_orderkey) + 1e-9, 4) AS mean_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_custkey),
+               round(min(o_custkey) + 1e-9, 4),
+               round(max(o_custkey) + 1e-9, 4),
+               round(avg(o_custkey) + 1e-9, 4)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               round(min(o_totalprice) + 1e-9, 4),
+               round(max(o_totalprice) + 1e-9, 4),
+               round(avg(o_totalprice) + 1e-9, 4)
+        FROM orders
+    """,
     "structural_grouping_users": """
         WITH seqs AS (
             SELECT user_id,

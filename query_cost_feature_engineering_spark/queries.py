@@ -1628,6 +1628,37 @@ def image_dedup_clusters(spark, sf_dir):
     return out.select("image_id", "cluster_id", "is_survivor")
 
 
+def profile_orders(spark, sf_dir):
+    """Column profiling (the Deequ/data-quality staple): per-column row
+    count, null count, exact distinct count, min/max/mean — ONE aggregation
+    pass producing a single wide row, unpivoted to (column, metrics) rows
+    afterward (the unpivot touches one row, not the data). Exact
+    count(distinct) keeps oracle parity; at 10^12 rows swap in
+    approx_count_distinct per profile run — the plan shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            _rq(F.min(c)).alias(f"{c}__min"),
+            _rq(F.max(c)).alias(f"{c}__max"),
+            _rq(F.avg(c)).alias(f"{c}__mean"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, "
+        f"{c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
+
+
 REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1670,6 +1701,7 @@ REGISTRY = {
     "qerror_snapshot_fit": qerror_snapshot_fit,
     "hash_split_customers": hash_split_customers,
     "stratified_sample_events": stratified_sample_events,
+    "profile_orders": profile_orders,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
