@@ -506,6 +506,94 @@ ORACLES: dict[str, str] = {
                round(avg(o_totalprice) + 1e-9, 4)
         FROM orders
     """,
+    "hist_orders_totalprice": """
+        WITH mm AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        )
+        SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9)
+                    AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice) + 1e-9, 4) AS lo,
+               round(max(o_totalprice) + 1e-9, 4) AS hi,
+               round(sum(o_totalprice) + 1e-9, 4) AS sum_v
+        FROM orders, mm
+        GROUP BY 1
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT count(DISTINCT doc_id) AS n, sum(tf) AS tot FROM tf
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        dl AS (
+            SELECT doc_id, term, tf,
+                   sum(tf) OVER (PARTITION BY doc_id) AS dl
+            FROM tf
+        ),
+        scored AS (
+            SELECT dl.doc_id, dl.term,
+                   round(dl.tf * (ln((s.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                         + 1e-9, 4) AS tfidf,
+                   round(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                         * (dl.tf * 2.2)
+                         / (dl.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (s.tot / (s.n * 1.0)))))
+                         + 1e-9, 4) AS bm25
+            FROM dl CROSS JOIN s JOIN dfreq ON dl.term = dfreq.term
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, bm25, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
+    "label_centroid_embeddings": """
+        SELECT label, pos,
+               round(avg(val) + 1e-9, 4) AS centroid_v,
+               count(*) AS n_vecs
+        FROM (
+            SELECT label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    "salted_join_events": """
+        SELECT c_nationkey,
+               count(*) AS n_events,
+               round(sum(value) + 1e-9, 4) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1
+    """,
+    "funnel_users": """
+        WITH m AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(CASE
+                   WHEN t_signup IS NULL THEN 0
+                   WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+                   WHEN t_click IS NULL OR t_click <= t_view THEN 2
+                   WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+                   ELSE 4
+               END AS BIGINT) AS funnel_stage
+        FROM m
+    """,
     "structural_grouping_users": """
         WITH seqs AS (
             SELECT user_id,

@@ -1659,6 +1659,150 @@ def profile_orders(spark, sf_dir):
     )
 
 
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF + BM25 document-term scoring, top-3 terms per document.
+
+    Plan shape (the one you'd want at 100 TB): tokenize → ONE groupBy
+    (doc_id, term) shuffle produces tf; doc length is a window-sum over
+    the already-small tf relation (per-doc term counts), NOT a second
+    pass over the text; document frequency aggregates tf by term and is
+    broadcast back (vocabulary ≪ corpus). N and avgdl are one scalar agg
+    job. BM25 uses k1=1.2, b=0.75. Ranking orders by the ROUNDED score
+    (both engines round identically via the half-boundary nudge) with the
+    term as tiebreak, so top-3 is cross-engine deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.agg(
+        F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("tot")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / float(stats["n"])
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(w_doc))
+        .join(F.broadcast(df), "term")
+        .withColumn(
+            "tfidf",
+            _rq(
+                F.col("tf")
+                * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ),
+        )
+        .withColumn(
+            "bm25",
+            _rq(
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.lit(avgdl)))
+                )
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "bm25", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def label_centroid_embeddings(spark, sf_dir):
+    """Per-label elementwise centroid of the embedding column — the
+    vector-aggregation primitive behind IVF coarse quantizers and
+    class prototypes. posexplode → groupBy(label, dim) is shuffle-minimal:
+    map-side partial sums reduce each partition to |labels|×dim rows
+    before the exchange, so shuffle volume is independent of row count."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        _rq(F.avg("val")).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def salted_join_events(spark, sf_dir):
+    """Skew-mitigated equi-join via operators/skew.salted_join: events
+    (probe, potentially hot user_ids) ⋈ customer (build, replicated 8×
+    with a salt column) on user_id = c_custkey, then revenue per nation.
+    Row-identical to the plain join (oracle proves it); the salt spreads
+    any heavy-hitter key over 8 shuffle buckets. tests/test_skew.py
+    asserts the salted plan + equivalence with broadcast disabled."""
+    from query_cost_feature_engineering_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8, salt_col="event_id")
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _rq(F.sum("value")).alias("sum_value"),
+    )
+
+
+def funnel_users(spark, sf_dir):
+    """First-occurrence conversion funnel (signup → view → click →
+    purchase) per user: one conditional-min aggregation pass, then a
+    CASE ladder requiring strictly increasing first-occurrence
+    timestamps. Single shuffle on user_id; no window, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    stage = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") <= F.col("t_signup")), 1)
+        .when(F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 2)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") <= F.col("t_click")), 3
+        )
+        .otherwise(4)
+    )
+    return m.select("user_id", stage.cast("long").alias("funnel_stage"))
+
+
+def hist_orders_totalprice(spark, sf_dir):
+    """Fixed-width 10-bin histogram of o_totalprice: one min/max scalar
+    agg broadcast back, then a map-only bucket assignment + groupBy.
+    Identical float op order on both engines ((x-mn)/((mx-mn)/10),
+    floor, clamp) keeps bucketing deterministic; empty bins are omitted
+    by both."""
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 10.0)
+        ),
+        F.lit(9),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rq(F.min("o_totalprice")).alias("lo"),
+            _rq(F.max("o_totalprice")).alias("hi"),
+            _rq(F.sum("o_totalprice")).alias("sum_v"),
+        )
+    )
+
+
 REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1702,6 +1846,11 @@ REGISTRY = {
     "hash_split_customers": hash_split_customers,
     "stratified_sample_events": stratified_sample_events,
     "profile_orders": profile_orders,
+    "hist_orders_totalprice": hist_orders_totalprice,
+    "tfidf_top_terms": tfidf_top_terms,
+    "label_centroid_embeddings": label_centroid_embeddings,
+    "salted_join_events": salted_join_events,
+    "funnel_users": funnel_users,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
