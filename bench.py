@@ -63,6 +63,12 @@ HEADLINE = [
     "qerror_snapshot_fit",
     "hash_split_customers",
     "stratified_sample_events",
+    "profile_orders",
+    "hist_orders_totalprice",
+    "salted_join_events",
+    "funnel_users",
+    "tfidf_top_terms",
+    "label_centroid_embeddings",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
