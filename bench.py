@@ -69,6 +69,8 @@ HEADLINE = [
     "funnel_users",
     "tfidf_top_terms",
     "label_centroid_embeddings",
+    "chunk_documents",
+    "approx_profile_orders",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",

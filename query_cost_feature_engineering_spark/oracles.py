@@ -594,6 +594,30 @@ ORACLES: dict[str, str] = {
                END AS BIGINT) AS funnel_stage
         FROM m
     """,
+    "chunk_documents": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        c AS (
+            SELECT doc_id, tk, n,
+                   unnest(generate_series(
+                       0,
+                       CAST(greatest(ceil((n - 32) / 24.0), 0) AS BIGINT),
+                       1
+                   )) AS chunk_idx
+            FROM t2
+        )
+        SELECT doc_id, chunk_idx,
+               least(n - chunk_idx * 24, 32) AS n_tokens,
+               array_to_string(
+                   tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' '
+               ) AS chunk_text
+        FROM c
+    """,
     "structural_grouping_users": """
         WITH seqs AS (
             SELECT user_id,

@@ -1803,6 +1803,55 @@ def hist_orders_totalprice(spark, sf_dir):
     )
 
 
+def chunk_documents(spark, sf_dir):
+    """LLM-context chunking: split each document into whitespace-token
+    windows of 32 tokens with stride 24 (8-token overlap) — the staple
+    pre-tokenization step for training-corpus preparation. Map-only
+    (tokenize → per-row chunk-count arithmetic → explode → slice): no
+    shuffle at all, so it scales with input splits. Chunk arithmetic is
+    identical float op order on both engines (ceil((n-32)/24.0))."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    t2 = (
+        d.select("doc_id", tk.alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    k = F.greatest(
+        F.ceil((F.col("n") - 32) / 24.0), F.lit(0).cast("long")
+    ).cast("long")
+    c = t2.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), k)))
+    start = F.col("chunk_idx") * 24
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.col("n") - start, F.lit(32)).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("tk", (start + 1).cast("int"), 32)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def approx_profile_orders(spark, sf_dir):
+    """Sketch-based profiling — the 10^12-row variant of profile_orders:
+    HyperLogLog++ distinct counts (rsd=0.05) and approx_percentile
+    (accuracy 10000) instead of exact distinct/percentile_cont, one agg
+    pass, constant memory per column regardless of cardinality. No DuckDB
+    oracle (sketch internals are engine-specific); the driver records the
+    rows-only check and tests/test_sketches.py bounds the error vs the
+    exact answers."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("custkey_approx_nd"),
+        F.approx_count_distinct("o_totalprice", rsd=0.05).alias(
+            "totalprice_approx_nd"
+        ),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_totalprice"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_totalprice"),
+    )
+
+
 REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1851,6 +1900,8 @@ REGISTRY = {
     "label_centroid_embeddings": label_centroid_embeddings,
     "salted_join_events": salted_join_events,
     "funnel_users": funnel_users,
+    "chunk_documents": chunk_documents,
+    "approx_profile_orders": approx_profile_orders,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
