@@ -1852,6 +1852,52 @@ def approx_profile_orders(spark, sf_dir):
     )
 
 
+def stream_image_features(spark, sf_dir):
+    """Streaming ingest of the image table: file-source stream (2 files
+    per micro-batch) through the stateless featurize stage (JVM basics +
+    one Arrow decode UDF + phash bits + caption tokens), bytes dropped
+    in-flight, appended to a sink. Same operator chain as the batch
+    flagship pre-window stages — row parity is tested; driver check is
+    rows-only (synthetic input, no DuckDB view)."""
+    import os
+
+    from query_cost_feature_engineering_spark.streaming.images import (
+        image_features_stream,
+        read_images_stream,
+    )
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        run_stream_to_memory,
+    )
+
+    from pyspark.sql.types import StructType
+
+    from query_cost_feature_engineering_spark.streaming.images import (
+        IMAGES_SCHEMA,
+    )
+
+    d = os.path.join(_workdir(), "stream_images")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        # Conform to the declared stream schema before writing: pandas
+        # int32 survives Arrow-path createDataFrame but widens to int64
+        # without Arrow, and the file stream's fixed schema must match
+        # the parquet physical types exactly.
+        _synth_images(spark, n=2000, n_entities=60, seed=44).to(
+            StructType.fromDDL(IMAGES_SCHEMA)
+        ).repartition(4).write.mode("overwrite").parquet(d)
+    out = run_stream_to_memory(
+        image_features_stream(read_images_stream(spark, d, max_files=2))
+    )
+    return out.select(
+        "image_id",
+        "entity_id",
+        "ts",
+        "fmt",
+        F.col("token_count").cast("long").alias("token_count"),
+        _rq("px_mean").alias("px_mean"),
+        _rq("nbytes").alias("nbytes"),
+    )
+
+
 REGISTRY = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1881,6 +1927,7 @@ REGISTRY = {
     "stream_dedup_events": stream_dedup_events,
     "stream_interval_join_events": stream_interval_join_events,
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_image_features": stream_image_features,
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,

@@ -254,3 +254,31 @@ def test_stream_interval_join_matches_batch_across_batches(spark, tmp_path):
     }
     assert want, "fixture must produce at least one attributed pair"
     assert got == want
+
+
+def test_stream_image_features_matches_batch(spark, tmp_path):
+    """The streamed featurize stage is stateless, so its rows must be
+    bitwise-identical to the batch operator chain over the same files."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+    from query_cost_feature_engineering_spark.streaming.images import (
+        image_features_stream,
+        read_images_stream,
+    )
+
+    d = str(tmp_path / "imgs")
+    spark.createDataFrame(generate_images_pandas(300, 20, 7)).repartition(
+        3
+    ).write.parquet(d)
+
+    got = run_stream_to_memory(
+        image_features_stream(read_images_stream(spark, d, max_files=1))
+    )
+    want = image_features_stream(spark.read.parquet(d))
+    assert got.columns == want.columns
+    assert "bytes" not in got.columns and "caption" not in got.columns
+
+    cols = sorted(got.columns)
+    key = lambda rows: sorted(tuple(r[c] for c in cols) for r in rows)
+    assert key(got.collect()) == key(want.collect())
