@@ -71,6 +71,9 @@ HEADLINE = [
     "label_centroid_embeddings",
     "chunk_documents",
     "approx_profile_orders",
+    "feature_hash_events",
+    "outlier_events_robust",
+    "ewma_events",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",

@@ -1062,3 +1062,71 @@ def _ablation_oracle() -> str:
 
 
 ORACLES["ablation_leave_one_out"] = _ablation_oracle()
+
+
+def _feature_hash_oracle() -> str:
+    cols = []
+    for i in range(8):
+        cols.append(
+            f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        )
+        cols.append(
+            f"round(sum(CASE WHEN b = {i} THEN value ELSE 0.0 END)"
+            f" + 1e-9, 4) AS w{i}"
+        )
+    return f"""
+        WITH h AS (
+            SELECT user_id, value,
+                   CAST('0x' || substr(md5(event_type), 1, 4) AS INTEGER)
+                       % 8 AS b
+            FROM events
+        )
+        SELECT user_id, {", ".join(cols)}
+        FROM h GROUP BY user_id
+    """
+
+
+ORACLES["feature_hash_events"] = _feature_hash_oracle()
+
+# Flag compares the ROUNDED z on both engines so percentile-interpolation
+# ULP noise cannot flip a borderline row in one engine only.
+ORACLES["outlier_events_robust"] = """
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med))
+                   AS mad
+        FROM d GROUP BY 1
+    )
+    SELECT event_id, event_type, round(value + 1e-9, 4) AS value,
+           round(abs(0.6745 * (value - med) / mad) + 1e-9, 4) AS robust_z
+    FROM d JOIN mad USING (event_type)
+    WHERE round(abs(0.6745 * (value - med) / mad) + 1e-9, 4) > 3.5
+"""
+
+# Identical float op ORDER as the Spark-side numpy recurrence:
+# fold acc' = 0.7*acc + 0.3*x with acc0 = first element.
+ORACLES["ewma_events"] = """
+    WITH ord AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, list(value ORDER BY rn) AS vs FROM ord GROUP BY 1
+    )
+    SELECT o.user_id, o.event_id,
+           round(list_reduce(l.vs[1:o.rn], (acc, x) -> 0.7*acc + 0.3*x)
+                 + 1e-9, 4) AS ewma
+    FROM ord o JOIN l USING (user_id)
+"""

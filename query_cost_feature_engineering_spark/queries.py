@@ -1852,6 +1852,112 @@ def approx_profile_orders(spark, sf_dir):
     )
 
 
+def feature_hash_events(spark, sf_dir):
+    """Hashing-trick vectorizer (the unbounded-vocabulary analog of the
+    reference's per-op one-hots, ref tpch_utils_knob.py:70-73): each
+    categorical value is md5-hashed into one of 8 fixed buckets, then
+    per-user bucket counts and value-weighted sums form the feature
+    vector. No vocabulary pass, no driver state — map-only hash + one
+    partial-agg shuffle, so the vector width stays constant at any
+    cardinality. md5 (not xxhash) keeps the assignment engine-agnostic."""
+    e = _t(spark, sf_dir, "events")
+    b = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10)
+        .cast("long")
+        % 8
+    )
+    e = e.withColumn("b", b)
+    aggs = []
+    for i in range(8):
+        hit = F.col("b") == i
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"h{i}")
+        )
+        aggs.append(
+            _rq(F.sum(F.when(hit, F.col("value")).otherwise(0.0))).alias(
+                f"w{i}"
+            )
+        )
+    return e.groupBy("user_id").agg(*aggs)
+
+
+def outlier_events_robust(spark, sf_dir):
+    """Robust per-group outlier flagging (median/MAD z-score), the
+    data-quality gate a training pipeline runs before fitting cost
+    models on noisy timings (ref snapshot filtering discards zero-row
+    samples; this generalizes to distributional trimming). Two grouped
+    EXACT-percentile passes (median, then MAD on deviations) — group
+    count is tiny so the stats broadcast back; the flag itself is a
+    map-only expression. Cross-engine: flag compares the ROUNDED z so
+    interpolation ULP noise cannot flip a row.
+
+    Scale note: EXACT percentile buffers one group's values on one
+    reducer — right for group-count >> group-size skew profiles; when a
+    single group is table-sized, swap `F.percentile` for
+    `F.approx_percentile` (constant memory, bounded error), same plan
+    shape (see `approx_profile_orders`)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type")
+    mad = d.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = _rq(
+        F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", z)
+        .filter(F.col("robust_z") > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            _rq("value").alias("value"),
+            "robust_z",
+        )
+    )
+
+
+def ewma_events(spark, sf_dir):
+    """Per-entity exponential moving average (alpha=0.3) over event
+    values in (ts, event_id) order — the smoothing step for per-entity
+    drift features. The recurrence y_i = 0.7*y_{i-1} + 0.3*x_i is
+    inherently sequential WITHIN an entity, so the scalable shape is
+    one Arrow-batched applyInPandas per user (parallel across entities,
+    tight numpy loop within); no global sort, one hash shuffle on the
+    grouping key. The oracle folds the identical op order
+    (list_reduce with 0.7*acc + 0.3*x), so rounded values match."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy()
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                y[i] = 0.7 * y[i - 1] + 0.3 * x[i]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma": y,
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        fn, "user_id long, event_id long, ewma double"
+    )
+    return out.select("user_id", "event_id", _rq("ewma").alias("ewma"))
+
+
 def stream_image_features(spark, sf_dir):
     """Streaming ingest of the image table: file-source stream (2 files
     per micro-batch) through the stateless featurize stage (JVM basics +
@@ -1949,6 +2055,9 @@ REGISTRY = {
     "funnel_users": funnel_users,
     "chunk_documents": chunk_documents,
     "approx_profile_orders": approx_profile_orders,
+    "feature_hash_events": feature_hash_events,
+    "outlier_events_robust": outlier_events_robust,
+    "ewma_events": ewma_events,
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
