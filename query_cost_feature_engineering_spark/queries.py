@@ -1927,34 +1927,46 @@ def ewma_events(spark, sf_dir):
     values in (ts, event_id) order — the smoothing step for per-entity
     drift features. The recurrence y_i = 0.7*y_{i-1} + 0.3*x_i is
     inherently sequential WITHIN an entity, so the scalable shape is
-    one Arrow-batched applyInPandas per user (parallel across entities,
-    tight numpy loop within); no global sort, one hash shuffle on the
-    grouping key. The oracle folds the identical op order
-    (list_reduce with 0.7*acc + 0.3*x), so rounded values match."""
+    hash-partition by entity + sortWithinPartitions + ONE mapInPandas
+    pass per partition (parallel across entities, a single tight loop
+    within, entity state carried across Arrow batches) — per-group
+    applyInPandas paid ~1.5 ms/group of pandas overhead, 30× this plan
+    on many-small-group inputs. No global sort, one hash shuffle. The
+    oracle folds the identical op order (list_reduce with
+    0.7*acc + 0.3*x), so rounded values match."""
     import numpy as np
     import pandas as pd
 
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        x = pdf["value"].to_numpy()
-        y = np.empty_like(x)
-        if len(x):
-            y[0] = x[0]
-            for i in range(1, len(x)):
-                y[i] = 0.7 * y[i - 1] + 0.3 * x[i]
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy(),
-                "event_id": pdf["event_id"].to_numpy(),
-                "ewma": y,
-            }
-        )
-
-    out = e.groupBy("user_id").applyInPandas(
-        fn, "user_id long, event_id long, ewma double"
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
+
+    def fn(batches):
+        # Batches arrive in partition order; a user's run may span batch
+        # boundaries, so the (user, last ewma) state persists across them.
+        prev_user, prev_y = None, 0.0
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            x = pdf["value"].to_numpy()
+            y = np.empty_like(x)
+            for i in range(len(x)):
+                if users[i] != prev_user:
+                    prev_user, prev_y = users[i], x[i]
+                else:
+                    prev_y = 0.7 * prev_y + 0.3 * x[i]
+                y[i] = prev_y
+            yield pd.DataFrame(
+                {
+                    "user_id": users,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ewma": y,
+                }
+            )
+
+    out = e.mapInPandas(fn, "user_id long, event_id long, ewma double")
     return out.select("user_id", "event_id", _rq("ewma").alias("ewma"))
 
 
