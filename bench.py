@@ -80,6 +80,7 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "simhash_docs",
     "embedding_cosine_topk",
+    "quantized_cosine_topk",
     "ann_lsh_topk",
     "text_analysis_docs",
     "repetition_docs",

@@ -1130,3 +1130,48 @@ ORACLES["ewma_events"] = """
                  + 1e-9, 4) AS ewma
     FROM ord o JOIN l USING (user_id)
 """
+
+# quantized_cosine_topk: int8 codes via floor(x*s + .5) with
+# s = 127/max|x| per vector; dot/norms are integers (< 2^53) so any
+# summation order gives the same float64 — the one ordered float
+# expression (dot / sqrt(na*nb)) is written identically here.
+ORACLES["quantized_cosine_topk"] = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+        FROM base
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT))
+                   AS q
+        FROM scaled
+    ),
+    j AS (
+        SELECT a.vec_id AS target_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.q, b.q) AS num,
+               sqrt(CAST(CAST(list_dot_product(a.q, a.q) AS BIGINT)
+                         * CAST(list_dot_product(b.q, b.q) AS BIGINT)
+                         AS DOUBLE)) AS den
+        FROM qz a, qz b
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT target_id, neighbor_id,
+               round(CASE WHEN den > 0 THEN num / den END + 1e-9, 4)
+                   AS qcos
+        FROM j
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY target_id
+                   ORDER BY qcos DESC, neighbor_id
+               ) AS rnk
+        FROM r
+    )
+    SELECT target_id, neighbor_id, qcos, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 3
+"""

@@ -1154,6 +1154,38 @@ def embedding_cosine_topk(spark, sf_dir):
     )
 
 
+def quantized_cosine_topk(spark, sf_dir):
+    """Top-3 neighbors by cosine in the INT8-quantized domain — 4× less
+    vector storage/shuffle than float32 with near-identical ranking
+    (recall vs the float brute force measured in tests/test_quant.py).
+    All JVM-side; scores are engine-exact because quantized dots/norms
+    are integers (< 2^53, order-independent in float64). Rank on the
+    ROUNDED score + id tiebreak so both engines break ties alike."""
+    from query_cost_feature_engineering_spark.operators.quant import (
+        quantized_cosine,
+        with_quantized,
+    )
+
+    em = with_quantized(_t(spark, sf_dir, "embeddings"))
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("target_id"), F.col("q").alias("qa")
+    )
+    c = em.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    j = (
+        q.crossJoin(c)
+        .filter(F.col("target_id") != F.col("neighbor_id"))
+        .withColumn("qcos", _rq(quantized_cosine(F.col("qa"), F.col("qb"))))
+    )
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("target_id", "neighbor_id", "qcos", "rnk")
+    )
+
+
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding near-dup (cosine ≥ 0.35, a<b) via SRP-LSH candidates +
     exact cosine verify — the round-1 crossJoin replaced by one bucket
@@ -2080,6 +2112,7 @@ REGISTRY = {
     "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "quantized_cosine_topk": quantized_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
