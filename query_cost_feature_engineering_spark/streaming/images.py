@@ -52,6 +52,44 @@ def read_images_stream(
     )
 
 
+def stream_to_feature_store(
+    features: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a (bounded) feature stream into a parquet feature store with
+    exactly-once semantics across restarts.
+
+    Spark's streaming checkpoint guarantees each micro-batch id is
+    replayed after a crash until committed; plain parquet ``append`` would
+    turn that replay into duplicate rows. Writing each batch to its OWN
+    partition directory (``batch=<id>``) with ``overwrite`` makes the
+    replay idempotent — the re-run overwrites the same directory — with no
+    side-channel markers and no transactional table format needed. The
+    incremental-resume behavior (new input files → only new batches
+    written) is pinned by ``tests/test_streaming.py``.
+
+    This is the streaming twin of ``runtime/checkpoint.write_resumable``
+    (same idea: partition-scoped overwrite keyed on durable progress
+    state; there the key is data partitions + input fingerprint, here it
+    is the micro-batch id in the stream checkpoint)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        features.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_feature_store(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Feature-store scan: partition discovery picks up the ``batch=N``
+    dirs; the batch id is lineage metadata, not a feature — dropped."""
+    return spark.read.parquet(out_dir).drop("batch")
+
+
 def image_features_stream(images: DataFrame) -> DataFrame:
     """Stateless featurize stage on a stream: identical operator chain to
     the batch plan's pre-window stages, so streamed rows are bitwise equal

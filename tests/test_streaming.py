@@ -282,3 +282,63 @@ def test_stream_image_features_matches_batch(spark, tmp_path):
     cols = sorted(got.columns)
     key = lambda rows: sorted(tuple(r[c] for c in cols) for r in rows)
     assert key(got.collect()) == key(want.collect())
+
+
+def test_feature_store_sink_incremental_and_idempotent(spark, tmp_path):
+    """foreachBatch feature-store sink: (1) content equals the batch
+    featurize of the same files, (2) a re-run with the same checkpoint
+    and no new input writes nothing, (3) new input files produce only
+    new batches and the store converges to the full batch result."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+    from query_cost_feature_engineering_spark.streaming.images import (
+        image_features_stream,
+        read_feature_store,
+        read_images_stream,
+        stream_to_feature_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = generate_images_pandas(200, 15, 11)
+    spark.createDataFrame(pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream_to_feature_store(
+            image_features_stream(read_images_stream(spark, src, max_files=1)),
+            store, ckpt,
+        )
+
+    def store_ids():
+        return sorted(
+            r.image_id for r in read_feature_store(spark, store).collect()
+        )
+
+    drain()
+    first = store_ids()
+    assert first == sorted(pdf.iloc[:120]["image_id"])
+
+    import glob
+
+    batches_before = set(glob.glob(f"{store}/batch=*"))
+    drain()  # no new input: no new batch dirs, no new rows
+    assert set(glob.glob(f"{store}/batch=*")) == batches_before
+    assert store_ids() == first
+
+    spark.createDataFrame(pdf.iloc[120:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # only the new file becomes a new batch
+    assert set(glob.glob(f"{store}/batch=*")) > batches_before
+    assert store_ids() == sorted(pdf["image_id"])
+
+    # store content matches the batch chain row-for-row
+    want = image_features_stream(spark.read.parquet(src))
+    got = read_feature_store(spark, store)
+    cols = sorted(want.columns)
+    key = lambda rows: sorted(tuple(r[c] for c in cols) for r in rows)
+    assert key(got.collect()) == key(want.collect())
