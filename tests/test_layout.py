@@ -71,3 +71,21 @@ def test_range_layout_scan_is_lossless(spark, tmp_path):
     # and the filter reaches the scan
     plan = read_pruned(spark, d, "ts", lo, hi)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull(ts)" in plan
+
+
+def test_observe_counts_piggybacks_on_the_action(spark, tmp_path):
+    from query_cost_feature_engineering_spark.runtime.metrics import (
+        observe_counts,
+    )
+
+    e = spark.read.parquet(EVENTS)
+    df, obs = observe_counts(
+        e,
+        sum_value=F.sum("value"),
+        n_click=F.sum((F.col("event_type") == "click").cast("long")),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    m = obs.get
+    assert m["rows"] == e.count()
+    assert m["n_click"] == e.filter(F.col("event_type") == "click").count()
+    assert abs(m["sum_value"] - e.agg(F.sum("value")).first()[0]) < 1e-6
