@@ -68,6 +68,8 @@ BENIGN_BNLJ = {
     "label_normalize_orders": "build side = 1-row global min/max aggregate",
     "embedding_cosine_topk": "probe side fixed at 20 target vectors (exact "
     "baseline; the scale paths are ann_lsh_topk / ann_ivf_topk)",
+    "quantized_cosine_topk": "probe side fixed at 20 target vectors (same "
+    "bounded shape as embedding_cosine_topk, int8 domain)",
 }
 
 
