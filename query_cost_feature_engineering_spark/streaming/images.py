@@ -70,7 +70,15 @@ def stream_to_feature_store(
     This is the streaming twin of ``runtime/checkpoint.write_resumable``
     (same idea: partition-scoped overwrite keyed on durable progress
     state; there the key is data partitions + input fingerprint, here it
-    is the micro-batch id in the stream checkpoint)."""
+    is the micro-batch id in the stream checkpoint).
+
+    Invariant: one store belongs to ONE checkpoint lineage — batch ids
+    are per-checkpoint, so pointing a second checkpoint at the same
+    store restarts them at 0 and clobbers ``batch=0``. To upgrade the
+    pipeline (e.g. add a feature column), keep the checkpoint and change
+    the chain: stateless foreachBatch permits query evolution, ids
+    continue past the committed ones, and history stays untouched
+    (pinned by the schema-evolution test)."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -84,10 +92,20 @@ def stream_to_feature_store(
     q.awaitTermination()
 
 
-def read_feature_store(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_feature_store(
+    spark: SparkSession, out_dir: str, merge_schema: bool = False
+) -> DataFrame:
     """Feature-store scan: partition discovery picks up the ``batch=N``
-    dirs; the batch id is lineage metadata, not a feature — dropped."""
-    return spark.read.parquet(out_dir).drop("batch")
+    dirs; the batch id is lineage metadata, not a feature — dropped.
+
+    ``merge_schema=True`` unions the footer schemas across batches, so a
+    pipeline that started emitting a NEW feature column keeps all its
+    history readable (old batches surface the column as null) — additive
+    schema evolution without rewriting a single old file. Off by default:
+    schema merging reads every file's footer at planning time, which on a
+    many-batch store is a real cost to opt into, not a freebie."""
+    r = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    return r.parquet(out_dir).drop("batch")
 
 
 def image_features_stream(images: DataFrame) -> DataFrame:

@@ -4,6 +4,8 @@ the watermark must be emitted (append mode finalization)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -342,3 +344,62 @@ def test_feature_store_sink_incremental_and_idempotent(spark, tmp_path):
     cols = sorted(want.columns)
     key = lambda rows: sorted(tuple(r[c] for c in cols) for r in rows)
     assert key(got.collect()) == key(want.collect())
+
+
+def test_feature_store_additive_schema_evolution(spark, tmp_path):
+    """A pipeline that starts emitting a new feature column must keep old
+    batches readable: the upgraded chain reuses the SAME checkpoint (batch
+    ids continue, history untouched), and mergeSchema surfaces the new
+    column as null for old batches — no old file rewritten."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+    from query_cost_feature_engineering_spark.streaming.images import (
+        image_features_stream,
+        read_feature_store,
+        read_images_stream,
+        stream_to_feature_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = generate_images_pandas(120, 10, 13)
+    spark.createDataFrame(pdf.iloc[:60]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_to_feature_store(
+        image_features_stream(read_images_stream(spark, src, max_files=1)),
+        store, ckpt,
+    )
+
+    import glob
+
+    old_files = {
+        f: Path(f).stat().st_mtime
+        for f in glob.glob(f"{store}/batch=*/*.parquet")
+    }
+
+    # v2 of the pipeline adds a feature column; SAME source + SAME
+    # checkpoint means only the new input files flow through the upgraded
+    # chain and batch ids continue past the committed ones
+    spark.createDataFrame(pdf.iloc[60:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    v2 = image_features_stream(
+        read_images_stream(spark, src, max_files=1)
+    ).withColumn("quality", F.lit(1.0))
+    stream_to_feature_store(v2, store, ckpt)
+
+    now = {
+        f: Path(f).stat().st_mtime
+        for f in glob.glob(f"{store}/batch=*/*.parquet")
+    }
+    assert set(now) > set(old_files)
+    for f, m in old_files.items():
+        assert now[f] == m, f"v1 history rewritten: {f}"
+
+    merged = read_feature_store(spark, store, merge_schema=True)
+    assert "quality" in merged.columns
+    assert merged.count() == 120
+    assert merged.filter(F.col("quality").isNull()).count() == 60
