@@ -1175,3 +1175,25 @@ ORACLES["quantized_cosine_topk"] = """
     SELECT target_id, neighbor_id, qcos, CAST(rnk AS BIGINT) AS rnk
     FROM rk WHERE rnk <= 3
 """
+
+# contamination_docs: exact cross-side (train x bench) Jaccard >= 0.5;
+# the bench split is the same md5 rule as hash_split (frac 0.1 ->
+# '19999999'). All-pairs here is fine: the oracle side is O(n_bench x
+# n_train) with a SMALL bench split by construction.
+ORACLES["contamination_docs"] = f"""
+    WITH {_SHINGLES_CTE},
+    tagged AS (
+        SELECT doc_id, sh,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                   AS is_bench
+        FROM sh
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           round(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(t.sh || b.sh)) AS DOUBLE)
+                 + 1e-9, 4) AS jaccard
+    FROM tagged t JOIN tagged b
+      ON NOT t.is_bench AND b.is_bench
+    WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(t.sh || b.sh)) AS DOUBLE) >= 0.5
+"""

@@ -1068,6 +1068,60 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def contamination_docs(spark, sf_dir):
+    """Benchmark-contamination check: exact 3-gram Jaccard ≥ 0.5 pairs
+    BETWEEN the training corpus and a held-out benchmark set (a
+    deterministic md5 ~10% of documents, mirroring hash_split). Runs the
+    tested exact similarity join over the union and keeps cross-side
+    pairs — one machine-verified path instead of a second join
+    implementation; the within-side pairs it also finds are the dedup
+    job's output, not waste, when both run. Output is (train, bench)
+    oriented regardless of id order."""
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        jaccard_pairs_prefix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_bench = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 8
+    ) < F.lit("19999999")
+    d2 = d.select(
+        "doc_id", is_bench.alias("is_bench"), _shingles(F.col("text")).alias("sh")
+    )
+    pairs = jaccard_pairs_prefix(
+        d2.select("doc_id", "sh"), "doc_id", "sh", 0.5
+    )
+    tags = d2.select("doc_id", "is_bench")
+    out = (
+        pairs.join(
+            tags.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("is_bench").alias("bench_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            tags.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("is_bench").alias("bench_b"),
+            ),
+            "doc_id_b",
+        )
+        .filter(F.col("bench_a") != F.col("bench_b"))
+    )
+    train = F.when(F.col("bench_a"), F.col("doc_id_b")).otherwise(
+        F.col("doc_id_a")
+    )
+    bench = F.when(F.col("bench_a"), F.col("doc_id_a")).otherwise(
+        F.col("doc_id_b")
+    )
+    return out.select(
+        train.alias("train_doc"),
+        bench.alias("bench_doc"),
+        _rq("jac").alias("jaccard"),
+    )
+
+
 def dedup_clusters_docs(spark, sf_dir):
     """Dedup clustering: connected components over the minhash-LSH
     candidate pairs (operators/cluster.py iterative min-label
@@ -2123,6 +2177,7 @@ REGISTRY = {
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "contamination_docs": contamination_docs,
     "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,

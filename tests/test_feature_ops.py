@@ -120,3 +120,22 @@ def test_ewma_single_event_user_identity(spark, tmp_path):
     assert out[1] == 5.0
     assert out[2] == 1.0
     assert abs(out[3] - round(0.7 * 1.0 + 0.3 * 3.0 + 1e-9, 4)) < 1e-12
+
+
+def test_contamination_pairs_are_cross_side_and_thresholded(spark):
+    from query_cost_feature_engineering_spark.queries import (
+        contamination_docs,
+    )
+
+    out = contamination_docs(spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["jaccard"] >= 0.5).all()
+
+    import hashlib
+
+    def is_bench(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:8] < "19999999"
+
+    # orientation: train side never in bench split, bench side always
+    assert not out["train_doc"].map(is_bench).any()
+    assert out["bench_doc"].map(is_bench).all()
