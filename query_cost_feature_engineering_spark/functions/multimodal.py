@@ -172,6 +172,63 @@ def resize_images(df: DataFrame, size: int, bytes_col: str = "bytes") -> DataFra
     )
 
 
+_AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_phash", T.LongType()),
+    ]
+)
+
+
+def augment_images(
+    df: DataFrame,
+    crop_frac: float = 0.875,
+    hflip: bool = True,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Deterministic train-time augmentation: center crop to
+    ``crop_frac`` of each side, optional horizontal flip, re-encode PNG,
+    recompute the perceptual hash. REAL pixel ops (the pure-NumPy codecs
+    decode to arrays), one Arrow pandas UDF — the augmentation twin of
+    ``resize_images``, same plan shape (payload never shuffles; the UDF
+    runs straight off the scan). Deterministic by construction: no RNG,
+    so re-runs and resumed partitions produce identical bytes."""
+    from query_cost_feature_engineering_spark.codecs import phash64
+
+    @F.pandas_udf(_AUGMENT_SCHEMA)
+    def _augment(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        outs, ws, hs, phs = [], [], [], []
+        for b, f in zip(data, fmt):
+            arr = decode_image(bytes(b), f)
+            h, w = arr.shape[0], arr.shape[1]
+            ch = max(int(h * crop_frac), 1)
+            cw = max(int(w * crop_frac), 1)
+            y0 = (h - ch) // 2
+            x0 = (w - cw) // 2
+            out = arr[y0 : y0 + ch, x0 : x0 + cw]
+            if hflip:
+                out = out[:, ::-1]
+            outs.append(encode_png(np.ascontiguousarray(out)))
+            ws.append(cw)
+            hs.append(ch)
+            phs.append(phash64(out))
+        return pd.DataFrame(
+            {"out_bytes": outs, "out_w": ws, "out_h": hs, "out_phash": phs}
+        )
+
+    r = df.withColumn("_a", _augment(F.col(bytes_col), F.col("fmt")))
+    return (
+        r.withColumn("bytes", F.col("_a.out_bytes"))
+        .withColumn("w", F.col("_a.out_w"))
+        .withColumn("h", F.col("_a.out_h"))
+        .withColumn("phash", F.col("_a.out_phash"))
+        .withColumn("fmt", F.lit("png"))
+        .drop("_a")
+    )
+
+
 # --- video frame sampling (stubbed decode, real plumbing) -------------------
 
 FRAME_SCHEMA = T.StructType(

@@ -1584,6 +1584,27 @@ def resize_images_meta(spark, sf_dir):
     )
 
 
+def augment_images_meta(spark, sf_dir):
+    """Deterministic center-crop + horizontal-flip augmentation (REAL
+    pixel ops via the NumPy codecs) — metadata + recomputed phash out.
+    Driver check is rows-only (synthetic input); pixel-level identities
+    (flip∘flip = id, crop dims) are pinned in tests/test_multimodal_ann.py."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        augment_images,
+    )
+
+    images = _synth_images(spark, n=120)
+    out = augment_images(images, crop_frac=0.875, hflip=True)
+    return out.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "phash",
+        F.length(F.col("bytes")).cast("long").alias("out_nbytes"),
+    )
+
+
 def video_frame_sample(spark, sf_dir):
     """mapInPandas 1→N frame explosion over the FVID stub container."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
@@ -2192,6 +2213,7 @@ REGISTRY = {
     "phash_neardup_images": phash_neardup_images,
     "image_dedup_clusters": image_dedup_clusters,
     "resize_images_meta": resize_images_meta,
+    "augment_images_meta": augment_images_meta,
     "video_frame_sample": video_frame_sample,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,

@@ -139,3 +139,44 @@ def test_ivf_determinism(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_augment_center_crop_dims_and_determinism(spark, images_sdf):
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        augment_images,
+    )
+
+    sub = images_sdf.limit(40)
+    out = augment_images(sub, crop_frac=0.875, hflip=True)
+    rows = {r.image_id: r for r in out.collect()}
+    for r in sub.collect():
+        a = rows[r.image_id]
+        assert a.w == max(int(r.w * 0.875), 1)
+        assert a.h == max(int(r.h * 0.875), 1)
+        assert a.fmt == "png"
+    again = {r.image_id: r for r in augment_images(
+        sub, crop_frac=0.875, hflip=True).collect()}
+    assert all(
+        bytes(rows[i].bytes) == bytes(again[i].bytes) for i in rows
+    )
+
+
+def test_augment_double_flip_is_identity_on_pixels(spark, images_sdf):
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.codecs import decode_image
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        augment_images,
+    )
+
+    sub = images_sdf.limit(12)
+    once = augment_images(sub, crop_frac=1.0, hflip=True)
+    twice = augment_images(once, crop_frac=1.0, hflip=True)
+    orig = {r.image_id: decode_image(bytes(r.bytes), r.fmt)
+            for r in sub.collect()}
+    back = {r.image_id: decode_image(bytes(r.bytes), r.fmt)
+            for r in twice.collect()}
+    for i, arr in orig.items():
+        # PNG is lossless and flip∘flip is identity, so pixels round-trip
+        # exactly (the original may be lossy-encoded; decode first)
+        np.testing.assert_array_equal(back[i], arr)
