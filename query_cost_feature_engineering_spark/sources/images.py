@@ -147,12 +147,19 @@ def write_images_table_dist(
     n: int,
     n_entities: int = 50,
     seed: int = 42,
-    chunk: int = 4000,
+    chunk: int = 750,
 ) -> None:
     """Distributed deterministic generation for bench-scale tables: each
     chunk runs the same seeded generator with seed+chunk_id on an executor
     (mapInPandas over a range), entity/image ids offset per chunk so chunks
-    are disjoint. Deterministic for fixed (n, n_entities, seed, chunk)."""
+    are disjoint. Deterministic for fixed (n, n_entities, seed, chunk).
+
+    One chunk = one output file, and parquet row groups are the minimum
+    scan-split unit — so chunk size sets the DOWNSTREAM scan parallelism
+    of the generated table. The old 4000-row chunks produced a 24k-image
+    bench input of ~6 files whose scan starved half the cores (decode
+    2.2 s vs 1.1 s well-laid-out); 750 keeps ≥32 files at bench scale,
+    mirroring a real table (which has millions of files, not four)."""
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -176,9 +183,12 @@ def write_images_table_dist(
         "caption string, phash long, entity_id long, ts timestamp"
     )
     (
-        spark.range(n_chunks)
+        # range with explicit numPartitions: one chunk per partition with
+        # NO exchange, so AQE cannot coalesce the tiny chunk-id rows into
+        # fewer generator tasks (repartition() here yielded 4 files for a
+        # 6-chunk table — the shuffle was AQE-coalesced by its byte size)
+        spark.range(0, n_chunks, 1, n_chunks)
         .withColumnRenamed("id", "chunk_id")
-        .repartition(n_chunks)
         .mapInPandas(gen, schema)
         .write.mode("overwrite")
         .parquet(path)
