@@ -2100,18 +2100,15 @@ def stream_image_features(spark, sf_dir):
     rows-only (synthetic input, no DuckDB view)."""
     import os
 
+    from pyspark.sql.types import StructType
+
     from query_cost_feature_engineering_spark.streaming.images import (
+        IMAGES_SCHEMA,
         image_features_stream,
         read_images_stream,
     )
     from query_cost_feature_engineering_spark.streaming.sessions import (
         run_stream_to_memory,
-    )
-
-    from pyspark.sql.types import StructType
-
-    from query_cost_feature_engineering_spark.streaming.images import (
-        IMAGES_SCHEMA,
     )
 
     d = os.path.join(_workdir(), "stream_images")
