@@ -1197,3 +1197,16 @@ ORACLES["contamination_docs"] = f"""
     WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
           / CAST(len(list_distinct(t.sh || b.sh)) AS DOUBLE) >= 0.5
 """
+
+# weighted_sample_docs: accept iff md5int(doc_id) < floor(p * 16^8) with
+# p = min(len/400 + 0.1, 1). Integer compare on identically-computed
+# doubles (integer-valued inputs), so acceptance is engine-exact.
+ORACLES["weighted_sample_docs"] = """
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           round(least(len(text) / 400.0 + 0.1, 1.0) + 1e-9, 4) AS p_keep
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(floor(least(len(text) / 400.0 + 0.1, 1.0)
+                       * 4294967296.0) AS BIGINT)
+"""

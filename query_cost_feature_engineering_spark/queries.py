@@ -1068,6 +1068,28 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Quality-weighted corpus rebalancing: keep each document with
+    probability p = min(len/400 + 0.1, 1) — longer (higher-signal) docs
+    oversampled, every doc keeps a floor probability. Seedless and
+    engine-exact: accept iff the md5 integer of doc_id < floor(p·16^8)
+    (same scheme as hash_split, per-row threshold instead of global).
+    Map-only — at 10^12 docs this is a scan, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    p = F.least(
+        F.length("text") / F.lit(400.0) + F.lit(0.1), F.lit(1.0)
+    )
+    thr = F.floor(p * F.lit(16.0**8)).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        d.withColumn("p_keep", _rq(p))
+        .filter(h < thr)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"), "p_keep")
+    )
+
+
 def contamination_docs(spark, sf_dir):
     """Benchmark-contamination check: exact 3-gram Jaccard ≥ 0.5 pairs
     BETWEEN the training corpus and a held-out benchmark set (a
@@ -2196,6 +2218,7 @@ REGISTRY = {
     "minhash_band_pairs": minhash_band_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
+    "weighted_sample_docs": weighted_sample_docs,
     "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,

@@ -139,3 +139,26 @@ def test_contamination_pairs_are_cross_side_and_thresholded(spark):
     # orientation: train side never in bench split, bench side always
     assert not out["train_doc"].map(is_bench).any()
     assert out["bench_doc"].map(is_bench).all()
+
+
+def test_weighted_sample_rate_tracks_probability(spark):
+    from query_cost_feature_engineering_spark.queries import (
+        weighted_sample_docs,
+    )
+
+    out = weighted_sample_docs(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n, kept = docs.count(), out.count()
+    expected = docs.select(
+        F.sum(
+            F.least(F.length("text") / F.lit(400.0) + F.lit(0.1), F.lit(1.0))
+        )
+    ).first()[0]
+    # md5 acceptance is uniform, so the realized rate concentrates near
+    # the summed probabilities (±10% slack for the 500-doc corpus)
+    assert abs(kept - expected) / n < 0.10
+    # determinism: same rows both runs
+    again = weighted_sample_docs(spark, SF)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
