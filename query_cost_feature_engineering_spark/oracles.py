@@ -1210,3 +1210,20 @@ ORACLES["weighted_sample_docs"] = """
           < CAST(floor(least(len(text) / 400.0 + 0.1, 1.0)
                        * 4294967296.0) AS BIGINT)
 """
+
+# running_total_orders: integer-cents prefix sums are associative-exact,
+# so the distributed two-phase scan matches the sequential window fold.
+# Spark round() is HALF_UP on doubles; mirror with floor(x*100 + 0.5)
+# (o_totalprice >= 0).
+ORACLES["running_total_orders"] = """
+    SELECT o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS run_cents,
+           CAST(count(*) OVER (
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS run_rows
+    FROM orders
+"""

@@ -1068,6 +1068,42 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def running_total_orders(spark, sf_dir):
+    """Global running revenue + running order count in
+    (o_orderdate, o_orderkey) order — the scalable form of
+    ``SUM(x) OVER (ORDER BY ...)`` with no partition key: range-partition
+    + per-partition totals + offset-carrying mapInPandas
+    (operators/prefix.py), ONE range exchange instead of the
+    single-partition global Window. Values are summed as integer CENTS
+    so the prefix sums are bit-exact across engines (float prefix sums
+    differ by association order)."""
+    from query_cost_feature_engineering_spark.operators.prefix import (
+        with_running_sums,
+    )
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn(
+            "_ts_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+    )
+    out = with_running_sums(
+        o,
+        ["o_orderdate", "o_orderkey"],
+        ["cents"],
+        bucket_col="_ts_us",
+        n_buckets=32,
+    )
+    return out.select("o_orderkey", "run_cents", "run_rows")
+
+
 def weighted_sample_docs(spark, sf_dir):
     """Quality-weighted corpus rebalancing: keep each document with
     probability p = min(len/400 + 0.1, 1) — longer (higher-signal) docs
@@ -2219,6 +2255,7 @@ REGISTRY = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
     "weighted_sample_docs": weighted_sample_docs,
+    "running_total_orders": running_total_orders,
     "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,
     "embedding_cosine_topk": embedding_cosine_topk,

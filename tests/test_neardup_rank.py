@@ -199,3 +199,40 @@ def test_global_rank_exact(spark):
     # rank order equals the (value, tiebreak) sort order
     resorted = got.sort_values(["o_totalprice", "o_orderkey"])
     assert resorted["r"].tolist() == list(range(1, n + 1))
+
+
+def test_running_sums_match_global_window(spark):
+    from pyspark.sql import Window
+
+    from query_cost_feature_engineering_spark.operators.prefix import (
+        with_running_sums,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("_ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    got = with_running_sums(
+        e, ["ts", "event_id"], ["cents"], bucket_col="_ts_us", n_buckets=16
+    )
+    w = (
+        Window.orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = e.select(
+        "event_id",
+        F.sum("cents").over(w).alias("run_cents"),
+        F.count(F.lit(1)).over(w).alias("run_rows"),
+    )
+    gm = {r.event_id: (r.run_cents, r.run_rows) for r in got.collect()}
+    wm = {r.event_id: (r.run_cents, r.run_rows) for r in want.collect()}
+    assert gm == wm
+
+    # and the distributed plan has no single-partition Exchange
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
