@@ -74,6 +74,8 @@ HEADLINE = [
     "feature_hash_events",
     "outlier_events_robust",
     "ewma_events",
+    "running_total_orders",
+    "weighted_sample_docs",
     "dedup_exact_docs",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
