@@ -104,3 +104,34 @@ def test_delete_removes_emptied_partition(spark, tmp_path):
     assert not (Path(out) / f"part_id={target}").exists()
     left = spark.read.parquet(out)
     assert left.filter(F.col("user_id").isin(keys)).count() == 0
+
+
+def test_delete_then_compact_preserves_content_and_manifests(spark, tmp_path):
+    """Lifecycle integration: targeted deletion followed by small-file
+    compaction must keep the surviving rows exactly and keep the resume
+    manifests (compaction preserves `_manifest`; deletion updated it)."""
+    from query_cost_feature_engineering_spark.runtime.compact import (
+        compact_parquet_dir,
+    )
+
+    df, out = _store(spark, tmp_path)
+    keys = [5, 9, 42]
+    delete_keys(spark, out, keys, "user_id", N_BUCKETS)
+    want = sorted(
+        (r.event_id, r.user_id)
+        for r in spark.read.parquet(out).drop("part_id").collect()
+    )
+
+    compact_parquet_dir(spark, out, target_bytes=1 << 20,
+                        partition_col="part_id")
+
+    got = sorted(
+        (r.event_id, r.user_id)
+        for r in spark.read.parquet(out).drop("part_id").collect()
+    )
+    assert got == want
+    assert not spark.read.parquet(out).filter(
+        F.col("user_id").isin(keys)
+    ).count()
+    manifests = list((Path(out) / "_manifest").glob("part=*.json"))
+    assert manifests, "compaction must preserve the manifest dir"
