@@ -194,9 +194,16 @@ def main() -> None:
     # steal (BENCH.md); min-of-reps is the capability estimate used
     # everywhere in BENCH.md
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    from query_cost_feature_engineering_spark.operators import neardup
+
     for name in HEADLINE:
         best = None
         for _ in range(n_reps):
+            # the token-vocabulary probe is cached across invocations
+            # (operators/neardup.py); clear it so every rep pays the
+            # full first-run cost — min-of-reps then measures the real
+            # query, not a cache hit
+            neardup._VOCAB_CACHE.clear()
             t0 = time.perf_counter()
             _run_count(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
@@ -219,7 +226,24 @@ def main() -> None:
         "image_pipeline": img,
     }
     spark.stop()
+    # Detail line first (per-query dict — long), then the headline as
+    # its own SHORT final line: the driver's tail-capture window
+    # overflowed in round 2 when the 62-entry dict lived on the
+    # headline line ("parsed": null in BENCH_r02.json).
     print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "images_per_sec": img["images_per_sec"],
+                "n_queries": len(timings),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

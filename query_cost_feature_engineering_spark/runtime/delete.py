@@ -42,7 +42,15 @@ def delete_keys(
     """Remove all rows whose ``bucket_col`` is in ``keys``; rewrite only
     the partitions the keys hash into. Returns
     {"partitions": [...], "removed_empty": [...], "rows_deleted": int}."""
-    kdf = spark.createDataFrame([(k,) for k in keys], [bucket_col])
+    store = spark.read.parquet(out_dir)
+    # xxhash64 is TYPE-sensitive (xxhash64(7 as int) != xxhash64(7 as
+    # long)); a driver-built keys frame infers Python-long → bigint, so
+    # hash the keys in the store column's ACTUAL type or the wrong
+    # partitions get pruned and the rows silently survive deletion.
+    store_type = dict(store.dtypes)[bucket_col]
+    kdf = spark.createDataFrame([(k,) for k in keys], [bucket_col]).select(
+        F.col(bucket_col).cast(store_type).alias(bucket_col)
+    )
     part_of = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast(
         "int"
     )
@@ -51,7 +59,6 @@ def delete_keys(
         for r in kdf.select(part_of.alias("part_id")).distinct().collect()
     )
 
-    store = spark.read.parquet(out_dir)
     affected = store.filter(F.col("part_id").isin(parts))
     n_before = affected.count()
     keep = affected.join(F.broadcast(kdf), on=bucket_col, how="left_anti")
