@@ -86,6 +86,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_analysis_docs",
     "repetition_docs",
+    "plan_featurize_nodes",
+    "mscn_serialize_plans",
     "stream_sessionize_events",
     "stream_dedup_events",
     "stream_stateful_user_stats",

@@ -1227,3 +1227,121 @@ ORACLES["running_total_orders"] = """
            ) AS BIGINT) AS run_rows
     FROM orders
 """
+
+
+# plan_featurize_nodes: the A4 featurizer re-derived in SQL over a
+# pure-Python-flattened raw-node parquet of the SAME deterministic plan
+# corpus the Spark side salvages from log text. The md5(%.4f-join) digest
+# match checks log parse + explode + featurization end to end; the SQL is
+# generated from the same vocabularies (sources/logs) so a vocabulary
+# drift breaks the build loudly, not silently.
+def _plan_feat_sql() -> str:
+    from query_cost_feature_engineering_spark.sources.logs import (
+        AGG_STRATEGIES,
+        INDEX_NAMES,
+        JOIN_TYPES,
+        MAX_ATTR,
+        PARENT_REL_TYPES,
+        REL_ATTRS,
+        REL_NAMES,
+        SORT_ALGOS,
+        attr_stats,
+        ensure_plan_nodes_fixture,
+    )
+
+    path = ensure_plan_nodes_fixture()
+    basics = (
+        "[COALESCE(CAST(plan_width AS DOUBLE), 0.0), "
+        "COALESCE(CAST(plan_rows AS DOUBLE), 0.0), "
+        "COALESCE(total_cost, 0.0)]"
+    )
+
+    def one_hot(col: str, vocab: list[str], lower: bool = False) -> str:
+        c = f"lower({col})" if lower else col
+        return "[" + ", ".join(
+            f"CASE WHEN {c} = '{v}' THEN 1.0 ELSE 0.0 END" for v in vocab
+        ) + "]"
+
+    def attr_vec(cond_col: str) -> str:
+        cells = []
+        for stat_idx in range(3):  # min, med, max
+            for i in range(MAX_ATTR):
+                branches = []
+                for ri, rel in enumerate(REL_NAMES):
+                    attrs = REL_ATTRS[rel]
+                    if i < len(attrs):
+                        stat = attr_stats(ri, i)[stat_idx]
+                        branches.append(
+                            f"WHEN relation_name = '{rel}' AND "
+                            f"COALESCE(contains({cond_col}, '{attrs[i]}'), "
+                            f"FALSE) THEN {stat!r}"
+                        )
+                cells.append(
+                    "CASE " + " ".join(branches) + " ELSE 0.0 END"
+                    if branches
+                    else "0.0"
+                )
+        return "[" + ", ".join(cells) + "]"
+
+    sortkey_cells = []
+    for rel in REL_NAMES:
+        attrs = REL_ATTRS[rel]
+        for i in range(MAX_ATTR):
+            sortkey_cells.append(
+                f"CASE WHEN list_contains(toks, '{rel}.{attrs[i]}') "
+                "THEN 1.0 ELSE 0.0 END"
+                if i < len(attrs)
+                else "0.0"
+            )
+    sortkey_vec = "[" + ", ".join(sortkey_cells) + "]"
+    rel_vec = one_hot("relation_name", REL_NAMES)
+    jt_vec = one_hot("join_type", JOIN_TYPES, lower=True)
+    parent_vec = one_hot("parent_relationship", PARENT_REL_TYPES, lower=True)
+    strat_vec = one_hot("strategy", AGG_STRATEGIES, lower=True)
+    index_vec = one_hot("index_name", INDEX_NAMES)
+    sortmeth_vec = one_hot("sort_method", SORT_ALGOS, lower=True)
+    forward = "CASE WHEN scan_direction = 'Forward' THEN 1.0 ELSE 0.0 END"
+    parallel = (
+        "CASE WHEN parallel_aware IS NULL OR parallel_aware = 'false' "
+        "THEN 0.0 ELSE 1.0 END"
+    )
+    buckets = "COALESCE(CAST(hash_buckets AS DOUBLE), 1.0)"
+    return f"""
+    WITH nodes AS (
+      SELECT *,
+             flatten(list_transform(
+                 COALESCE(sort_key, CAST([] AS VARCHAR[])),
+                 k -> list_filter(
+                     string_split(regexp_replace(k, '[()]', ' ', 'g'), ' '),
+                     t -> contains(t, '.')
+                 )
+             )) AS toks
+      FROM read_parquet('{path}')
+    ),
+    feat AS (
+      SELECT node_id, node_type,
+        CASE node_type
+          WHEN 'Seq Scan' THEN
+            {basics} || {rel_vec} || {attr_vec('filter_cond')}
+          WHEN 'Index Scan' THEN
+            {basics} || {rel_vec} || {attr_vec('index_cond')}
+            || {index_vec} || [{forward}]
+          WHEN 'Hash Join' THEN {basics} || {jt_vec} || {parent_vec}
+          WHEN 'Merge Join' THEN {basics} || {jt_vec} || {parent_vec}
+          WHEN 'Nested Loop' THEN {basics} || {jt_vec}
+          WHEN 'Sort' THEN {basics} || {sortkey_vec} || {sortmeth_vec}
+          WHEN 'Hash' THEN {basics} || [{buckets}]
+          WHEN 'Aggregate' THEN {basics} || {strat_vec} || [{parallel}]
+          ELSE {basics}
+        END AS vec
+      FROM nodes
+    )
+    SELECT node_id, node_type,
+           CAST(len(vec) AS INTEGER) AS feat_len,
+           md5(array_to_string(
+               list_transform(vec, x -> printf('%.4f', x)), ',')) AS feat_digest
+    FROM feat
+    """
+
+
+ORACLES["plan_featurize_nodes"] = _plan_feat_sql()

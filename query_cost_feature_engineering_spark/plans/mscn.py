@@ -3,12 +3,20 @@
 Graft of ``tpch_utils_serialize_knob.py:566-657``: each plan tree becomes
 ONE flat fixed-width vector by walking the tree bottom-up —
 
-* per node: op one-hot (:586-589) ⧺ subtree-identity one-hot ⧺ numerics.
-  The reference's join-table one-hot comes from Hash/Merge Cond substring
-  matching (:592-597); the engine's synthetic plans carry ``Relation
-  Name`` on scan leaves, so the identity one-hot is the relation vocab.
+* per node: op one-hot (:586-589) ⧺ join-condition one-hot ⧺
+  subtree-identity one-hot ⧺ per-type numerics. The join one-hot comes
+  from ``Hash Cond`` / ``Merge Cond`` substring matching against the
+  relation vocabulary (:592-597, ``get_join_one_hot``) — including the
+  reference's substring false-positives (``part`` matches inside
+  ``l_partkey``), which are part of the contract. Non-join nodes carry
+  zeros (:612-613).
+* the per-type numerics are the FULL A4 featurizer vector
+  (``functions/plan_features.featurize_node_dict``), zero-padded to the
+  unified width — mirroring how the reference embeds
+  ``input_func[node_type](node)`` per node (:617-621).
 * OR-combine up the tree (:599-603,644): a parent's identity one-hot is
-  the OR of its own and all descendants' bits.
+  the OR of its own and all descendants' bits; the join one-hot combines
+  the same way (``join_combine``).
 * child-before-parent concat (:640-646): node vectors are emitted in
   POSTORDER, children before their parent.
 * zero-pad ``align`` (:382-385): the sequence is padded to
@@ -30,6 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from query_cost_feature_engineering_spark.functions.plan_features import (
+    UNIFIED_FEAT_LEN,
+    featurize_node_dict_padded,
+)
 from query_cost_feature_engineering_spark.sources.logs import (
     NODE_TYPES,
     REL_NAMES,
@@ -41,7 +53,25 @@ MAX_NODES = 32
 def node_feat_len(
     node_types: list[str] = NODE_TYPES, rels: list[str] = REL_NAMES
 ) -> int:
-    return len(node_types) + len(rels) + 2  # one-hots + [plan_rows, time]
+    # op one-hot ⧺ join one-hot ⧺ identity one-hot ⧺ unified A4 numerics
+    return len(node_types) + 2 * len(rels) + UNIFIED_FEAT_LEN
+
+
+def join_one_hot(node: dict, rels: list[str] = REL_NAMES) -> np.ndarray:
+    """Ref ``get_join_one_hot`` (:592-597): relation-name substring match
+    over the join condition string; zeros for non-join nodes."""
+    arr = np.zeros(len(rels), dtype=np.float64)
+    nt = node.get("Node Type")
+    cond = None
+    if nt == "Hash Join":
+        cond = node.get("Hash Cond")
+    elif nt == "Merge Join":
+        cond = node.get("Merge Cond")
+    if cond:
+        for idx, rel in enumerate(rels):
+            if rel in cond:
+                arr[idx] = 1.0
+    return arr
 
 
 def serialize_plan_dict(
@@ -53,28 +83,33 @@ def serialize_plan_dict(
     """Pure-Python single-plan serializer (also the golden oracle).
 
     Returns (vector, n_nodes); vector length = max_nodes * node_feat_len.
-    Postorder emission; parent identity bits OR child bits.
+    Postorder emission; parent identity AND join bits OR child bits.
     """
     flen = node_feat_len(node_types, rels)
+    n_ops = len(node_types)
+    n_rel = len(rels)
     rows: list[np.ndarray] = []
 
-    def walk(node: dict) -> np.ndarray:
-        """Returns the subtree's OR-combined identity one-hot."""
-        ident = np.zeros(len(rels), dtype=np.float64)
+    def walk(node: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Returns the subtree's OR-combined (identity, join) one-hots."""
+        ident = np.zeros(n_rel, dtype=np.float64)
         rel = node.get("Relation Name")
         if rel in rels:
             ident[rels.index(rel)] = 1.0
+        joins = join_one_hot(node, rels)
         for child in node.get("Plans") or []:
-            ident = np.maximum(ident, walk(child))
+            ci, cj = walk(child)
+            ident = np.maximum(ident, ci)
+            joins = np.maximum(joins, cj)  # ref join_combine (:599-603)
         vec = np.zeros(flen, dtype=np.float64)
         nt = node.get("Node Type")
         if nt in node_types:
             vec[node_types.index(nt)] = 1.0
-        vec[len(node_types):len(node_types) + len(rels)] = ident
-        vec[-2] = float(node.get("Plan Rows") or 0)
-        vec[-1] = float(node.get("Actual Total Time") or 0.0)
+        vec[n_ops:n_ops + n_rel] = joins
+        vec[n_ops + n_rel:n_ops + 2 * n_rel] = ident
+        vec[n_ops + 2 * n_rel:] = featurize_node_dict_padded(node)
         rows.append(vec)  # postorder: children already appended
-        return ident
+        return ident, joins
 
     walk(plan)
     n_nodes = len(rows)

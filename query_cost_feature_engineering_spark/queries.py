@@ -947,6 +947,46 @@ def mscn_serialize_plans(spark, sf_dir):
     )
 
 
+def plan_featurize_nodes(spark, sf_dir):
+    """A4 at reference fidelity (tpch_utils_knob.py:60-210): salvage the
+    rich synthetic console log, explode EVERY tree level with the full
+    field surface (per_node_rows), then featurize each node with its
+    op-specific vector — predicate-substring-masked (min, med, max)
+    attr statistics, sort-key rel.attr one-hots, join-type /
+    parent-relationship / strategy one-hots, index one-hot + scan
+    direction, hash buckets — all JVM column expressions (no UDF).
+
+    Oracled end to end: the DuckDB side reads a pure-Python-flattened
+    raw-node parquet of the SAME deterministic corpus and re-derives the
+    vectors in SQL; the md5(%.4f-join) digest match checks parse +
+    featurization bit-exactly."""
+    import os
+
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        feat_digest,
+        featurize_nodes,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        PLAN_FIXTURE_N,
+        PLAN_FIXTURE_SEED,
+        ensure_plan_nodes_fixture,
+        generate_console_log,
+        per_node_rows,
+        read_plans_from_log,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_console_64.txt")
+    generate_console_log(path, n_plans=PLAN_FIXTURE_N, seed=PLAN_FIXTURE_SEED)
+    ensure_plan_nodes_fixture()  # the oracle's raw-node mirror
+    nodes = per_node_rows(read_plans_from_log(spark, path))
+    return featurize_nodes(nodes).select(
+        "node_id",
+        "node_type",
+        F.size("feat").alias("feat_len"),
+        feat_digest().alias("feat_digest"),
+    )
+
+
 def dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2303,6 +2343,7 @@ REGISTRY = {
     "structural_grouping_users": structural_grouping_users,
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
+    "plan_featurize_nodes": plan_featurize_nodes,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,

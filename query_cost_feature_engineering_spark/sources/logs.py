@@ -33,8 +33,58 @@ NODE_TYPES = [
 ]
 
 SCAN_TYPES = {"Seq Scan", "Index Scan"}
+JOIN_NODE_TYPES = {"Hash Join", "Merge Join", "Nested Loop"}
 
 REL_NAMES = ["orders", "lineitem", "customer", "part", "supplier", "nation"]
+
+# Vocabularies for the A4 featurizers — the graft of the reference's
+# attr_rel_dict.py (join_types, parent_rel_types, sort_algos,
+# aggreg_strats, rel_attr_list_dict, index_names) over this engine's
+# six-table testdata schema.
+JOIN_TYPES = ["semi", "inner", "anti", "full", "right", "left"]
+PARENT_REL_TYPES = ["inner", "outer", "subquery"]
+AGG_STRATEGIES = ["plain", "sorted", "hashed"]
+SORT_ALGOS = ["quicksort", "top-n heapsort"]
+
+MAX_ATTR = 8  # attr slots per relation (ref max_num_attr=16; 8 covers ours)
+REL_ATTRS = {
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate", "l_returnflag",
+    ],
+    "customer": [
+        "c_custkey", "c_name", "c_address", "c_nationkey",
+        "c_phone", "c_acctbal", "c_mktsegment", "c_comment",
+    ],
+    "part": [
+        "p_partkey", "p_name", "p_mfgr", "p_brand",
+        "p_type", "p_size", "p_container", "p_retailprice",
+    ],
+    "supplier": [
+        "s_suppkey", "s_name", "s_address", "s_nationkey",
+        "s_phone", "s_acctbal", "s_comment",
+    ],
+    "nation": ["n_nationkey", "n_name", "n_regionkey", "n_comment"],
+}
+INDEX_NAMES = [f"idx_{r}_pk" for r in REL_NAMES]
+
+
+def attr_stats(rel_idx: int, attr_idx: int) -> tuple[float, float, float]:
+    """Deterministic (min, med, max) column statistics for attribute slot
+    ``attr_idx`` of relation ``rel_idx`` — the engine's stand-in for the
+    reference's precomputed ``attr_val_dict.pickle`` (per-attr min/med/max
+    looked up when a predicate substring matches the attr). A closed
+    formula keeps both engines and the DuckDB oracle bit-identical."""
+    base = float(rel_idx * MAX_ATTR + attr_idx + 1)
+    return base, base * 2.0 + 3.0, base * 4.0 + 7.0
+
+
+SCAN_DIRECTIONS = ["Forward", "Backward"]
+SORT_METHODS = ["quicksort", "top-n heapsort", "external merge"]
 
 NOISE = [
     "CREATE TABLE", "DROP TABLE", "Time: 12.345 ms", "(1 row)",
@@ -51,13 +101,36 @@ MAX_DEPTH = 4
 
 
 def plan_schema(depth: int = MAX_DEPTH) -> T.StructType:
-    """Node struct nested ``depth`` levels (leaf level has no Plans)."""
+    """Node struct nested ``depth`` levels (leaf level has no Plans).
+
+    Round 3 widens the node struct to the reference's full featurized
+    surface (`tpch_utils_knob.py:76-191`): predicate/condition strings,
+    index name + scan direction, sort keys + method, join type + parent
+    relationship + hash/merge conds, aggregate strategy + parallel flag,
+    hash buckets, and the `get_basics` numerics (Plan Width, Total
+    Cost). Absent fields parse to NULL — old fixtures stay readable."""
     fields = [
         T.StructField("Node Type", T.StringType()),
+        T.StructField("Node Id", T.LongType()),
         T.StructField("Plan Rows", T.LongType()),
+        T.StructField("Plan Width", T.LongType()),
+        T.StructField("Total Cost", T.DoubleType()),
         T.StructField("Actual Rows", T.LongType()),
         T.StructField("Actual Total Time", T.DoubleType()),
         T.StructField("Relation Name", T.StringType()),
+        T.StructField("Filter", T.StringType()),
+        T.StructField("Index Name", T.StringType()),
+        T.StructField("Index Cond", T.StringType()),
+        T.StructField("Scan Direction", T.StringType()),
+        T.StructField("Sort Key", T.ArrayType(T.StringType())),
+        T.StructField("Sort Method", T.StringType()),
+        T.StructField("Join Type", T.StringType()),
+        T.StructField("Parent Relationship", T.StringType()),
+        T.StructField("Hash Cond", T.StringType()),
+        T.StructField("Merge Cond", T.StringType()),
+        T.StructField("Strategy", T.StringType()),
+        T.StructField("Parallel Aware", T.StringType()),
+        T.StructField("Hash Buckets", T.LongType()),
     ]
     schema = T.StructType(fields)
     for _ in range(depth - 1):
@@ -71,18 +144,88 @@ def plan_schema(depth: int = MAX_DEPTH) -> T.StructType:
 PLAN_SCHEMA = plan_schema(2)
 
 
-def _gen_node(rng, depth_left: int) -> dict:
+def _pick(rng, seq):
+    return seq[int(rng.integers(0, len(seq)))]
+
+
+def _gen_predicate(rng, rel: str) -> str:
+    """PG-style predicate over 1-3 attrs of ``rel`` — the substring the
+    featurizer's attr matching (ref tpch_utils_knob.py:76-86) keys on."""
+    attrs = REL_ATTRS[rel]
+    n = int(rng.integers(1, 4))
+    idxs = sorted(rng.choice(len(attrs), size=min(n, len(attrs)), replace=False))
+    ops = [">", "<", "=", ">=", "<="]
+    clauses = [
+        f"({attrs[i]} {_pick(rng, ops)} {int(rng.integers(0, 100000))})"
+        for i in idxs
+    ]
+    return " AND ".join(clauses)
+
+
+def _gen_join_cond(rng, op: str) -> str:
+    ra = _pick(rng, REL_NAMES)
+    rb = _pick(rng, [r for r in REL_NAMES if r != ra])
+    aa = _pick(rng, REL_ATTRS[ra])
+    ab = _pick(rng, REL_ATTRS[rb])
+    return f"({ra}.{aa} {op} {rb}.{ab})"
+
+
+def _gen_sort_keys(rng) -> list[str]:
+    keys = []
+    for _ in range(int(rng.integers(1, 4))):
+        rel = _pick(rng, REL_NAMES)
+        attr = _pick(rng, REL_ATTRS[rel])
+        tok = f"{rel}.{attr}"
+        if rng.random() < 0.25:  # exercise the paren-strip path (ref :160)
+            tok = f"max({tok})"
+        keys.append(tok)
+    return keys
+
+
+def _gen_node(rng, depth_left: int, counter: list[int]) -> dict:
     nt = NODE_TYPES[int(rng.integers(0, len(NODE_TYPES)))]
+    counter[0] += 1
     node = {
         "Node Type": nt,
+        "Node Id": counter[0],
         "Plan Rows": int(rng.integers(1, 100_000)),
+        "Plan Width": int(rng.integers(4, 200)),
+        "Total Cost": round(float(rng.random() * 10000), 3),
         "Actual Rows": int(rng.integers(0, 100_000)),
         "Actual Total Time": round(float(rng.random() * 1000), 3),
     }
     if nt in SCAN_TYPES:
-        node["Relation Name"] = REL_NAMES[int(rng.integers(0, len(REL_NAMES)))]
+        rel = _pick(rng, REL_NAMES)
+        node["Relation Name"] = rel
+        if nt == "Seq Scan":
+            if rng.random() < 0.8:  # absent -> featurizer's zero default
+                node["Filter"] = _gen_predicate(rng, rel)
+        else:  # Index Scan
+            node["Index Name"] = f"idx_{rel}_pk"
+            node["Index Cond"] = _gen_predicate(rng, rel)
+            node["Scan Direction"] = _pick(rng, SCAN_DIRECTIONS)
+    elif nt in JOIN_NODE_TYPES:
+        node["Join Type"] = _pick(rng, JOIN_TYPES).capitalize()
+        if nt == "Hash Join":
+            node["Hash Cond"] = _gen_join_cond(rng, "=")
+        elif nt == "Merge Join":
+            node["Merge Cond"] = _gen_join_cond(rng, "=")
+        if nt != "Nested Loop" and rng.random() < 0.7:
+            node["Parent Relationship"] = _pick(rng, PARENT_REL_TYPES).capitalize()
+    elif nt == "Sort":
+        node["Sort Key"] = _gen_sort_keys(rng)
+        if rng.random() < 0.8:
+            node["Sort Method"] = _pick(rng, SORT_METHODS)
+    elif nt == "Hash":
+        if rng.random() < 0.7:
+            node["Hash Buckets"] = int(2 ** rng.integers(10, 22))
+    elif nt == "Aggregate":
+        node["Strategy"] = _pick(rng, AGG_STRATEGIES).capitalize()
+        node["Parallel Aware"] = "true" if rng.random() < 0.3 else "false"
     n_kids = int(rng.integers(0, 3)) if depth_left > 1 else 0
-    node["Plans"] = [_gen_node(rng, depth_left - 1) for _ in range(n_kids)]
+    node["Plans"] = [
+        _gen_node(rng, depth_left - 1, counter) for _ in range(n_kids)
+    ]
     return node
 
 
@@ -90,7 +233,8 @@ def generate_plans(
     n_plans: int, seed: int, max_depth: int = MAX_DEPTH
 ) -> list[dict]:
     rng = np.random.default_rng(seed)
-    return [_gen_node(rng, max_depth) for _ in range(n_plans)]
+    counter = [0]
+    return [_gen_node(rng, max_depth, counter) for _ in range(n_plans)]
 
 
 def generate_console_log(
@@ -173,6 +317,146 @@ def read_plans_from_serverlog(
         .filter(F.col("json") != "")
     )
     return _plans_from_json_lines(cleaned, depth)
+
+
+# (JSON field, snake_case column) pairs for the full per-node surface.
+NODE_FIELDS = [
+    ("Node Id", "node_id"),
+    ("Node Type", "node_type"),
+    ("Plan Rows", "plan_rows"),
+    ("Plan Width", "plan_width"),
+    ("Total Cost", "total_cost"),
+    ("Actual Rows", "actual_rows"),
+    ("Actual Total Time", "actual_total_time"),
+    ("Relation Name", "relation_name"),
+    ("Filter", "filter_cond"),
+    ("Index Name", "index_name"),
+    ("Index Cond", "index_cond"),
+    ("Scan Direction", "scan_direction"),
+    ("Sort Key", "sort_key"),
+    ("Sort Method", "sort_method"),
+    ("Join Type", "join_type"),
+    ("Parent Relationship", "parent_relationship"),
+    ("Hash Cond", "hash_cond"),
+    ("Merge Cond", "merge_cond"),
+    ("Strategy", "strategy"),
+    ("Parallel Aware", "parallel_aware"),
+    ("Hash Buckets", "hash_buckets"),
+]
+
+
+def per_node_rows(plans: DataFrame, depth: int = MAX_DEPTH) -> DataFrame:
+    """Explode EVERY tree level into per-node rows carrying the FULL
+    field surface (NODE_FIELDS) — the input to the A4 featurizers
+    (functions/plan_features.py). Same level-by-level JVM explode as
+    per_node_samples; no UDF."""
+    tree = plans.select(
+        "plan_id", F.from_json("plans_json", plan_schema(depth)).alias("node")
+    )
+    proj = [
+        F.col(f"node.`{jf}`").alias(out) for jf, out in NODE_FIELDS
+    ]
+    frames = []
+    cur = tree
+    for lvl in range(depth):
+        frames.append(cur.select("plan_id", F.lit(lvl).alias("level"), *proj))
+        if lvl < depth - 1:
+            cur = cur.select(
+                "plan_id",
+                F.explode(
+                    F.coalesce(F.col("node.Plans"), F.array())
+                ).alias("node"),
+            )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def flatten_plan_nodes(plans: list[dict]) -> list[dict]:
+    """Pure-Python pre-order flatten of plan dicts to NODE_FIELDS rows —
+    the fixture side of the plan_featurize_nodes oracle (and the golden
+    for per_node_rows)."""
+    rows: list[dict] = []
+
+    def walk(node: dict, level: int) -> None:
+        rows.append(
+            {out: node.get(jf) for jf, out in NODE_FIELDS} | {"level": level}
+        )
+        for child in node.get("Plans") or []:
+            walk(child, level + 1)
+
+    for p in plans:
+        walk(p, 0)
+    return rows
+
+
+# The plan_featurize_nodes corpus: ONE deterministic (seed, size) shared
+# by the Spark query (log-text side) and the DuckDB oracle (raw-node
+# parquet side).
+PLAN_FIXTURE_SEED = 64
+PLAN_FIXTURE_N = 200
+
+
+def ensure_plan_nodes_fixture() -> str:
+    """Write (once) and return the raw per-node parquet the DuckDB oracle
+    reads. The filename embeds a digest of the generated rows, so a
+    generator change can never pair a stale fixture with fresh Spark
+    output; generation is pure Python + pyarrow (callable from the oracle
+    module, no Spark needed) and atomic (write-aside + rename)."""
+    import hashlib
+    import os
+    import tempfile
+
+    rows = flatten_plan_nodes(generate_plans(PLAN_FIXTURE_N, PLAN_FIXTURE_SEED))
+    key = hashlib.md5(
+        json.dumps(rows, sort_keys=True).encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "qcfe_fixtures")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"plan_nodes_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        write_plan_nodes_parquet(tmp, rows)
+        os.replace(tmp, path)
+    return path
+
+
+def write_plan_nodes_parquet(path: str, rows: list[dict]) -> None:
+    """Raw per-node parquet (pyarrow, no Spark) — the DuckDB-visible
+    mirror of the log corpus the Spark side parses. Both engines
+    featurize independently from their own parse; the driver's hash
+    compare then checks parse + featurization end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema(
+        [
+            ("node_id", pa.int64()),
+            ("node_type", pa.string()),
+            ("plan_rows", pa.int64()),
+            ("plan_width", pa.int64()),
+            ("total_cost", pa.float64()),
+            ("actual_rows", pa.int64()),
+            ("actual_total_time", pa.float64()),
+            ("relation_name", pa.string()),
+            ("filter_cond", pa.string()),
+            ("index_name", pa.string()),
+            ("index_cond", pa.string()),
+            ("scan_direction", pa.string()),
+            ("sort_key", pa.list_(pa.string())),
+            ("sort_method", pa.string()),
+            ("join_type", pa.string()),
+            ("parent_relationship", pa.string()),
+            ("hash_cond", pa.string()),
+            ("merge_cond", pa.string()),
+            ("strategy", pa.string()),
+            ("parallel_aware", pa.string()),
+            ("hash_buckets", pa.int64()),
+            ("level", pa.int32()),
+        ]
+    )
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    pq.write_table(pa.table(cols, schema=schema), path)
 
 
 def per_node_samples(plans: DataFrame, depth: int = MAX_DEPTH) -> DataFrame:

@@ -111,18 +111,37 @@ def test_mscn_serialization_matches_golden(spark, tmp_path):
 
 def test_mscn_postorder_and_or_combine():
     """Hand-built depth-3 tree pins the A14 contract: children before
-    parent, parent identity = OR of subtree, zero-pad tail."""
+    parent, parent identity AND join one-hots = OR of subtree, per-node
+    A4 numerics embedded, zero-pad tail."""
     plan = {
         "Node Type": "Hash Join",
+        "Join Type": "Inner",
+        "Hash Cond": "(orders.o_custkey = customer.c_custkey)",
         "Plan Rows": 10,
         "Actual Total Time": 5.0,
         "Plans": [
             {
-                "Node Type": "Seq Scan",
-                "Relation Name": "orders",
+                "Node Type": "Merge Join",
+                "Join Type": "Left",
+                "Merge Cond": "(lineitem.l_partkey = part.p_partkey)",
                 "Plan Rows": 7,
                 "Actual Total Time": 2.0,
-                "Plans": [],
+                "Plans": [
+                    {
+                        "Node Type": "Seq Scan",
+                        "Relation Name": "lineitem",
+                        "Plan Rows": 3,
+                        "Actual Total Time": 0.5,
+                        "Plans": [],
+                    },
+                    {
+                        "Node Type": "Seq Scan",
+                        "Relation Name": "part",
+                        "Plan Rows": 4,
+                        "Actual Total Time": 0.6,
+                        "Plans": [],
+                    },
+                ],
             },
             {
                 "Node Type": "Hash",
@@ -131,7 +150,7 @@ def test_mscn_postorder_and_or_combine():
                 "Plans": [
                     {
                         "Node Type": "Seq Scan",
-                        "Relation Name": "lineitem",
+                        "Relation Name": "orders",
                         "Plan Rows": 3,
                         "Actual Total Time": 0.5,
                         "Plans": [],
@@ -140,6 +159,9 @@ def test_mscn_postorder_and_or_combine():
             },
         ],
     }
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        featurize_node_dict_padded,
+    )
     from query_cost_feature_engineering_spark.plans.mscn import (
         MAX_NODES,
         node_feat_len,
@@ -151,25 +173,39 @@ def test_mscn_postorder_and_or_combine():
 
     vec, n = serialize_plan_dict(plan)
     flen = node_feat_len()
-    assert n == 4 and len(vec) == MAX_NODES * flen
+    assert n == 6 and len(vec) == MAX_NODES * flen
     nodes = vec.reshape(MAX_NODES, flen)
-    i_orders = REL_NAMES.index("orders")
+    n_ops, n_rel = len(NODE_TYPES), len(REL_NAMES)
+    i_ord = REL_NAMES.index("orders")
     i_li = REL_NAMES.index("lineitem")
+    i_part = REL_NAMES.index("part")
+    i_cust = REL_NAMES.index("customer")
 
     def op(row):
-        return NODE_TYPES[int(np.argmax(row[: len(NODE_TYPES)]))]
+        return NODE_TYPES[int(np.argmax(row[:n_ops]))]
+
+    def joins(row):
+        return set(np.nonzero(row[n_ops:n_ops + n_rel])[0])
 
     def rels(row):
-        return set(
-            np.nonzero(row[len(NODE_TYPES): len(NODE_TYPES) + len(REL_NAMES)])[0]
-        )
+        return set(np.nonzero(row[n_ops + n_rel:n_ops + 2 * n_rel])[0])
 
-    # postorder: orders scan, lineitem scan, hash, join
-    assert [op(nodes[i]) for i in range(4)] == [
-        "Seq Scan", "Seq Scan", "Hash", "Hash Join",
+    # postorder: li scan, part scan, merge join, orders scan, hash, root
+    assert [op(nodes[i]) for i in range(6)] == [
+        "Seq Scan", "Seq Scan", "Merge Join", "Seq Scan", "Hash",
+        "Hash Join",
     ]
-    assert rels(nodes[0]) == {i_orders}
-    assert rels(nodes[1]) == {i_li}
-    assert rels(nodes[2]) == {i_li}  # OR-combined from child
-    assert rels(nodes[3]) == {i_orders, i_li}  # whole subtree
-    assert not nodes[4:].any()  # zero-pad align
+    assert rels(nodes[0]) == {i_li} and rels(nodes[1]) == {i_part}
+    assert rels(nodes[2]) == {i_li, i_part}  # OR-combined from children
+    assert rels(nodes[4]) == {i_ord}
+    assert rels(nodes[5]) == {i_ord, i_li, i_part}  # whole subtree
+    # join one-hots: scans zero; merge join matches its cond substrings;
+    # the root ORs its own cond bits with the subtree's (ref join_combine)
+    assert joins(nodes[0]) == set() and joins(nodes[4]) == set()
+    assert joins(nodes[2]) == {i_li, i_part}
+    assert joins(nodes[5]) == {i_ord, i_cust, i_li, i_part}
+    # per-node numerics are the padded A4 vector
+    root_num = nodes[5][n_ops + 2 * n_rel:]
+    assert np.array_equal(root_num, featurize_node_dict_padded(plan))
+    assert root_num[1] == 10.0  # Plan Rows inside basics
+    assert not nodes[6:].any()  # zero-pad align

@@ -1,0 +1,165 @@
+"""A4 per-node featurizers (functions/plan_features.py) vs the
+pure-Python golden, over the rich depth-4 synthetic corpus plus
+hand-built edge-case nodes (missing fields, backward scans, external
+sorts, substring predicate matching)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+
+from query_cost_feature_engineering_spark.functions.plan_features import (
+    ATTR_STATS_LEN,
+    BASICS_LEN,
+    TYPE_FEAT_LEN,
+    UNIFIED_FEAT_LEN,
+    feat_digest,
+    featurize_node_dict,
+    featurize_nodes,
+)
+from query_cost_feature_engineering_spark.sources.logs import (
+    INDEX_NAMES,
+    MAX_ATTR,
+    REL_NAMES,
+    attr_stats,
+    generate_console_log,
+    generate_plans,
+    per_node_rows,
+    read_plans_from_log,
+)
+
+
+def _py_digest(vec: np.ndarray) -> str:
+    return hashlib.md5(",".join("%.4f" % x for x in vec).encode()).hexdigest()
+
+
+def _walk(node):
+    yield node
+    for k in node.get("Plans") or []:
+        yield from _walk(k)
+
+
+def _spark_feats(spark, path):
+    out = featurize_nodes(per_node_rows(read_plans_from_log(spark, path)))
+    pdf = out.select(
+        "node_id", "node_type", feat_digest().alias("dig")
+    ).toPandas()
+    return {
+        int(r.node_id): (r.node_type, r.dig) for r in pdf.itertuples()
+    }
+
+
+def test_jvm_featurize_matches_python_golden(spark, tmp_path):
+    path = str(tmp_path / "rich.log")
+    generate_console_log(path, n_plans=120, seed=77)
+    got = _spark_feats(spark, path)
+
+    want = {}
+    for p in generate_plans(120, 77):
+        for n in _walk(p):
+            want[n["Node Id"]] = (
+                n["Node Type"],
+                _py_digest(featurize_node_dict(n)),
+            )
+    assert got == want and len(got) > 300
+
+
+def test_hand_built_edge_nodes(spark, tmp_path):
+    """Edge cases the generated corpus can't pin individually: each one
+    asserted against the expected SECTION values in Python, then the
+    identical plan routed through log text -> Spark parse -> JVM
+    featurize and digest-compared."""
+    ri_orders = REL_NAMES.index("orders")
+
+    seq = {
+        "Node Type": "Seq Scan",
+        "Relation Name": "orders",
+        "Plan Width": 10,
+        "Plan Rows": 5,
+        "Total Cost": 2.5,
+        "Filter": "(o_totalprice > 10) AND (o_clerk = 7)",
+    }
+    v = featurize_node_dict(seq)
+    assert len(v) == TYPE_FEAT_LEN["Seq Scan"]
+    assert list(v[:3]) == [10.0, 5.0, 2.5]
+    assert v[BASICS_LEN + ri_orders] == 1.0
+    base = BASICS_LEN + len(REL_NAMES)
+    # o_totalprice is slot 3, o_clerk slot 6 of orders; min/med/max banks
+    for stat_idx, bank in enumerate(range(0, 3 * MAX_ATTR, MAX_ATTR)):
+        assert v[base + bank + 3] == attr_stats(ri_orders, 3)[stat_idx]
+        assert v[base + bank + 6] == attr_stats(ri_orders, 6)[stat_idx]
+        assert v[base + bank + 0] == 0.0  # o_orderkey unmatched
+    # Filter absent -> zero attr bank
+    v0 = featurize_node_dict({k: v for k, v in seq.items() if k != "Filter"})
+    assert not v0[base:].any()
+
+    idx = {
+        "Node Type": "Index Scan",
+        "Relation Name": "nation",
+        "Index Name": "idx_nation_pk",
+        "Index Cond": "(n_regionkey = 1)",
+        "Scan Direction": "Backward",
+        "Plan Rows": 1,
+    }
+    v = featurize_node_dict(idx)
+    assert len(v) == TYPE_FEAT_LEN["Index Scan"]
+    assert v[-1] == 0.0  # Backward
+    assert (
+        featurize_node_dict({**idx, "Scan Direction": "Forward"})[-1] == 1.0
+    )
+    ibase = BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN
+    assert v[ibase + INDEX_NAMES.index("idx_nation_pk")] == 1.0
+
+    srt = {
+        "Node Type": "Sort",
+        "Sort Key": ["orders.o_custkey", "max(lineitem.l_quantity)"],
+        "Sort Method": "top-n heapsort",
+        "Plan Rows": 9,
+    }
+    v = featurize_node_dict(srt)
+    assert v[BASICS_LEN + ri_orders * MAX_ATTR + 1] == 1.0  # o_custkey
+    li = REL_NAMES.index("lineitem")
+    assert v[BASICS_LEN + li * MAX_ATTR + 3] == 1.0  # l_quantity via parens
+    assert v[-2:].tolist() == [0.0, 1.0]
+    v = featurize_node_dict({**srt, "Sort Method": "external merge"})
+    assert v[-2:].tolist() == [0.0, 0.0]  # ref skips external sorts
+
+    assert featurize_node_dict({"Node Type": "Hash"})[-1] == 1.0  # default
+    assert (
+        featurize_node_dict({"Node Type": "Hash", "Hash Buckets": 4096})[-1]
+        == 4096.0
+    )
+
+    agg = {"Node Type": "Aggregate", "Strategy": "Hashed",
+           "Parallel Aware": "true"}
+    v = featurize_node_dict(agg)
+    assert v[-1] == 1.0 and v[BASICS_LEN + 2] == 1.0
+    assert featurize_node_dict({**agg, "Parallel Aware": "false"})[-1] == 0.0
+
+    hj = {"Node Type": "Hash Join", "Join Type": "Semi"}
+    v = featurize_node_dict(hj)  # Parent Relationship absent -> zeros
+    assert v[BASICS_LEN + 0] == 1.0 and not v[-3:].any()
+    assert len(featurize_node_dict({"Node Type": "Limit"})) == BASICS_LEN
+
+    # same nodes through the JVM path (log text -> parse -> featurize)
+    plan = dict(seq)
+    plan["Node Id"] = 1
+    kids = [idx, srt, hj, agg, {"Node Type": "Hash"}, {"Node Type": "Limit"}]
+    for i, k in enumerate(kids):
+        k["Node Id"] = i + 2
+    plan["Plans"] = kids
+    path = str(tmp_path / "hand.log")
+    with open(path, "w") as f:
+        f.write(json.dumps(plan) + "++\n")
+    got = _spark_feats(spark, path)
+    want = {
+        n["Node Id"]: (n["Node Type"], _py_digest(featurize_node_dict(n)))
+        for n in _walk(plan)
+    }
+    assert got == want
+
+
+def test_unified_len_is_sort():
+    assert UNIFIED_FEAT_LEN == TYPE_FEAT_LEN["Sort"] == 53
