@@ -24,14 +24,17 @@ Two mirrored implementations:
 Vector layout per node type (ref's per-type composition, same order):
 
 ====================  =====================================================
-Seq Scan              basics ⧺ rel(6) ⧺ attr_stats(24, from Filter)
-Index Scan            basics ⧺ rel(6) ⧺ attr_stats(24, from Index Cond)
+Seq Scan              basics ⧺ rel(6) ⧺ attr_stats(24, Filter→Recheck Cond)
+Bitmap Heap Scan      same as Seq Scan (ref routes it to get_scan_input)
+Index [Only] Scan     basics ⧺ rel(6) ⧺ attr_stats(24, from Index Cond)
                       ⧺ index(6) ⧺ [forward]
+Bitmap Index Scan     basics ⧺ index(6)
 Hash/Merge Join       basics ⧺ join_type(6) ⧺ parent_rel(3)
 Nested Loop           basics ⧺ join_type(6)
 Sort                  basics ⧺ sort_key(48 = rel×attr) ⧺ sort_method(2)
 Hash                  basics ⧺ [hash_buckets | 1]
 Aggregate             basics ⧺ strategy(3) ⧺ [parallel_aware]
+ModifyTable           basics ⧺ rel(6)
 other                 basics
 ====================  =====================================================
 
@@ -67,14 +70,21 @@ SORT_KEY_LEN = len(REL_NAMES) * MAX_ATTR
 #: terms, which are training-loop state, not plan features)
 TYPE_FEAT_LEN = {
     "Seq Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN,
+    # ref get_scan_input also serves Bitmap Heap Scan (Filter -> Recheck
+    # Cond fallback); get_index_scan_input also serves Index Only Scan
+    "Bitmap Heap Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN,
     "Index Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN
     + len(INDEX_NAMES) + 1,
+    "Index Only Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN
+    + len(INDEX_NAMES) + 1,
+    "Bitmap Index Scan": BASICS_LEN + len(INDEX_NAMES),
     "Hash Join": BASICS_LEN + len(JOIN_TYPES) + len(PARENT_REL_TYPES),
     "Merge Join": BASICS_LEN + len(JOIN_TYPES) + len(PARENT_REL_TYPES),
     "Nested Loop": BASICS_LEN + len(JOIN_TYPES),
     "Sort": BASICS_LEN + SORT_KEY_LEN + len(SORT_ALGOS),
     "Hash": BASICS_LEN + 1,
     "Aggregate": BASICS_LEN + len(AGG_STRATEGIES) + 1,
+    "ModifyTable": BASICS_LEN + len(REL_NAMES),
 }
 
 #: widest per-type vector — the MSCN serializer zero-pads every node's
@@ -183,13 +193,15 @@ def featurize_nodes(
         F.col("hash_buckets").cast("double"), F.lit(1.0)
     )
     nt = F.col("node_type")
+    # ref get_scan_input: Filter first, Recheck Cond when Filter is absent
+    scan_cond = F.coalesce(F.col("filter_cond"), F.col("recheck_cond"))
     feat = (
         F.when(
-            nt == "Seq Scan",
-            F.concat(basics, rel_vec, _attr_stats_vec(F.col("filter_cond"))),
+            (nt == "Seq Scan") | (nt == "Bitmap Heap Scan"),
+            F.concat(basics, rel_vec, _attr_stats_vec(scan_cond)),
         )
         .when(
-            nt == "Index Scan",
+            (nt == "Index Scan") | (nt == "Index Only Scan"),
             F.concat(
                 basics,
                 rel_vec,
@@ -198,6 +210,8 @@ def featurize_nodes(
                 F.array(forward),
             ),
         )
+        .when(nt == "Bitmap Index Scan", F.concat(basics, index_vec))
+        .when(nt == "ModifyTable", F.concat(basics, rel_vec))
         .when(
             (nt == "Hash Join") | (nt == "Merge Join"),
             F.concat(basics, jt_vec, parent_vec),
@@ -280,15 +294,24 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         ]
     )
     rel = node.get("Relation Name")
-    if nt == "Seq Scan":
+    if nt in ("Seq Scan", "Bitmap Heap Scan"):
+        cond = node.get("Filter")
+        if cond is None:  # ref get_scan_input's Recheck Cond fallback
+            cond = node.get("Recheck Cond")
         return np.concatenate(
             [
                 basics,
                 _py_one_hot(rel, REL_NAMES),
-                _py_attr_stats(rel, node.get("Filter")),
+                _py_attr_stats(rel, cond),
             ]
         )
-    if nt == "Index Scan":
+    if nt == "Bitmap Index Scan":
+        return np.concatenate(
+            [basics, _py_one_hot(node.get("Index Name"), INDEX_NAMES)]
+        )
+    if nt == "ModifyTable":
+        return np.concatenate([basics, _py_one_hot(rel, REL_NAMES)])
+    if nt in ("Index Scan", "Index Only Scan"):
         fwd = 1.0 if node.get("Scan Direction") == "Forward" else 0.0
         return np.concatenate(
             [

@@ -1306,6 +1306,8 @@ def _plan_feat_sql() -> str:
         "THEN 0.0 ELSE 1.0 END"
     )
     buckets = "COALESCE(CAST(hash_buckets AS DOUBLE), 1.0)"
+    # ref get_scan_input: Filter first, Recheck Cond when Filter absent
+    scan_attr_vec = attr_vec("COALESCE(filter_cond, recheck_cond)")
     return f"""
     WITH nodes AS (
       SELECT *,
@@ -1322,10 +1324,17 @@ def _plan_feat_sql() -> str:
       SELECT node_id, node_type,
         CASE node_type
           WHEN 'Seq Scan' THEN
-            {basics} || {rel_vec} || {attr_vec('filter_cond')}
+            {basics} || {rel_vec} || {scan_attr_vec}
+          WHEN 'Bitmap Heap Scan' THEN
+            {basics} || {rel_vec} || {scan_attr_vec}
           WHEN 'Index Scan' THEN
             {basics} || {rel_vec} || {attr_vec('index_cond')}
             || {index_vec} || [{forward}]
+          WHEN 'Index Only Scan' THEN
+            {basics} || {rel_vec} || {attr_vec('index_cond')}
+            || {index_vec} || [{forward}]
+          WHEN 'Bitmap Index Scan' THEN {basics} || {index_vec}
+          WHEN 'ModifyTable' THEN {basics} || {rel_vec}
           WHEN 'Hash Join' THEN {basics} || {jt_vec} || {parent_vec}
           WHEN 'Merge Join' THEN {basics} || {jt_vec} || {parent_vec}
           WHEN 'Nested Loop' THEN {basics} || {jt_vec}

@@ -30,9 +30,19 @@ from pyspark.sql import types as T
 NODE_TYPES = [
     "Seq Scan", "Index Scan", "Hash Join", "Merge Join", "Nested Loop",
     "Sort", "Aggregate", "Hash", "Limit", "Materialize",
+    # round 3: the remaining node types of the reference's featurizer
+    # dispatch (TPCH_GET_INPUT, tpch_utils_knob.py:194-208) — appended so
+    # existing one-hot indices stay stable
+    "Index Only Scan", "Bitmap Heap Scan", "Bitmap Index Scan",
+    "ModifyTable",
 ]
 
 SCAN_TYPES = {"Seq Scan", "Index Scan"}
+# Seq-Scan-shaped (rel + predicate-masked attr stats; ref get_scan_input,
+# which falls back Filter -> Recheck Cond) vs Index-Scan-shaped (adds
+# index one-hot + scan direction; ref get_index_scan_input)
+SEQ_LIKE_TYPES = {"Seq Scan", "Bitmap Heap Scan"}
+INDEX_LIKE_TYPES = {"Index Scan", "Index Only Scan"}
 JOIN_NODE_TYPES = {"Hash Join", "Merge Join", "Nested Loop"}
 
 REL_NAMES = ["orders", "lineitem", "customer", "part", "supplier", "nation"]
@@ -119,6 +129,7 @@ def plan_schema(depth: int = MAX_DEPTH) -> T.StructType:
         T.StructField("Actual Total Time", T.DoubleType()),
         T.StructField("Relation Name", T.StringType()),
         T.StructField("Filter", T.StringType()),
+        T.StructField("Recheck Cond", T.StringType()),
         T.StructField("Index Name", T.StringType()),
         T.StructField("Index Cond", T.StringType()),
         T.StructField("Scan Direction", T.StringType()),
@@ -194,16 +205,33 @@ def _gen_node(rng, depth_left: int, counter: list[int]) -> dict:
         "Actual Rows": int(rng.integers(0, 100_000)),
         "Actual Total Time": round(float(rng.random() * 1000), 3),
     }
-    if nt in SCAN_TYPES:
+    if nt in SEQ_LIKE_TYPES:
         rel = _pick(rng, REL_NAMES)
         node["Relation Name"] = rel
         if nt == "Seq Scan":
             if rng.random() < 0.8:  # absent -> featurizer's zero default
                 node["Filter"] = _gen_predicate(rng, rel)
-        else:  # Index Scan
-            node["Index Name"] = f"idx_{rel}_pk"
-            node["Index Cond"] = _gen_predicate(rng, rel)
-            node["Scan Direction"] = _pick(rng, SCAN_DIRECTIONS)
+        else:  # Bitmap Heap Scan: PG emits Recheck Cond (the featurizer's
+            # Filter -> Recheck Cond fallback path, ref :94-100); a
+            # residual Filter accompanies it sometimes and wins when it
+            # does
+            node["Recheck Cond"] = _gen_predicate(rng, rel)
+            if rng.random() < 0.3:
+                node["Filter"] = _gen_predicate(rng, rel)
+    elif nt in INDEX_LIKE_TYPES:
+        rel = _pick(rng, REL_NAMES)
+        node["Relation Name"] = rel
+        node["Index Name"] = f"idx_{rel}_pk"
+        node["Index Cond"] = _gen_predicate(rng, rel)
+        node["Scan Direction"] = _pick(rng, SCAN_DIRECTIONS)
+    elif nt == "Bitmap Index Scan":
+        # PG bitmap index scans carry NO Relation Name — only the index
+        # (ref get_bitmap_index_scan_input: basics + index one-hot)
+        rel = _pick(rng, REL_NAMES)
+        node["Index Name"] = f"idx_{rel}_pk"
+        node["Index Cond"] = _gen_predicate(rng, rel)
+    elif nt == "ModifyTable":
+        node["Relation Name"] = _pick(rng, REL_NAMES)
     elif nt in JOIN_NODE_TYPES:
         node["Join Type"] = _pick(rng, JOIN_TYPES).capitalize()
         if nt == "Hash Join":
@@ -330,6 +358,7 @@ NODE_FIELDS = [
     ("Actual Total Time", "actual_total_time"),
     ("Relation Name", "relation_name"),
     ("Filter", "filter_cond"),
+    ("Recheck Cond", "recheck_cond"),
     ("Index Name", "index_name"),
     ("Index Cond", "index_cond"),
     ("Scan Direction", "scan_direction"),
@@ -440,6 +469,7 @@ def write_plan_nodes_parquet(path: str, rows: list[dict]) -> None:
             ("actual_total_time", pa.float64()),
             ("relation_name", pa.string()),
             ("filter_cond", pa.string()),
+            ("recheck_cond", pa.string()),
             ("index_name", pa.string()),
             ("index_cond", pa.string()),
             ("scan_direction", pa.string()),

@@ -143,10 +143,41 @@ def test_hand_built_edge_nodes(spark, tmp_path):
     assert v[BASICS_LEN + 0] == 1.0 and not v[-3:].any()
     assert len(featurize_node_dict({"Node Type": "Limit"})) == BASICS_LEN
 
+    # Bitmap Heap Scan: Filter -> Recheck Cond fallback (ref get_scan_input)
+    bhs = {
+        "Node Type": "Bitmap Heap Scan",
+        "Relation Name": "orders",
+        "Recheck Cond": "(o_totalprice > 10)",
+    }
+    v = featurize_node_dict(bhs)
+    assert len(v) == TYPE_FEAT_LEN["Bitmap Heap Scan"]
+    base = BASICS_LEN + len(REL_NAMES)
+    assert v[base + 3] == attr_stats(ri_orders, 3)[0]  # matched via Recheck
+    # an explicit Filter WINS over Recheck Cond (ref tries Filter first)
+    v = featurize_node_dict({**bhs, "Filter": "(o_clerk = 1)"})
+    assert v[base + 3] == 0.0 and v[base + 6] == attr_stats(ri_orders, 6)[0]
+
+    # Bitmap Index Scan: basics + index one-hot only, no Relation Name
+    bis = {"Node Type": "Bitmap Index Scan", "Index Name": "idx_part_pk"}
+    v = featurize_node_dict(bis)
+    assert len(v) == TYPE_FEAT_LEN["Bitmap Index Scan"]
+    assert v[BASICS_LEN + INDEX_NAMES.index("idx_part_pk")] == 1.0
+
+    # Index Only Scan routes through the Index Scan featurizer
+    ios = {**idx, "Node Type": "Index Only Scan"}
+    assert np.array_equal(featurize_node_dict(ios), featurize_node_dict(idx))
+    assert len(featurize_node_dict(ios)) == TYPE_FEAT_LEN["Index Only Scan"]
+
+    mod = {"Node Type": "ModifyTable", "Relation Name": "nation"}
+    v = featurize_node_dict(mod)
+    assert len(v) == TYPE_FEAT_LEN["ModifyTable"]
+    assert v[BASICS_LEN + REL_NAMES.index("nation")] == 1.0
+
     # same nodes through the JVM path (log text -> parse -> featurize)
     plan = dict(seq)
     plan["Node Id"] = 1
-    kids = [idx, srt, hj, agg, {"Node Type": "Hash"}, {"Node Type": "Limit"}]
+    kids = [idx, srt, hj, agg, {"Node Type": "Hash"}, {"Node Type": "Limit"},
+            bhs, {**bhs, "Filter": "(o_clerk = 1)"}, bis, ios, mod]
     for i, k in enumerate(kids):
         k["Node Id"] = i + 2
     plan["Plans"] = kids
