@@ -84,6 +84,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "quantized_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_fixed_topk",
     "text_analysis_docs",
     "repetition_docs",
     "plan_featurize_nodes",

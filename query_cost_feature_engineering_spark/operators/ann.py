@@ -261,6 +261,116 @@ def ivf_topk(
     )
 
 
+IVF_FIXED_CELLS = 8
+IVF_FIXED_PROBE = 4
+CELL_COS_DECIMALS = 6  # anchor-cosine quantization before the argmax
+
+
+def _cos_expr(vec, other) -> "F.Column":
+    """cos(vec, other) with the EXACT fold order the DuckDB _COS macro
+    uses (sequential left fold; init 0.0 is IEEE-identical to DuckDB's
+    first-element init), so both engines produce the same double."""
+    dot = F.aggregate(
+        F.zip_with(vec, other, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, v: a + v,
+            )
+        )
+
+    return dot / (norm(vec) * norm(other))
+
+
+def ivf_fixed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_q: str = "target_id",
+    id_c: str = "neighbor_id",
+    vec_q: str = "qv",
+    vec_c: str = "cv",
+    n_cells: int = IVF_FIXED_CELLS,
+    n_probe: int = IVF_FIXED_PROBE,
+) -> DataFrame:
+    """IVF cosine top-k with DETERMINISTIC anchors — the oracled variant
+    of :func:`ivf_topk` (whose k-means training is not SQL-expressible).
+
+    Anchors (fixed centroids) are the ``n_cells`` corpus vectors with the
+    smallest ``md5(id)`` — the same seedless hash-order trick the engine
+    uses for sampling, reproducible in any engine. Corpus assignment is
+    MAP-ONLY: each vector's cell is the argmax of its anchor cosines
+    (quantized to ``CELL_COS_DECIMALS`` so both engines agree; ties break
+    to the smallest anchor rank via first-index semantics on both sides
+    — Spark ``array_position``, DuckDB ``ORDER BY s DESC, rk``). Queries
+    probe their ``n_probe`` best cells; candidates come from ONE cell-id
+    equi-join; exact cosine + top-k after.
+
+    At 10^12 rows: anchor selection is a tiny hash-ordered limit, the
+    assignment scan has NO shuffle (anchor literals are plan constants),
+    and the only shuffle is the candidate equi-join on cell id — same
+    shape as the production :func:`ivf_topk`, minus the training step.
+    """
+    anchors = (
+        corpus.select(
+            F.col(vec_c).alias("_av"),
+            F.md5(F.col(id_c).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+
+    def cells_arr(vec) -> "F.Column":
+        return F.array(
+            *[
+                F.round(
+                    _cos_expr(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in r["_av"]]),
+                    ),
+                    CELL_COS_DECIMALS,
+                )
+                for r in anchors
+            ]
+        )
+
+    ck = corpus.withColumn("_cs", cells_arr(F.col(vec_c))).select(
+        id_c,
+        vec_c,
+        F.array_position(F.col("_cs"), F.array_max("_cs"))
+        .cast("int")
+        .alias("_cell"),
+    )
+    qs = queries.withColumn("_cs", cells_arr(F.col(vec_q))).select(
+        id_q, vec_q, F.posexplode("_cs").alias("_pos", "_s")
+    )
+    wq = Window.partitionBy(id_q).orderBy(F.col("_s").desc(), F.col("_pos"))
+    qk = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(id_q, vec_q, (F.col("_pos") + 1).cast("int").alias("_cell"))
+    )
+    cand = (
+        qk.join(ck, "_cell")
+        .drop("_cell")
+        .filter(F.col(id_q) != F.col(id_c))
+    )
+    scored = cand.withColumn(
+        "cos", _cos_expr(F.col(vec_q), F.col(vec_c))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos").desc(), F.col(id_c))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_q, id_c, "cos", "rnk")
+    )
+
+
 # --- oracle SQL generation (DuckDB mirror of the identical algorithm) -------
 
 def _duck_dot_signs(vec: str, signs: list[int]) -> str:

