@@ -314,6 +314,13 @@ def ivf_fixed_topk(
     assignment scan has NO shuffle (anchor literals are plan constants),
     and the only shuffle is the candidate equi-join on cell id — same
     shape as the production :func:`ivf_topk`, minus the training step.
+    SIZE ``n_cells`` TO THE CORPUS at scale: the join has exactly
+    ``n_cells`` distinct keys, so 8 cells caps the join's parallelism at
+    8 tasks (fine for the small test corpus, where the query side
+    broadcasts anyway); production IVF practice is n_cells ≈ O(√N) —
+    which also bounds per-cell candidate counts — and the anchor-literal
+    plan grows linearly in n_cells, so beyond ~10³ cells switch the
+    assignment to the Arrow-matmul path :func:`ivf_topk` uses.
     """
     anchors = (
         corpus.select(
