@@ -2217,6 +2217,13 @@ def ewma_events(spark, sf_dir):
     exactly the continuation) and dropped from the output."""
     import pandas as pd
 
+    # NOTE on partition count: AQE coalesces this exchange to 2
+    # partitions at sf0.1 (tiny bytes). That is the RIGHT call here —
+    # pinning repartition(32, ...) was measured SLOWER (1.4 s vs 0.76 s:
+    # 32 near-empty Arrow round-trips cost more than the lost
+    # parallelism) — and at real scale AQE's ~64 MB advisory target
+    # yields far more partitions than cores, so the Python stage
+    # parallelizes fully without help.
     e = (
         _t(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts", "value")
