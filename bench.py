@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_ivf_fixed_topk",
     "text_analysis_docs",
     "repetition_docs",
+    "pii_scrub_docs",
     "plan_featurize_nodes",
     "mscn_serialize_plans",
     "stream_sessionize_events",

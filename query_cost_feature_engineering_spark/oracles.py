@@ -1421,3 +1421,42 @@ def _plan_feat_sql() -> str:
 
 
 ORACLES["plan_featurize_nodes"] = _plan_feat_sql()
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB mirror of pii_scrub_docs: identical deterministic PII
+    injection, identical dialect-neutral patterns ('g' flag makes
+    DuckDB's regexp_replace global like Java's replaceAll)."""
+    from query_cost_feature_engineering_spark.queries import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' now' AS text2
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, text2,
+             regexp_replace(
+                 regexp_replace(text2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM seeded
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(length(redacted) AS BIGINT) AS red_len,
+           md5(redacted) AS red_digest
+    FROM red
+    """
+
+
+ORACLES["pii_scrub_docs"] = _pii_scrub_sql()

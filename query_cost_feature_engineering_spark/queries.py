@@ -1548,6 +1548,54 @@ def stream_stateful_user_stats(spark, sf_dir):
     )
 
 
+# PII patterns shared by the Spark query and the DuckDB oracle. Both are
+# deliberately dialect-neutral (character classes + bounded quantifiers
+# only — no lookaround, no \b) so Java regex (Spark) and RE2 (DuckDB)
+# agree on every match.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrubbing — the redaction pass a pretraining corpus runs
+    before anything else ships. The synthetic corpus carries no natural
+    PII, so the query first INJECTS deterministic email/phone spans
+    (pure functions of doc_id, built identically in the oracle — the
+    same both-engines-synthesize pattern as the plan corpora), then
+    scrubs: emails → <EMAIL>, phone-like digit runs → <PHONE>, with
+    per-doc match counts and a digest of the redacted text. Everything
+    is JVM regexp (map-only, no shuffle, no UDF); at 10^12 rows this is
+    a single scan."""
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now"),
+        ).alias("text2"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text2"), F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text2"), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text2"), F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("red_len"),
+        F.md5(redacted.cast("binary")).alias("red_digest"),
+    )
+
+
 def repetition_docs(spark, sf_dir):
     """Gopher-style repetition quality signals per document — duplicate
     line fraction and duplicate word fraction, the standard "remove
@@ -2391,6 +2439,7 @@ REGISTRY = {
     "ann_ivf_fixed_topk": ann_ivf_fixed_topk,
     "text_analysis_docs": text_analysis_docs,
     "repetition_docs": repetition_docs,
+    "pii_scrub_docs": pii_scrub_docs,
     "image_features": image_features,
     "image_asof_features": image_asof_features,
     "phash_neardup_images": phash_neardup_images,

@@ -188,3 +188,43 @@ def test_plan_fingerprint_detects_same_path_rewrite(spark, tmp_path):
     spark.range(20).write.mode("overwrite").parquet(p)
     fp2 = plan_fingerprint(spark.read.parquet(p))
     assert fp2 is not None and fp2 != fp1
+
+
+def test_pii_scrub_redaction_semantics(spark):
+    """Pin the scrub contract on literal text: global replacement (not
+    first-match), email before phone, and patterns that cannot match the
+    synthetic corpus's plain words."""
+    import pyspark.sql.functions as F
+
+    from query_cost_feature_engineering_spark.queries import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org twice, call +1-555-0100 "
+            "or 040-1234-5678 done"),
+        (2, "no pii here just words and 42"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            red.alias("red"),
+            F.regexp_count("t", F.lit(PII_EMAIL_RE)).alias("ne"),
+            F.regexp_count("t", F.lit(PII_PHONE_RE)).alias("np"),
+        ).collect()
+    }
+    assert out[1]["ne"] == 2 and out[1]["np"] == 2  # global, both kinds
+    assert out[1]["red"] == (
+        "mail <EMAIL> and <EMAIL> twice, call <PHONE> or <PHONE> done"
+    )
+    # short digit runs ('42') and plain words are untouched
+    assert out[2]["ne"] == 0 and out[2]["np"] == 0
+    assert out[2]["red"] == rows[1][1]
