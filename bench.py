@@ -88,6 +88,7 @@ HEADLINE = [
     "text_analysis_docs",
     "repetition_docs",
     "pii_scrub_docs",
+    "pack_sequences_docs",
     "plan_featurize_nodes",
     "mscn_serialize_plans",
     "stream_sessionize_events",

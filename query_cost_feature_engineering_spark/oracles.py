@@ -1460,3 +1460,33 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLES["pii_scrub_docs"] = _pii_scrub_sql()
+
+
+def _pack_sequences_sql() -> str:
+    """DuckDB mirror of pack_sequences_docs: the same exclusive ordered
+    prefix sum expressed as the naive global window (fine for an oracle
+    at test scale; the engine's distributed range-bucket form exists
+    precisely because this window serializes at 10^12 rows)."""
+    from query_cost_feature_engineering_spark.queries import PACK_CONTEXT_LEN
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) - n_tokens AS BIGINT) AS prefix
+      FROM t
+    )
+    SELECT doc_id, n_tokens, prefix,
+           CAST(floor(prefix / {PACK_CONTEXT_LEN}.0) AS BIGINT) AS seq_id,
+           CAST(prefix % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_off
+    FROM p
+    """
+
+
+ORACLES["pack_sequences_docs"] = _pack_sequences_sql()

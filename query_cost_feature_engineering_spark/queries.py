@@ -1173,6 +1173,51 @@ def running_total_orders(spark, sf_dir):
     return out.select("o_orderkey", "run_cents", "run_rows")
 
 
+PACK_CONTEXT_LEN = 512
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing — assign every document to its fixed-size
+    training context (the standard LLM-pretraining step that
+    concatenates docs in corpus order into L-token sequences). Each
+    doc's context id and starting offset are pure functions of the
+    EXCLUSIVE global prefix sum of token counts in doc_id order:
+    seq_id = ⌊prefix/L⌋, seq_off = prefix mod L (docs spanning a
+    boundary start in seq_id and spill into the next — the consumer
+    splits at read time, so packing needs no per-token pass).
+
+    The global ordered prefix sum goes through the distributed
+    range-bucket operator (operators/prefix.with_running_sums — ONE
+    range exchange, per-bucket offsets broadcast back), NOT a
+    single-partition `SUM OVER (ORDER BY)` window: at 10^12 docs the
+    naive window serializes the corpus through one task. Token counts
+    are exact integers, so prefix sums are bit-identical across
+    engines."""
+    from query_cost_feature_engineering_spark.operators.prefix import (
+        with_running_sums,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = with_running_sums(
+        d, ["doc_id"], ["n_tokens"], bucket_col="doc_id", n_buckets=32
+    )
+    prefix = (F.col("run_n_tokens") - F.col("n_tokens")).alias("prefix")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        prefix,
+        F.floor((F.col("run_n_tokens") - F.col("n_tokens")) / PACK_CONTEXT_LEN)
+        .cast("long")
+        .alias("seq_id"),
+        ((F.col("run_n_tokens") - F.col("n_tokens")) % PACK_CONTEXT_LEN)
+        .cast("long")
+        .alias("seq_off"),
+    )
+
+
 def weighted_sample_docs(spark, sf_dir):
     """Quality-weighted corpus rebalancing: keep each document with
     probability p = min(len/400 + 0.1, 1) — longer (higher-signal) docs
@@ -2428,6 +2473,7 @@ REGISTRY = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
     "weighted_sample_docs": weighted_sample_docs,
+    "pack_sequences_docs": pack_sequences_docs,
     "running_total_orders": running_total_orders,
     "dedup_clusters_docs": dedup_clusters_docs,
     "simhash_docs": simhash_docs,

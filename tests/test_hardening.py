@@ -228,3 +228,32 @@ def test_pii_scrub_redaction_semantics(spark):
     # short digit runs ('42') and plain words are untouched
     assert out[2]["ne"] == 0 and out[2]["np"] == 0
     assert out[2]["red"] == rows[1][1]
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: offsets bounded by L, exclusive prefix exactly
+    reconstructs from token counts in corpus order, contexts are dense
+    (every seq_id up to the last appears)."""
+    from query_cost_feature_engineering_spark.queries import (
+        PACK_CONTEXT_LEN,
+        pack_sequences_docs,
+    )
+
+    pdf = (
+        pack_sequences_docs(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (pdf.seq_off < PACK_CONTEXT_LEN).all() and (pdf.seq_off >= 0).all()
+    assert pdf.prefix.iloc[0] == 0
+    # exclusive prefix = cumulative tokens of all earlier docs
+    import numpy as np
+
+    want = np.concatenate([[0], pdf.n_tokens.to_numpy()[:-1]]).cumsum()
+    assert (pdf.prefix.to_numpy() == want).all()
+    assert (
+        pdf.seq_id.to_numpy() == pdf.prefix.to_numpy() // PACK_CONTEXT_LEN
+    ).all()
+    # contexts dense 0..max (no empty context can exist by construction)
+    assert set(range(int(pdf.seq_id.max()) + 1)) == set(pdf.seq_id.unique())
