@@ -1490,3 +1490,10 @@ def _pack_sequences_sql() -> str:
 
 
 ORACLES["pack_sequences_docs"] = _pack_sequences_sql()
+
+
+# explain_json_featurize parses the SAME deterministic plan corpus from
+# the real EXPLAIN (FORMAT JSON) wrapper format, so its oracle is
+# plan_featurize_nodes' verbatim: a green hash proves the wrapped parse
+# + canonical re-serialization path is bit-identical to the bare path.
+ORACLES["explain_json_featurize"] = ORACLES["plan_featurize_nodes"]

@@ -987,6 +987,45 @@ def plan_featurize_nodes(spark, sf_dir):
     )
 
 
+def explain_json_featurize(spark, sf_dir):
+    """plan_featurize_nodes fed by REAL ``EXPLAIN (ANALYZE, FORMAT
+    JSON)`` output — PostgreSQL's one-element array wrapper with
+    "Planning Time" / "Triggers" / "Execution Time" alongside the
+    "Plan" root (sources/logs.read_plans_from_explain_json). The SAME
+    deterministic plan stream as the console-format corpus, so it
+    shares plan_featurize_nodes' DuckDB oracle verbatim: a green hash
+    means the wrapped-format parse, the canonical re-serialization, and
+    the featurizers are end-to-end identical to the bare-format path —
+    the "point it at real EXPLAIN logs" contract."""
+    import os
+
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        feat_digest,
+        featurize_nodes,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        PLAN_FIXTURE_N,
+        PLAN_FIXTURE_SEED,
+        ensure_plan_nodes_fixture,
+        generate_explain_json_log,
+        per_node_rows,
+        read_plans_from_explain_json,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_explain_64.txt")
+    generate_explain_json_log(
+        path, n_plans=PLAN_FIXTURE_N, seed=PLAN_FIXTURE_SEED
+    )
+    ensure_plan_nodes_fixture()
+    nodes = per_node_rows(read_plans_from_explain_json(spark, path))
+    return featurize_nodes(nodes).select(
+        "node_id",
+        "node_type",
+        F.size("feat").alias("feat_len"),
+        feat_digest().alias("feat_digest"),
+    )
+
+
 def dedup_exact_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2467,6 +2506,7 @@ REGISTRY = {
     "logscan_plans": logscan_plans,
     "mscn_serialize_plans": mscn_serialize_plans,
     "plan_featurize_nodes": plan_featurize_nodes,
+    "explain_json_featurize": explain_json_featurize,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,

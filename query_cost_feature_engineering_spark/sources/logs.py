@@ -299,6 +299,78 @@ def generate_serverlog(
         f.write("\n".join(lines) + "\n")
 
 
+def generate_explain_json_log(
+    path: str, n_plans: int = 200, seed: int = 61, max_depth: int = MAX_DEPTH
+) -> None:
+    """Real ``EXPLAIN (ANALYZE, FORMAT JSON)`` shape: each line is the
+    one-element array PostgreSQL emits, wrapping the root node under
+    "Plan" alongside top-level keys ("Planning Time", "Execution Time",
+    "Triggers") the featurizer must tolerate and ignore. Same plan
+    stream as generate_console_log at the same (n, seed), so the two
+    formats parse to IDENTICAL node rows."""
+    rng = np.random.default_rng(seed + 3)
+    lines: list[str] = []
+    for plan in generate_plans(n_plans, seed, max_depth):
+        wrapped = [
+            {
+                "Plan": plan,
+                "Planning Time": round(float(rng.random() * 10), 3),
+                "Triggers": [],
+                "Execution Time": round(float(rng.random() * 1000), 3),
+            }
+        ]
+        lines.append(json.dumps(wrapped))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def read_plans_from_explain_json(
+    spark: SparkSession, path: str, depth: int = MAX_DEPTH
+) -> DataFrame:
+    """Salvage REAL ``EXPLAIN (FORMAT JSON)`` output: accepts per line
+    either PostgreSQL's one-element array wrapper
+    (``[{"Plan": {...}, "Execution Time": ...}]``), the bare wrapper
+    object, or a bare node (the synthetic corpus format) — unknown
+    top-level keys are ignored by ``from_json``. ``plans_json`` is the
+    canonical re-serialization (``to_json`` of the parsed node) so every
+    downstream consumer (``per_node_rows``, the MSCN serializer) reads
+    the same shape regardless of source format. NOTE: pretty-printed
+    multi-line EXPLAIN files are whole-file JSON, not log lines — read
+    those with ``spark.read.option("multiLine", True).json`` and select
+    ``Plan`` directly; this reader is for log-embedded one-line plans."""
+    wrapper = T.StructType(
+        [
+            T.StructField("Plan", plan_schema(depth)),
+            T.StructField("Planning Time", T.DoubleType()),
+            T.StructField("Execution Time", T.DoubleType()),
+        ]
+    )
+    raw = spark.read.text(path)
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("value"), r"^\s*\[\s*", ""), r"\s*\]\s*$", ""
+    )
+    parsed = (
+        raw.filter(F.col("value").rlike(r"^\s*[\[{]"))
+        .withColumn("w", F.from_json(stripped, wrapper))
+        .withColumn(
+            "plan",
+            F.coalesce(F.col("w.Plan"), F.from_json(stripped, plan_schema(depth))),
+        )
+        .filter(F.col("plan").isNotNull() & F.col("plan.`Node Type`").isNotNull())
+    )
+    return parsed.select(
+        F.monotonically_increasing_id().alias("plan_id"),
+        F.col("plan.`Node Type`").alias("node_type"),
+        F.col("plan.`Plan Rows`").alias("plan_rows"),
+        F.col("plan.`Actual Rows`").alias("actual_rows"),
+        F.col("plan.`Actual Total Time`").alias("actual_total_time"),
+        F.size(F.coalesce(F.col("plan.Plans"), F.array())).alias("n_children"),
+        F.col("w.`Planning Time`").alias("planning_time"),
+        F.col("w.`Execution Time`").alias("execution_time"),
+        F.to_json(F.col("plan")).alias("plans_json"),
+    )
+
+
 def _plans_from_json_lines(cleaned: DataFrame, depth: int) -> DataFrame:
     parsed = cleaned.withColumn(
         "plan", F.from_json(F.col("json"), plan_schema(depth))

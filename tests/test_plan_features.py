@@ -194,3 +194,67 @@ def test_hand_built_edge_nodes(spark, tmp_path):
 
 def test_unified_len_is_sort():
     assert UNIFIED_FEAT_LEN == TYPE_FEAT_LEN["Sort"] == 53
+
+
+def test_explain_json_wrapper_equals_bare_format(spark, tmp_path):
+    """The real EXPLAIN (FORMAT JSON) wrapper ([{"Plan": ...}] with
+    Planning/Execution Time and unknown keys) must featurize
+    bit-identically to the bare-node console format over the same plan
+    stream, and must tolerate unknown per-node fields (buffers
+    counters) a real PostgreSQL emits."""
+    from query_cost_feature_engineering_spark.sources.logs import (
+        generate_console_log,
+        generate_explain_json_log,
+        per_node_rows,
+        read_plans_from_explain_json,
+        read_plans_from_log,
+    )
+
+    bare = str(tmp_path / "bare.log")
+    wrapped = str(tmp_path / "wrapped.log")
+    generate_console_log(bare, n_plans=60, seed=91)
+    generate_explain_json_log(wrapped, n_plans=60, seed=91)
+
+    def digests(nodes):
+        pdf = (
+            featurize_nodes(nodes)
+            .select("node_id", feat_digest().alias("d"))
+            .toPandas()
+        )
+        return dict(zip(pdf.node_id, pdf.d))
+
+    b = read_plans_from_log(spark, bare)
+    w = read_plans_from_explain_json(spark, wrapped)
+    assert digests(per_node_rows(b)) == digests(per_node_rows(w))
+    # wrapper-only metadata survives the parse
+    row = w.select("planning_time", "execution_time").first()
+    assert row.planning_time is not None and row.execution_time is not None
+
+    # a realistic line: pg-style buffers counters (unknown fields),
+    # leading whitespace, one-element array
+    line = (
+        '  [{"Plan": {"Node Type": "Seq Scan", "Node Id": 1, '
+        '"Relation Name": "orders", "Plan Rows": 5, "Plan Width": 10, '
+        '"Total Cost": 2.5, "Filter": "(o_clerk = 7)", '
+        '"Shared Hit Blocks": 120, "Actual Loops": 1, "Plans": []}, '
+        '"Planning Time": 0.2, "Triggers": [], "Execution Time": 9.9}]'
+    )
+    p = str(tmp_path / "real.log")
+    with open(p, "w") as f:
+        f.write(line + "\n")
+    got = per_node_rows(read_plans_from_explain_json(spark, p)).toPandas()
+    assert len(got) == 1 and got.relation_name[0] == "orders"
+    want = featurize_node_dict(
+        {
+            "Node Type": "Seq Scan",
+            "Relation Name": "orders",
+            "Plan Rows": 5,
+            "Plan Width": 10,
+            "Total Cost": 2.5,
+            "Filter": "(o_clerk = 7)",
+        }
+    )
+    out = featurize_nodes(
+        per_node_rows(read_plans_from_explain_json(spark, p))
+    ).select(feat_digest().alias("d")).first()
+    assert out.d == _py_digest(want)
