@@ -89,6 +89,7 @@ HEADLINE = [
     "repetition_docs",
     "pii_scrub_docs",
     "pack_sequences_docs",
+    "mixture_rebalance_docs",
     "plan_featurize_nodes",
     "mscn_serialize_plans",
     "stream_sessionize_events",

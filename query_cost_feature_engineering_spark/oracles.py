@@ -1497,3 +1497,45 @@ ORACLES["pack_sequences_docs"] = _pack_sequences_sql()
 # plan_featurize_nodes' verbatim: a green hash proves the wrapped parse
 # + canonical re-serialization path is bit-identical to the bare path.
 ORACLES["explain_json_featurize"] = ORACLES["plan_featurize_nodes"]
+
+
+# mixture_rebalance_docs: uniform-target mixture resampling. The factor
+# is quantized to integer micro-units with floor(x*1e6 + 0.5) over
+# identically-computed doubles, and everything after (copy count,
+# fractional-acceptance threshold) is integer arithmetic — engine-exact.
+ORACLES["mixture_rebalance_docs"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM t GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_src
+            FROM s),
+    f AS (SELECT source,
+                 CAST(floor(CAST(total AS DOUBLE)
+                            / (CAST(n_src AS DOUBLE)
+                               * CAST(src_tokens AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS fm
+          FROM s CROSS JOIN tot),
+    c AS (
+      SELECT t.doc_id, t.source,
+             f.fm // 1000000 AS nfull,
+             (f.fm % 1000000) * 4294967296 // 1000000 AS thr,
+             CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM t JOIN f USING (source)
+    ),
+    k AS (
+      SELECT doc_id, source,
+             CAST(nfull + CASE WHEN h < thr THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_copies
+      FROM c
+    )
+    SELECT doc_id, source, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+    FROM k
+    WHERE n_copies >= 1
+"""

@@ -1279,6 +1279,67 @@ def weighted_sample_docs(spark, sf_dir):
     )
 
 
+def mixture_rebalance_docs(spark, sf_dir):
+    """Data-mixture rebalancing: resample every source to a UNIFORM
+    token share (the pretraining mixture knob — over-represented
+    sources down-sampled, under-represented ones duplicated). Each
+    doc's copy count is deterministic: factor f = total/(n_src ·
+    src_tokens) quantized to integer MICRO-units (floor(f·10⁶ + 0.5) —
+    identical doubles then identical half-up rounding on both engines,
+    and all later arithmetic is integer-exact), copies = ⌊f⌋ plus one
+    extra iff md5int(doc_id) < fm%10⁶ scaled into the 16⁸ hash space
+    with integer DIV (no float at 4e15 magnitude). Plan shape: one
+    small per-source aggregate broadcast back onto the scan + a
+    map-only explode — at 10^12 docs this is one shuffle-free pass
+    after a tiny agg."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    s = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = s.agg(
+        F.sum("src_tokens").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    f = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "fm",
+            F.floor(
+                F.col("total").cast("double")
+                / (
+                    F.col("n_src").cast("double")
+                    * F.col("src_tokens").cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("source", "fm")
+    )
+    j = d.join(F.broadcast(f), "source")
+    nfull = F.floor(F.col("fm") / F.lit(1000000.0)).cast("long")
+    thr = F.expr("CAST((fm % 1000000) * 4294967296 DIV 1000000 AS BIGINT)")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    copies = (nfull + F.when(h < thr, F.lit(1)).otherwise(F.lit(0))).cast(
+        "long"
+    )
+    return (
+        j.withColumn("n_copies", copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy_id"),
+        )
+    )
+
+
 def contamination_docs(spark, sf_dir):
     """Benchmark-contamination check: exact 3-gram Jaccard ≥ 0.5 pairs
     BETWEEN the training corpus and a held-out benchmark set (a
@@ -2512,6 +2573,7 @@ REGISTRY = {
     "minhash_band_pairs": minhash_band_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
+    "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "running_total_orders": running_total_orders,

@@ -257,3 +257,46 @@ def test_pack_sequences_invariants(spark):
     ).all()
     # contexts dense 0..max (no empty context can exist by construction)
     assert set(range(int(pdf.seq_id.max()) + 1)) == set(pdf.seq_id.unique())
+
+
+def test_mixture_rebalance_moves_shares_toward_uniform(spark):
+    """Rebalance contract: copy_id enumerates 1..n_copies per kept doc,
+    every copy count is deterministic, and the post-resample per-source
+    token shares are strictly closer to uniform than the input's."""
+    import pyspark.sql.functions as F
+
+    from query_cost_feature_engineering_spark.queries import (
+        mixture_rebalance_docs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = mixture_rebalance_docs(spark, sf).toPandas()
+    g = out.groupby("doc_id")
+    assert (g.copy_id.max() == g.n_copies.max()).all()
+    assert (g.copy_id.min() == 1).all()
+    assert (g.size() == g.n_copies.max()).all()
+
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .toPandas()
+    )
+    before = d.groupby("source").nt.sum()
+    merged = out.merge(d[["doc_id", "nt"]], on="doc_id")
+    after = merged.groupby("source").nt.sum()
+
+    def rel_spread(s):
+        return (s.max() - s.min()) / s.mean()
+
+    assert rel_spread(after) < rel_spread(before) / 2
+    # determinism: second run identical
+    out2 = mixture_rebalance_docs(spark, sf).toPandas()
+    a = out.sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
