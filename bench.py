@@ -200,21 +200,44 @@ def main() -> None:
     # steal (BENCH.md); min-of-reps is the capability estimate used
     # everywhere in BENCH.md
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    from query_cost_feature_engineering_spark.operators import neardup
+    from query_cost_feature_engineering_spark.operators import (
+        asof,
+        neardup,
+        prefix,
+        rank,
+    )
 
+    def _clear_stat_caches() -> None:
+        # Every driver-side statistics cache is cleared between reps so
+        # min-of-reps measures the real query (approxQuantile probes,
+        # vocab probe, skew detection included), not a cache hit —
+        # uniform methodology across ALL cached operators (round-3
+        # ADVICE: vocab alone was cleared, under-reporting the prefix/
+        # rank/asof queries relative to the stated method).
+        neardup._VOCAB_CACHE.clear()
+        prefix._PREFIX_STATS_CACHE.clear()
+        rank._RANK_STATS_CACHE.clear()
+        asof._SKEW_PROFILE_CACHE.clear()
+
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
-        best = None
+        per_rep = []
         for _ in range(n_reps):
-            # the token-vocabulary probe is cached across invocations
-            # (operators/neardup.py); clear it so every rep pays the
-            # full first-run cost — min-of-reps then measures the real
-            # query, not a cache hit
-            neardup._VOCAB_CACHE.clear()
+            _clear_stat_caches()
             t0 = time.perf_counter()
             _run_count(qs[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            per_rep.append(time.perf_counter() - t0)
+        # cold = first rep (pays Janino codegen for this plan shape);
+        # warm_min = best of the rest (capability once compiled). Both
+        # are reported so methodology changes and host-steal epochs
+        # can't silently move one aggregate number (round-3 verdict #4).
+        cold = per_rep[0]
+        warm_min = min(per_rep[1:]) if len(per_rep) > 1 else per_rep[0]
+        detail[name] = {
+            "cold": round(cold, 3),
+            "warm_min": round(warm_min, 3),
+        }
+        timings[name] = round(min(per_rep), 3)
 
     with tempfile.TemporaryDirectory(prefix="qcfe_bench_") as workdir:
         img = bench_image_pipeline(spark, workdir)
@@ -226,6 +249,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold_warm": detail,
         "sf": sf_dir,
         "cpus": int(cpus),
         "images_per_sec": img["images_per_sec"],

@@ -1483,7 +1483,7 @@ def _pack_sequences_sql() -> str:
       FROM t
     )
     SELECT doc_id, n_tokens, prefix,
-           CAST(floor(prefix / {PACK_CONTEXT_LEN}.0) AS BIGINT) AS seq_id,
+           CAST(prefix // {PACK_CONTEXT_LEN} AS BIGINT) AS seq_id,
            CAST(prefix % {PACK_CONTEXT_LEN} AS BIGINT) AS seq_off
     FROM p
     """

@@ -1091,7 +1091,9 @@ def band_pairs(banded: "DataFrame", cap: int = _MINHASH_BUCKET_CAP):
     routed through a streaming (band, key) self-join — no per-row
     bucket materialization, so an adversarial mass-duplication bucket
     degrades to a slow-but-bounded join instead of an OOM. Both paths
-    emit the identical i<j pair set (pinned by test). The window count
+    emit the identical i<j pair set (pinned by test) — including for
+    non-unique doc_ids within a bucket, where the sorted-slice path
+    would otherwise emit a==b self-pairs the join path's a<b drops. The window count
     and both branches read the SAME exchange, so the upstream
     (signature) pipeline runs once (ReusedExchange). Pair OUTPUT is
     inherently O(bucket²) either way — corpora with giant duplicate
@@ -1119,7 +1121,9 @@ def band_pairs(banded: "DataFrame", cap: int = _MINHASH_BUCKET_CAP):
                     )
                 )
             ).alias("p")
-        ).select("p.doc_a", "p.doc_b")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
     )
     big = sized.filter(F.col("_n") > cap)
     big_a = big.select("band", "key", F.col("doc_id").alias("doc_a"))
@@ -1248,7 +1252,9 @@ def pack_sequences_docs(spark, sf_dir):
         "doc_id",
         "n_tokens",
         prefix,
-        F.floor((F.col("run_n_tokens") - F.col("n_tokens")) / PACK_CONTEXT_LEN)
+        # integer DIV, not float '/': the global prefix sum exceeds
+        # 2^53 at ~1e13 tokens, past which double division drifts
+        F.expr(f"(run_n_tokens - n_tokens) DIV {PACK_CONTEXT_LEN}")
         .cast("long")
         .alias("seq_id"),
         ((F.col("run_n_tokens") - F.col("n_tokens")) % PACK_CONTEXT_LEN)
