@@ -51,46 +51,56 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from query_cost_feature_engineering_spark.sources.logs import (
-    AGG_STRATEGIES,
-    INDEX_NAMES,
-    JOIN_TYPES,
-    MAX_ATTR,
-    PARENT_REL_TYPES,
-    REL_ATTRS,
-    REL_NAMES,
-    SORT_ALGOS,
-    attr_stats,
+    TPCH_VOCAB,
+    PlanVocab,
 )
 
 BASICS_LEN = 3
-ATTR_STATS_LEN = 3 * MAX_ATTR
-SORT_KEY_LEN = len(REL_NAMES) * MAX_ATTR
 
-#: per-node-type vector length (ref tpch_dim_dict minus the knob/factor
-#: terms, which are training-loop state, not plan features)
-TYPE_FEAT_LEN = {
-    "Seq Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN,
-    # ref get_scan_input also serves Bitmap Heap Scan (Filter -> Recheck
-    # Cond fallback); get_index_scan_input also serves Index Only Scan
-    "Bitmap Heap Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN,
-    "Index Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN
-    + len(INDEX_NAMES) + 1,
-    "Index Only Scan": BASICS_LEN + len(REL_NAMES) + ATTR_STATS_LEN
-    + len(INDEX_NAMES) + 1,
-    "Bitmap Index Scan": BASICS_LEN + len(INDEX_NAMES),
-    "Hash Join": BASICS_LEN + len(JOIN_TYPES) + len(PARENT_REL_TYPES),
-    "Merge Join": BASICS_LEN + len(JOIN_TYPES) + len(PARENT_REL_TYPES),
-    "Nested Loop": BASICS_LEN + len(JOIN_TYPES),
-    "Sort": BASICS_LEN + SORT_KEY_LEN + len(SORT_ALGOS),
-    "Hash": BASICS_LEN + 1,
-    "Aggregate": BASICS_LEN + len(AGG_STRATEGIES) + 1,
-    "ModifyTable": BASICS_LEN + len(REL_NAMES),
-}
 
-#: widest per-type vector — the MSCN serializer zero-pads every node's
-#: numerics to this (ref pads per-type batches; one unified width keeps
-#: the flat plan vector rectangular)
-UNIFIED_FEAT_LEN = max(TYPE_FEAT_LEN.values())
+def type_feat_len(vocab: PlanVocab = TPCH_VOCAB) -> dict[str, int]:
+    """Per-node-type vector length under ``vocab`` (ref tpch_dim_dict
+    minus the knob/factor terms, which are training-loop state, not plan
+    features). The reference keeps one dict per workload
+    (job_dataset/attr_rel_dict.py); here it is derived from the
+    vocabulary."""
+    n_rel = len(vocab.rel_names)
+    attr_len = 3 * vocab.max_attr
+    sort_len = n_rel * vocab.max_attr
+    n_idx = len(vocab.index_names)
+    return {
+        "Seq Scan": BASICS_LEN + n_rel + attr_len,
+        # ref get_scan_input also serves Bitmap Heap Scan (Filter ->
+        # Recheck Cond fallback); get_index_scan_input also serves Index
+        # Only Scan
+        "Bitmap Heap Scan": BASICS_LEN + n_rel + attr_len,
+        "Index Scan": BASICS_LEN + n_rel + attr_len + n_idx + 1,
+        "Index Only Scan": BASICS_LEN + n_rel + attr_len + n_idx + 1,
+        "Bitmap Index Scan": BASICS_LEN + n_idx,
+        "Hash Join": BASICS_LEN
+        + len(vocab.join_types) + len(vocab.parent_rel_types),
+        "Merge Join": BASICS_LEN
+        + len(vocab.join_types) + len(vocab.parent_rel_types),
+        "Nested Loop": BASICS_LEN + len(vocab.join_types),
+        "Sort": BASICS_LEN + sort_len + len(vocab.sort_algos),
+        "Hash": BASICS_LEN + 1,
+        "Aggregate": BASICS_LEN + len(vocab.agg_strategies) + 1,
+        "ModifyTable": BASICS_LEN + n_rel,
+    }
+
+
+def unified_feat_len(vocab: PlanVocab = TPCH_VOCAB) -> int:
+    """Widest per-type vector — the MSCN serializer zero-pads every
+    node's numerics to this (ref pads per-type batches; one unified
+    width keeps the flat plan vector rectangular)."""
+    return max(type_feat_len(vocab).values())
+
+
+# default-vocabulary constants (back-compat with round-1..3 callers)
+ATTR_STATS_LEN = 3 * TPCH_VOCAB.max_attr
+SORT_KEY_LEN = len(TPCH_VOCAB.rel_names) * TPCH_VOCAB.max_attr
+TYPE_FEAT_LEN = type_feat_len(TPCH_VOCAB)
+UNIFIED_FEAT_LEN = unified_feat_len(TPCH_VOCAB)
 
 
 # --------------------------------------------------------------------------
@@ -112,21 +122,21 @@ def _basics() -> Column:
     )
 
 
-def _attr_stats_vec(cond: Column) -> Column:
+def _attr_stats_vec(cond: Column, vocab: PlanVocab) -> Column:
     """min(8) ⧺ med(8) ⧺ max(8) masked by predicate-substring matches,
     dispatched on relation_name (ref get_rel_attr_one_hot)."""
-    zeros = F.array(*[F.lit(0.0)] * ATTR_STATS_LEN)
+    zeros = F.array(*[F.lit(0.0)] * (3 * vocab.max_attr))
     chain = None
-    for ri, rel in enumerate(REL_NAMES):
-        attrs = REL_ATTRS[rel]
+    for ri, rel in enumerate(vocab.rel_names):
+        attrs = vocab.rel_attrs[rel]
         cells = []
         for stat_idx in range(3):  # min, med, max — ref's concat order
-            for i in range(MAX_ATTR):
+            for i in range(vocab.max_attr):
                 if i < len(attrs):
                     cells.append(
                         F.when(
                             cond.contains(attrs[i]),
-                            F.lit(attr_stats(ri, i)[stat_idx]),
+                            F.lit(vocab.attr_stats(ri, i)[stat_idx]),
                         ).otherwise(F.lit(0.0))
                     )
                 else:
@@ -139,7 +149,7 @@ def _attr_stats_vec(cond: Column) -> Column:
     return chain.otherwise(zeros)
 
 
-def _sort_key_vec() -> Column:
+def _sort_key_vec(vocab: PlanVocab) -> Column:
     """rel×attr one-hot from `Sort Key` tokens: strip parens, split on
     spaces, keep dotted tokens, match ``rel.attr`` (ref :156-168)."""
     toks = F.flatten(
@@ -152,9 +162,9 @@ def _sort_key_vec() -> Column:
         )
     )
     bits = []
-    for rel in REL_NAMES:
-        attrs = REL_ATTRS[rel]
-        for i in range(MAX_ATTR):
+    for rel in vocab.rel_names:
+        attrs = vocab.rel_attrs[rel]
+        for i in range(vocab.max_attr):
             if i < len(attrs):
                 bits.append(
                     F.when(
@@ -168,19 +178,26 @@ def _sort_key_vec() -> Column:
 
 
 def featurize_nodes(
-    nodes: DataFrame, feat_col: str = "feat"
+    nodes: DataFrame, feat_col: str = "feat", vocab: PlanVocab = TPCH_VOCAB
 ) -> DataFrame:
     """Append the per-type feature vector (array<double>) to exploded
-    per-node rows (``sources/logs.per_node_rows`` schema)."""
+    per-node rows (``sources/logs.per_node_rows`` schema). ``vocab``
+    selects the workload dictionary (TPCH default; pass
+    ``sources.logs.JOB_VOCAB`` or a custom :class:`PlanVocab` for other
+    schemas — the reference swaps a module per workload)."""
     basics = _basics()
-    rel_vec = _one_hot(F.col("relation_name"), REL_NAMES)
-    jt_vec = _one_hot(F.col("join_type"), JOIN_TYPES, lower=True)
+    rel_vec = _one_hot(F.col("relation_name"), list(vocab.rel_names))
+    jt_vec = _one_hot(F.col("join_type"), list(vocab.join_types), lower=True)
     parent_vec = _one_hot(
-        F.col("parent_relationship"), PARENT_REL_TYPES, lower=True
+        F.col("parent_relationship"), list(vocab.parent_rel_types), lower=True
     )
-    strat_vec = _one_hot(F.col("strategy"), AGG_STRATEGIES, lower=True)
-    index_vec = _one_hot(F.col("index_name"), INDEX_NAMES)
-    sortmeth_vec = _one_hot(F.col("sort_method"), SORT_ALGOS, lower=True)
+    strat_vec = _one_hot(
+        F.col("strategy"), list(vocab.agg_strategies), lower=True
+    )
+    index_vec = _one_hot(F.col("index_name"), list(vocab.index_names))
+    sortmeth_vec = _one_hot(
+        F.col("sort_method"), list(vocab.sort_algos), lower=True
+    )
     forward = F.when(
         F.col("scan_direction") == "Forward", F.lit(1.0)
     ).otherwise(F.lit(0.0))
@@ -198,14 +215,14 @@ def featurize_nodes(
     feat = (
         F.when(
             (nt == "Seq Scan") | (nt == "Bitmap Heap Scan"),
-            F.concat(basics, rel_vec, _attr_stats_vec(scan_cond)),
+            F.concat(basics, rel_vec, _attr_stats_vec(scan_cond, vocab)),
         )
         .when(
             (nt == "Index Scan") | (nt == "Index Only Scan"),
             F.concat(
                 basics,
                 rel_vec,
-                _attr_stats_vec(F.col("index_cond")),
+                _attr_stats_vec(F.col("index_cond"), vocab),
                 index_vec,
                 F.array(forward),
             ),
@@ -217,7 +234,9 @@ def featurize_nodes(
             F.concat(basics, jt_vec, parent_vec),
         )
         .when(nt == "Nested Loop", F.concat(basics, jt_vec))
-        .when(nt == "Sort", F.concat(basics, _sort_key_vec(), sortmeth_vec))
+        .when(
+            nt == "Sort", F.concat(basics, _sort_key_vec(vocab), sortmeth_vec)
+        )
         .when(nt == "Hash", F.concat(basics, F.array(buckets)))
         .when(
             nt == "Aggregate",
@@ -255,35 +274,39 @@ def _py_one_hot(val, vocab, lower=False):
     return arr
 
 
-def _py_attr_stats(rel, cond):
-    out = np.zeros(ATTR_STATS_LEN)
-    if rel in REL_ATTRS and cond:
-        ri = REL_NAMES.index(rel)
-        attrs = REL_ATTRS[rel]
+def _py_attr_stats(rel, cond, vocab: PlanVocab):
+    out = np.zeros(3 * vocab.max_attr)
+    if rel in vocab.rel_attrs and cond:
+        ri = vocab.rel_names.index(rel)
+        attrs = vocab.rel_attrs[rel]
         for stat_idx in range(3):
             for i, attr in enumerate(attrs):
                 if attr in cond:
-                    out[stat_idx * MAX_ATTR + i] = attr_stats(ri, i)[stat_idx]
+                    out[stat_idx * vocab.max_attr + i] = vocab.attr_stats(
+                        ri, i
+                    )[stat_idx]
     return out
 
 
-def _py_sort_key(keys):
-    out = np.zeros(SORT_KEY_LEN)
+def _py_sort_key(keys, vocab: PlanVocab):
+    out = np.zeros(len(vocab.rel_names) * vocab.max_attr)
     for key in keys or []:
         key = key.replace("(", " ").replace(")", " ")
         for tok in key.split(" "):
             if "." not in tok:
                 continue
             rel, attr = tok.split(".", 1)
-            if rel in REL_ATTRS and attr in REL_ATTRS[rel]:
+            if rel in vocab.rel_attrs and attr in vocab.rel_attrs[rel]:
                 out[
-                    REL_NAMES.index(rel) * MAX_ATTR
-                    + REL_ATTRS[rel].index(attr)
+                    vocab.rel_names.index(rel) * vocab.max_attr
+                    + vocab.rel_attrs[rel].index(attr)
                 ] = 1.0
     return out
 
 
-def featurize_node_dict(node: dict) -> np.ndarray:
+def featurize_node_dict(
+    node: dict, vocab: PlanVocab = TPCH_VOCAB
+) -> np.ndarray:
     """Python mirror of :func:`featurize_nodes` over a raw JSON node."""
     nt = node.get("Node Type")
     basics = np.array(
@@ -294,6 +317,8 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         ]
     )
     rel = node.get("Relation Name")
+    rels = list(vocab.rel_names)
+    idxs = list(vocab.index_names)
     if nt in ("Seq Scan", "Bitmap Heap Scan"):
         cond = node.get("Filter")
         if cond is None:  # ref get_scan_input's Recheck Cond fallback
@@ -301,24 +326,24 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         return np.concatenate(
             [
                 basics,
-                _py_one_hot(rel, REL_NAMES),
-                _py_attr_stats(rel, cond),
+                _py_one_hot(rel, rels),
+                _py_attr_stats(rel, cond, vocab),
             ]
         )
     if nt == "Bitmap Index Scan":
         return np.concatenate(
-            [basics, _py_one_hot(node.get("Index Name"), INDEX_NAMES)]
+            [basics, _py_one_hot(node.get("Index Name"), idxs)]
         )
     if nt == "ModifyTable":
-        return np.concatenate([basics, _py_one_hot(rel, REL_NAMES)])
+        return np.concatenate([basics, _py_one_hot(rel, rels)])
     if nt in ("Index Scan", "Index Only Scan"):
         fwd = 1.0 if node.get("Scan Direction") == "Forward" else 0.0
         return np.concatenate(
             [
                 basics,
-                _py_one_hot(rel, REL_NAMES),
-                _py_attr_stats(rel, node.get("Index Cond")),
-                _py_one_hot(node.get("Index Name"), INDEX_NAMES),
+                _py_one_hot(rel, rels),
+                _py_attr_stats(rel, node.get("Index Cond"), vocab),
+                _py_one_hot(node.get("Index Name"), idxs),
                 [fwd],
             ]
         )
@@ -326,10 +351,12 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         return np.concatenate(
             [
                 basics,
-                _py_one_hot(node.get("Join Type"), JOIN_TYPES, lower=True),
+                _py_one_hot(
+                    node.get("Join Type"), list(vocab.join_types), lower=True
+                ),
                 _py_one_hot(
                     node.get("Parent Relationship"),
-                    PARENT_REL_TYPES,
+                    list(vocab.parent_rel_types),
                     lower=True,
                 ),
             ]
@@ -338,15 +365,19 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         return np.concatenate(
             [
                 basics,
-                _py_one_hot(node.get("Join Type"), JOIN_TYPES, lower=True),
+                _py_one_hot(
+                    node.get("Join Type"), list(vocab.join_types), lower=True
+                ),
             ]
         )
     if nt == "Sort":
         return np.concatenate(
             [
                 basics,
-                _py_sort_key(node.get("Sort Key")),
-                _py_one_hot(node.get("Sort Method"), SORT_ALGOS, lower=True),
+                _py_sort_key(node.get("Sort Key"), vocab),
+                _py_one_hot(
+                    node.get("Sort Method"), list(vocab.sort_algos), lower=True
+                ),
             ]
         )
     if nt == "Hash":
@@ -358,16 +389,22 @@ def featurize_node_dict(node: dict) -> np.ndarray:
         return np.concatenate(
             [
                 basics,
-                _py_one_hot(node.get("Strategy"), AGG_STRATEGIES, lower=True),
+                _py_one_hot(
+                    node.get("Strategy"),
+                    list(vocab.agg_strategies),
+                    lower=True,
+                ),
                 [bit],
             ]
         )
     return basics
 
 
-def featurize_node_dict_padded(node: dict) -> np.ndarray:
+def featurize_node_dict_padded(
+    node: dict, vocab: PlanVocab = TPCH_VOCAB
+) -> np.ndarray:
     """The unified-width variant the MSCN serializer embeds per node."""
-    vec = featurize_node_dict(node)
-    out = np.zeros(UNIFIED_FEAT_LEN)
+    vec = featurize_node_dict(node, vocab)
+    out = np.zeros(unified_feat_len(vocab))
     out[: len(vec)] = vec
     return out

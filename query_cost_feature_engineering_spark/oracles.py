@@ -1302,21 +1302,28 @@ ORACLES["running_total_orders"] = """
 # match checks log parse + explode + featurization end to end; the SQL is
 # generated from the same vocabularies (sources/logs) so a vocabulary
 # drift breaks the build loudly, not silently.
-def _plan_feat_sql() -> str:
+def _plan_feat_sql(
+    vocab=None,
+    fixture_kwargs: dict | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> str:
     from query_cost_feature_engineering_spark.sources.logs import (
-        AGG_STRATEGIES,
-        INDEX_NAMES,
-        JOIN_TYPES,
-        MAX_ATTR,
-        PARENT_REL_TYPES,
-        REL_ATTRS,
-        REL_NAMES,
-        SORT_ALGOS,
-        attr_stats,
+        TPCH_VOCAB,
         ensure_plan_nodes_fixture,
     )
 
-    path = ensure_plan_nodes_fixture()
+    vocab = vocab or TPCH_VOCAB
+    REL_NAMES = list(vocab.rel_names)
+    REL_ATTRS = vocab.rel_attrs
+    INDEX_NAMES = list(vocab.index_names)
+    JOIN_TYPES = list(vocab.join_types)
+    PARENT_REL_TYPES = list(vocab.parent_rel_types)
+    AGG_STRATEGIES = list(vocab.agg_strategies)
+    SORT_ALGOS = list(vocab.sort_algos)
+    MAX_ATTR = vocab.max_attr
+    attr_stats = vocab.attr_stats
+
+    path = ensure_plan_nodes_fixture(vocab=vocab, **(fixture_kwargs or {}))
     basics = (
         "[COALESCE(CAST(plan_width AS DOUBLE), 0.0), "
         "COALESCE(CAST(plan_rows AS DOUBLE), 0.0), "
@@ -1375,6 +1382,7 @@ def _plan_feat_sql() -> str:
     buckets = "COALESCE(CAST(hash_buckets AS DOUBLE), 1.0)"
     # ref get_scan_input: Filter first, Recheck Cond when Filter absent
     scan_attr_vec = attr_vec("COALESCE(filter_cond, recheck_cond)")
+    extra = "".join(f", {c}" for c in extra_cols)
     return f"""
     WITH nodes AS (
       SELECT *,
@@ -1388,7 +1396,7 @@ def _plan_feat_sql() -> str:
       FROM read_parquet('{path}')
     ),
     feat AS (
-      SELECT node_id, node_type,
+      SELECT node_id, node_type, is_subplan{extra},
         CASE node_type
           WHEN 'Seq Scan' THEN
             {basics} || {rel_vec} || {scan_attr_vec}
@@ -1412,7 +1420,7 @@ def _plan_feat_sql() -> str:
         END AS vec
       FROM nodes
     )
-    SELECT node_id, node_type,
+    SELECT node_id, node_type, is_subplan{extra},
            CAST(len(vec) AS INTEGER) AS feat_len,
            md5(array_to_string(
                list_transform(vec, x -> printf('%.4f', x)), ',')) AS feat_digest
@@ -1421,6 +1429,71 @@ def _plan_feat_sql() -> str:
 
 
 ORACLES["plan_featurize_nodes"] = _plan_feat_sql()
+
+
+def _plan_deep_sql() -> str:
+    from query_cost_feature_engineering_spark.sources.logs import (
+        PLAN_DEEP_DEPTH,
+        PLAN_DEEP_N,
+        PLAN_DEEP_SEED,
+    )
+
+    return _plan_feat_sql(
+        fixture_kwargs={
+            "n_plans": PLAN_DEEP_N,
+            "seed": PLAN_DEEP_SEED,
+            "max_depth": PLAN_DEEP_DEPTH,
+        },
+        extra_cols=("level",),
+    )
+
+
+ORACLES["plan_featurize_deep"] = _plan_deep_sql()
+
+
+def _plan_job_sql() -> str:
+    from query_cost_feature_engineering_spark.sources.logs import (
+        JOB_VOCAB,
+        PLAN_JOB_N,
+        PLAN_JOB_SEED,
+    )
+
+    return _plan_feat_sql(
+        vocab=JOB_VOCAB,
+        fixture_kwargs={"n_plans": PLAN_JOB_N, "seed": PLAN_JOB_SEED},
+    )
+
+
+ORACLES["plan_featurize_job_vocab"] = _plan_job_sql()
+
+
+def _subplan_rollup_sql() -> str:
+    """Mirror of subplan_rollup_plans over the shared raw-node fixture:
+    the parent-sum the reference's QPPNet applies to subplan predicted
+    times (models/QPPNet.py:191-198)."""
+    from query_cost_feature_engineering_spark.sources.logs import (
+        ensure_plan_nodes_fixture,
+    )
+
+    path = ensure_plan_nodes_fixture()
+    return f"""
+    WITH nodes AS (SELECT * FROM read_parquet('{path}')),
+    sub AS (
+      SELECT parent_node_id,
+             round(sum(actual_total_time), 3) AS subplan_time,
+             count(*) AS n_subplans
+      FROM nodes
+      WHERE is_subplan AND parent_node_id IS NOT NULL
+      GROUP BY parent_node_id
+    )
+    SELECT n.node_id, s.n_subplans, s.subplan_time,
+           round(n.actual_total_time + s.subplan_time, 3)
+               AS time_with_subplans
+    FROM nodes n JOIN sub s ON n.node_id = s.parent_node_id
+    """
+
+
+ORACLES["subplan_rollup_plans"] = _subplan_rollup_sql()
 
 
 def _pii_scrub_sql() -> str:

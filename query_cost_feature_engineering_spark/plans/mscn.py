@@ -39,22 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from query_cost_feature_engineering_spark.functions.plan_features import (
-    UNIFIED_FEAT_LEN,
     featurize_node_dict_padded,
+    unified_feat_len,
 )
 from query_cost_feature_engineering_spark.sources.logs import (
     NODE_TYPES,
     REL_NAMES,
+    TPCH_VOCAB,
+    PlanVocab,
 )
 
 MAX_NODES = 32
 
 
 def node_feat_len(
-    node_types: list[str] = NODE_TYPES, rels: list[str] = REL_NAMES
+    node_types: list[str] | None = None,
+    rels: list[str] | None = None,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> int:
     # op one-hot ⧺ join one-hot ⧺ identity one-hot ⧺ unified A4 numerics
-    return len(node_types) + 2 * len(rels) + UNIFIED_FEAT_LEN
+    node_types = node_types if node_types is not None else list(vocab.node_types)
+    rels = rels if rels is not None else list(vocab.rel_names)
+    return len(node_types) + 2 * len(rels) + unified_feat_len(vocab)
 
 
 def join_one_hot(node: dict, rels: list[str] = REL_NAMES) -> np.ndarray:
@@ -76,16 +82,19 @@ def join_one_hot(node: dict, rels: list[str] = REL_NAMES) -> np.ndarray:
 
 def serialize_plan_dict(
     plan: dict,
-    node_types: list[str] = NODE_TYPES,
-    rels: list[str] = REL_NAMES,
+    node_types: list[str] | None = None,
+    rels: list[str] | None = None,
     max_nodes: int = MAX_NODES,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> tuple[np.ndarray, int]:
     """Pure-Python single-plan serializer (also the golden oracle).
 
     Returns (vector, n_nodes); vector length = max_nodes * node_feat_len.
     Postorder emission; parent identity AND join bits OR child bits.
     """
-    flen = node_feat_len(node_types, rels)
+    node_types = node_types if node_types is not None else list(vocab.node_types)
+    rels = rels if rels is not None else list(vocab.rel_names)
+    flen = node_feat_len(node_types, rels, vocab)
     n_ops = len(node_types)
     n_rel = len(rels)
     rows: list[np.ndarray] = []
@@ -107,7 +116,7 @@ def serialize_plan_dict(
             vec[node_types.index(nt)] = 1.0
         vec[n_ops:n_ops + n_rel] = joins
         vec[n_ops + n_rel:n_ops + 2 * n_rel] = ident
-        vec[n_ops + 2 * n_rel:] = featurize_node_dict_padded(node)
+        vec[n_ops + 2 * n_rel:] = featurize_node_dict_padded(node, vocab)
         rows.append(vec)  # postorder: children already appended
         return ident, joins
 
@@ -124,9 +133,10 @@ def serialize_plans_mscn(
     json_col: str = "plans_json",
     id_col: str = "plan_id",
     max_nodes: int = MAX_NODES,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> DataFrame:
     """Distributed A14: (plan_id, n_nodes, feat_len, vec) per plan."""
-    flen = node_feat_len()
+    flen = node_feat_len(vocab=vocab)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -141,7 +151,7 @@ def serialize_plans_mscn(
             out = {id_col: [], "n_nodes": [], "feat_len": [], "vec": []}
             for pid, js in zip(pdf[id_col], pdf[json_col]):
                 vec, n = serialize_plan_dict(
-                    json.loads(js), max_nodes=max_nodes
+                    json.loads(js), max_nodes=max_nodes, vocab=vocab
                 )
                 out[id_col].append(pid)
                 out["n_nodes"].append(n)

@@ -982,6 +982,7 @@ def plan_featurize_nodes(spark, sf_dir):
     return featurize_nodes(nodes).select(
         "node_id",
         "node_type",
+        "is_subplan",
         F.size("feat").alias("feat_len"),
         feat_digest().alias("feat_digest"),
     )
@@ -1021,8 +1022,144 @@ def explain_json_featurize(spark, sf_dir):
     return featurize_nodes(nodes).select(
         "node_id",
         "node_type",
+        "is_subplan",
         F.size("feat").alias("feat_len"),
         feat_digest().alias("feat_digest"),
+    )
+
+
+def plan_featurize_deep(spark, sf_dir):
+    """plan_featurize_nodes over a DEPTH-10 corpus — trees the default
+    depth-4 parse schema provably truncates. The reader's auto depth
+    detection (sources/logs._resolve_depth: raw-text '"Node Type"'
+    count vs the count in the to_json re-serialization of the parse,
+    schema depth doubling until they match) must recover EVERY node for
+    the digest to match the oracle's pure-Python arbitrary-depth
+    flatten — the 'point it at real 5-15-level EXPLAIN logs' contract
+    (the reference recurses arbitrarily, tpch_utils_knob.py:480-535)."""
+    import os
+
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        feat_digest,
+        featurize_nodes,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        PLAN_DEEP_DEPTH,
+        PLAN_DEEP_N,
+        PLAN_DEEP_SEED,
+        ensure_plan_nodes_fixture,
+        generate_console_log,
+        per_node_rows,
+        read_plans_from_log,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_console_deep.txt")
+    generate_console_log(
+        path,
+        n_plans=PLAN_DEEP_N,
+        seed=PLAN_DEEP_SEED,
+        max_depth=PLAN_DEEP_DEPTH,
+    )
+    ensure_plan_nodes_fixture(
+        n_plans=PLAN_DEEP_N, seed=PLAN_DEEP_SEED, max_depth=PLAN_DEEP_DEPTH
+    )
+    nodes = per_node_rows(read_plans_from_log(spark, path))
+    return featurize_nodes(nodes).select(
+        "node_id",
+        "node_type",
+        "is_subplan",
+        F.col("level").cast("int").alias("level"),
+        F.size("feat").alias("feat_len"),
+        feat_digest().alias("feat_digest"),
+    )
+
+
+def plan_featurize_job_vocab(spark, sf_dir):
+    """plan_featurize_nodes under the JOB-style vocabulary
+    (sources/logs.JOB_VOCAB: 23 node types adding LockRows / Result /
+    Append / Unique / Gather / ... over the IMDB schema) — the
+    reference swaps an entire schema dictionary per workload
+    (job_dataset/attr_rel_dict.py:2-56); here the same corpus machinery
+    and featurizers take the vocabulary as an argument. Oracled with
+    the SQL generated from the SAME vocabulary, so the digest proves
+    the whole parse → explode → featurize path is vocab-clean."""
+    import os
+
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        feat_digest,
+        featurize_nodes,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        JOB_VOCAB,
+        PLAN_JOB_N,
+        PLAN_JOB_SEED,
+        ensure_plan_nodes_fixture,
+        generate_console_log,
+        per_node_rows,
+        read_plans_from_log,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_console_job.txt")
+    generate_console_log(
+        path, n_plans=PLAN_JOB_N, seed=PLAN_JOB_SEED, vocab=JOB_VOCAB
+    )
+    ensure_plan_nodes_fixture(
+        n_plans=PLAN_JOB_N, seed=PLAN_JOB_SEED, vocab=JOB_VOCAB
+    )
+    nodes = per_node_rows(read_plans_from_log(spark, path))
+    return featurize_nodes(nodes, vocab=JOB_VOCAB).select(
+        "node_id",
+        "node_type",
+        "is_subplan",
+        F.size("feat").alias("feat_len"),
+        feat_digest().alias("feat_digest"),
+    )
+
+
+def subplan_rollup_plans(spark, sf_dir):
+    """A17 subplan flow: sum each InitPlan/SubPlan child's actual time
+    into its PARENT node — the reference's QPPNet adds subplan
+    predicted times to the parent's input instead of passing them as
+    data (models/QPPNet.py:191-198; the flag comes from 'Subplan Name',
+    tpch_utils_knob.py:531-534). Spark-first: per_node_rows carries
+    parent_node_id, so the rollup is one filtered groupBy + one
+    broadcast-size join back to the parents — no tree walk, no UDF."""
+    import os
+
+    from query_cost_feature_engineering_spark.sources.logs import (
+        PLAN_FIXTURE_N,
+        PLAN_FIXTURE_SEED,
+        ensure_plan_nodes_fixture,
+        generate_console_log,
+        per_node_rows,
+        read_plans_from_log,
+    )
+
+    path = os.path.join(_workdir(), "qcfe_console_64.txt")
+    generate_console_log(path, n_plans=PLAN_FIXTURE_N, seed=PLAN_FIXTURE_SEED)
+    ensure_plan_nodes_fixture()
+    nodes = per_node_rows(read_plans_from_log(spark, path)).select(
+        "plan_id", "node_id", "parent_node_id", "is_subplan",
+        "actual_total_time",
+    )
+    sub = (
+        nodes.filter(F.col("is_subplan") & F.col("parent_node_id").isNotNull())
+        .groupBy(F.col("parent_node_id").alias("p_id"))
+        .agg(
+            _rq(F.sum("actual_total_time"), 3).alias("subplan_time"),
+            F.count(F.lit(1)).alias("n_subplans"),
+        )
+    )
+    return (
+        nodes.join(sub, F.col("node_id") == F.col("p_id"), "inner")
+        .select(
+            "node_id",
+            "n_subplans",
+            "subplan_time",
+            _rq(F.col("actual_total_time") + F.col("subplan_time"), 3).alias(
+                "time_with_subplans"
+            ),
+        )
     )
 
 
@@ -2574,6 +2711,9 @@ REGISTRY = {
     "mscn_serialize_plans": mscn_serialize_plans,
     "plan_featurize_nodes": plan_featurize_nodes,
     "explain_json_featurize": explain_json_featurize,
+    "plan_featurize_deep": plan_featurize_deep,
+    "plan_featurize_job_vocab": plan_featurize_job_vocab,
+    "subplan_rollup_plans": subplan_rollup_plans,
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_signatures": minhash_signatures,
     "minhash_band_pairs": minhash_band_pairs,

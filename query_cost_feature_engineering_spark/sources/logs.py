@@ -21,6 +21,7 @@ is a parse-time constant, not a data limit).
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +94,83 @@ def attr_stats(rel_idx: int, attr_idx: int) -> tuple[float, float, float]:
     return base, base * 2.0 + 3.0, base * 4.0 + 7.0
 
 
+@dataclass(frozen=True)
+class PlanVocab:
+    """Workload-parameterized plan vocabulary — the graft of the
+    reference's per-workload schema dictionaries (it swaps an entire
+    module per workload: TPCH 18 ops vs JOB/sysbench 23 ops adding
+    ModifyTable/LockRows/Result/Append/Unique, and a different relation
+    + attribute + index list — ``job_dataset/attr_rel_dict.py:2-56``).
+    Every featurizer / generator / serializer takes a ``PlanVocab``
+    argument with :data:`TPCH_VOCAB` (the module constants above) as the
+    default, so a user with JOB-style logs passes a vocabulary instead
+    of editing source."""
+
+    name: str
+    node_types: tuple[str, ...]
+    rel_names: tuple[str, ...]
+    rel_attrs: dict[str, tuple[str, ...]] = field(repr=False)
+    index_names: tuple[str, ...] = ()
+    join_types: tuple[str, ...] = tuple(JOIN_TYPES)
+    parent_rel_types: tuple[str, ...] = tuple(PARENT_REL_TYPES)
+    agg_strategies: tuple[str, ...] = tuple(AGG_STRATEGIES)
+    sort_algos: tuple[str, ...] = tuple(SORT_ALGOS)
+    max_attr: int = MAX_ATTR
+    seq_like: tuple[str, ...] = tuple(sorted(SEQ_LIKE_TYPES))
+    index_like: tuple[str, ...] = tuple(sorted(INDEX_LIKE_TYPES))
+    join_nodes: tuple[str, ...] = tuple(sorted(JOIN_NODE_TYPES))
+
+    def attr_stats(self, rel_idx: int, attr_idx: int):
+        base = float(rel_idx * self.max_attr + attr_idx + 1)
+        return base, base * 2.0 + 3.0, base * 4.0 + 7.0
+
+
+TPCH_VOCAB = PlanVocab(
+    name="tpch",
+    node_types=tuple(NODE_TYPES),
+    rel_names=tuple(REL_NAMES),
+    rel_attrs={r: tuple(a) for r, a in REL_ATTRS.items()},
+    index_names=tuple(INDEX_NAMES),
+)
+
+# JOB-style vocabulary: the PostgreSQL node types the reference's
+# JOB/sysbench dictionary adds over TPCH (ModifyTable, LockRows, Result,
+# Append, Unique — job_dataset/attr_rel_dict.py:2-7; ModifyTable already
+# in the TPCH list here) plus common executor nodes, over the public
+# IMDB/JOB benchmark schema (Leis et al., "How Good Are Query
+# Optimizers, Really?", VLDB 2015).
+_JOB_RELS = {
+    "title": (
+        "id", "kind_id", "production_year", "imdb_index",
+        "phonetic_code", "season_nr", "episode_nr", "series_years",
+    ),
+    "name": (
+        "id", "name_pcode_cf", "name_pcode_nf", "surname_pcode",
+        "imdb_index", "gender",
+    ),
+    "cast_info": (
+        "id", "person_id", "movie_id", "person_role_id",
+        "role_id", "nr_order", "note",
+    ),
+    "movie_info": ("id", "movie_id", "info_type_id", "info", "note"),
+    "company_name": (
+        "id", "country_code", "imdb_index",
+        "name_pcode_nf", "name_pcode_sf",
+    ),
+    "keyword": ("id", "keyword", "phonetic_code"),
+}
+JOB_VOCAB = PlanVocab(
+    name="job",
+    node_types=tuple(NODE_TYPES) + (
+        "LockRows", "Result", "Append", "Unique",
+        "Gather", "Gather Merge", "CTE Scan", "WindowAgg", "Group",
+    ),
+    rel_names=tuple(_JOB_RELS),
+    rel_attrs=_JOB_RELS,
+    index_names=tuple(f"idx_{r}_pk" for r in _JOB_RELS),
+)
+
+
 SCAN_DIRECTIONS = ["Forward", "Backward"]
 SORT_METHODS = ["quicksort", "top-n heapsort", "external merge"]
 
@@ -142,6 +220,10 @@ def plan_schema(depth: int = MAX_DEPTH) -> T.StructType:
         T.StructField("Strategy", T.StringType()),
         T.StructField("Parallel Aware", T.StringType()),
         T.StructField("Hash Buckets", T.LongType()),
+        # InitPlan/SubPlan marker — the reference flags these nodes
+        # (tpch_utils_knob.py:531-534) and its flow model sums subplan
+        # predicted times into the parent (models/QPPNet.py:191-198)
+        T.StructField("Subplan Name", T.StringType()),
     ]
     schema = T.StructType(fields)
     for _ in range(depth - 1):
@@ -159,10 +241,10 @@ def _pick(rng, seq):
     return seq[int(rng.integers(0, len(seq)))]
 
 
-def _gen_predicate(rng, rel: str) -> str:
+def _gen_predicate(rng, rel: str, vocab: PlanVocab) -> str:
     """PG-style predicate over 1-3 attrs of ``rel`` — the substring the
     featurizer's attr matching (ref tpch_utils_knob.py:76-86) keys on."""
-    attrs = REL_ATTRS[rel]
+    attrs = vocab.rel_attrs[rel]
     n = int(rng.integers(1, 4))
     idxs = sorted(rng.choice(len(attrs), size=min(n, len(attrs)), replace=False))
     ops = [">", "<", "=", ">=", "<="]
@@ -173,19 +255,19 @@ def _gen_predicate(rng, rel: str) -> str:
     return " AND ".join(clauses)
 
 
-def _gen_join_cond(rng, op: str) -> str:
-    ra = _pick(rng, REL_NAMES)
-    rb = _pick(rng, [r for r in REL_NAMES if r != ra])
-    aa = _pick(rng, REL_ATTRS[ra])
-    ab = _pick(rng, REL_ATTRS[rb])
+def _gen_join_cond(rng, op: str, vocab: PlanVocab) -> str:
+    ra = _pick(rng, vocab.rel_names)
+    rb = _pick(rng, [r for r in vocab.rel_names if r != ra])
+    aa = _pick(rng, vocab.rel_attrs[ra])
+    ab = _pick(rng, vocab.rel_attrs[rb])
     return f"({ra}.{aa} {op} {rb}.{ab})"
 
 
-def _gen_sort_keys(rng) -> list[str]:
+def _gen_sort_keys(rng, vocab: PlanVocab) -> list[str]:
     keys = []
     for _ in range(int(rng.integers(1, 4))):
-        rel = _pick(rng, REL_NAMES)
-        attr = _pick(rng, REL_ATTRS[rel])
+        rel = _pick(rng, vocab.rel_names)
+        attr = _pick(rng, vocab.rel_attrs[rel])
         tok = f"{rel}.{attr}"
         if rng.random() < 0.25:  # exercise the paren-strip path (ref :160)
             tok = f"max({tok})"
@@ -193,8 +275,14 @@ def _gen_sort_keys(rng) -> list[str]:
     return keys
 
 
-def _gen_node(rng, depth_left: int, counter: list[int]) -> dict:
-    nt = NODE_TYPES[int(rng.integers(0, len(NODE_TYPES)))]
+def _gen_node(
+    rng,
+    depth_left: int,
+    counter: list[int],
+    vocab: PlanVocab = TPCH_VOCAB,
+    is_root: bool = True,
+) -> dict:
+    nt = vocab.node_types[int(rng.integers(0, len(vocab.node_types)))]
     counter[0] += 1
     node = {
         "Node Type": nt,
@@ -205,74 +293,94 @@ def _gen_node(rng, depth_left: int, counter: list[int]) -> dict:
         "Actual Rows": int(rng.integers(0, 100_000)),
         "Actual Total Time": round(float(rng.random() * 1000), 3),
     }
-    if nt in SEQ_LIKE_TYPES:
-        rel = _pick(rng, REL_NAMES)
+    if nt in vocab.seq_like:
+        rel = _pick(rng, vocab.rel_names)
         node["Relation Name"] = rel
         if nt == "Seq Scan":
             if rng.random() < 0.8:  # absent -> featurizer's zero default
-                node["Filter"] = _gen_predicate(rng, rel)
+                node["Filter"] = _gen_predicate(rng, rel, vocab)
         else:  # Bitmap Heap Scan: PG emits Recheck Cond (the featurizer's
             # Filter -> Recheck Cond fallback path, ref :94-100); a
             # residual Filter accompanies it sometimes and wins when it
             # does
-            node["Recheck Cond"] = _gen_predicate(rng, rel)
+            node["Recheck Cond"] = _gen_predicate(rng, rel, vocab)
             if rng.random() < 0.3:
-                node["Filter"] = _gen_predicate(rng, rel)
-    elif nt in INDEX_LIKE_TYPES:
-        rel = _pick(rng, REL_NAMES)
+                node["Filter"] = _gen_predicate(rng, rel, vocab)
+    elif nt in vocab.index_like:
+        rel = _pick(rng, vocab.rel_names)
         node["Relation Name"] = rel
         node["Index Name"] = f"idx_{rel}_pk"
-        node["Index Cond"] = _gen_predicate(rng, rel)
+        node["Index Cond"] = _gen_predicate(rng, rel, vocab)
         node["Scan Direction"] = _pick(rng, SCAN_DIRECTIONS)
     elif nt == "Bitmap Index Scan":
         # PG bitmap index scans carry NO Relation Name — only the index
         # (ref get_bitmap_index_scan_input: basics + index one-hot)
-        rel = _pick(rng, REL_NAMES)
+        rel = _pick(rng, vocab.rel_names)
         node["Index Name"] = f"idx_{rel}_pk"
-        node["Index Cond"] = _gen_predicate(rng, rel)
+        node["Index Cond"] = _gen_predicate(rng, rel, vocab)
     elif nt == "ModifyTable":
-        node["Relation Name"] = _pick(rng, REL_NAMES)
-    elif nt in JOIN_NODE_TYPES:
-        node["Join Type"] = _pick(rng, JOIN_TYPES).capitalize()
+        node["Relation Name"] = _pick(rng, vocab.rel_names)
+    elif nt in vocab.join_nodes:
+        node["Join Type"] = _pick(rng, vocab.join_types).capitalize()
         if nt == "Hash Join":
-            node["Hash Cond"] = _gen_join_cond(rng, "=")
+            node["Hash Cond"] = _gen_join_cond(rng, "=", vocab)
         elif nt == "Merge Join":
-            node["Merge Cond"] = _gen_join_cond(rng, "=")
+            node["Merge Cond"] = _gen_join_cond(rng, "=", vocab)
         if nt != "Nested Loop" and rng.random() < 0.7:
-            node["Parent Relationship"] = _pick(rng, PARENT_REL_TYPES).capitalize()
+            node["Parent Relationship"] = _pick(
+                rng, vocab.parent_rel_types
+            ).capitalize()
     elif nt == "Sort":
-        node["Sort Key"] = _gen_sort_keys(rng)
+        node["Sort Key"] = _gen_sort_keys(rng, vocab)
         if rng.random() < 0.8:
             node["Sort Method"] = _pick(rng, SORT_METHODS)
     elif nt == "Hash":
         if rng.random() < 0.7:
             node["Hash Buckets"] = int(2 ** rng.integers(10, 22))
     elif nt == "Aggregate":
-        node["Strategy"] = _pick(rng, AGG_STRATEGIES).capitalize()
+        node["Strategy"] = _pick(rng, vocab.agg_strategies).capitalize()
         node["Parallel Aware"] = "true" if rng.random() < 0.3 else "false"
+    # InitPlan/SubPlan marker on ~15% of non-root nodes, exactly where PG
+    # puts it (ref flags nodes carrying 'Subplan Name',
+    # tpch_utils_knob.py:531-534)
+    if not is_root and rng.random() < 0.15:
+        k = int(rng.integers(1, 5))
+        node["Subplan Name"] = (
+            f"InitPlan {k} (returns $0)"
+            if rng.random() < 0.5
+            else f"SubPlan {k}"
+        )
     n_kids = int(rng.integers(0, 3)) if depth_left > 1 else 0
     node["Plans"] = [
-        _gen_node(rng, depth_left - 1, counter) for _ in range(n_kids)
+        _gen_node(rng, depth_left - 1, counter, vocab, is_root=False)
+        for _ in range(n_kids)
     ]
     return node
 
 
 def generate_plans(
-    n_plans: int, seed: int, max_depth: int = MAX_DEPTH
+    n_plans: int,
+    seed: int,
+    max_depth: int = MAX_DEPTH,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> list[dict]:
     rng = np.random.default_rng(seed)
     counter = [0]
-    return [_gen_node(rng, max_depth, counter) for _ in range(n_plans)]
+    return [_gen_node(rng, max_depth, counter, vocab) for _ in range(n_plans)]
 
 
 def generate_console_log(
-    path: str, n_plans: int = 200, seed: int = 61, max_depth: int = MAX_DEPTH
+    path: str,
+    n_plans: int = 200,
+    seed: int = 61,
+    max_depth: int = MAX_DEPTH,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> None:
     """Deterministic synthetic psql-style log: JSON plan lines padded with
     trailing '+' marks, interleaved with console noise (A1 format)."""
     rng = np.random.default_rng(seed + 1)
     lines: list[str] = []
-    for plan in generate_plans(n_plans, seed, max_depth):
+    for plan in generate_plans(n_plans, seed, max_depth, vocab):
         for _ in range(int(rng.integers(0, 3))):
             lines.append(str(NOISE[int(rng.integers(0, len(NOISE)))]))
         lines.append(json.dumps(plan) + "+" * int(rng.integers(1, 4)))
@@ -281,14 +389,18 @@ def generate_console_log(
 
 
 def generate_serverlog(
-    path: str, n_plans: int = 200, seed: int = 61, max_depth: int = MAX_DEPTH
+    path: str,
+    n_plans: int = 200,
+    seed: int = 61,
+    max_depth: int = MAX_DEPTH,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> None:
     """A2 format: every payload line carries a ``<ts> CST [pid] LOG:``
     prefix (the reference keys its serverlog parse on `' CST ['`,
     snapshot/snapshot.py:10-30), interleaved with server noise."""
     rng = np.random.default_rng(seed + 2)
     lines: list[str] = []
-    for i, plan in enumerate(generate_plans(n_plans, seed, max_depth)):
+    for i, plan in enumerate(generate_plans(n_plans, seed, max_depth, vocab)):
         pid = int(rng.integers(1000, 9999))
         ts = f"2024-01-01 00:{(i // 60) % 60:02d}:{i % 60:02d}"
         for _ in range(int(rng.integers(0, 3))):
@@ -300,7 +412,11 @@ def generate_serverlog(
 
 
 def generate_explain_json_log(
-    path: str, n_plans: int = 200, seed: int = 61, max_depth: int = MAX_DEPTH
+    path: str,
+    n_plans: int = 200,
+    seed: int = 61,
+    max_depth: int = MAX_DEPTH,
+    vocab: PlanVocab = TPCH_VOCAB,
 ) -> None:
     """Real ``EXPLAIN (ANALYZE, FORMAT JSON)`` shape: each line is the
     one-element array PostgreSQL emits, wrapping the root node under
@@ -310,7 +426,7 @@ def generate_explain_json_log(
     formats parse to IDENTICAL node rows."""
     rng = np.random.default_rng(seed + 3)
     lines: list[str] = []
-    for plan in generate_plans(n_plans, seed, max_depth):
+    for plan in generate_plans(n_plans, seed, max_depth, vocab):
         wrapped = [
             {
                 "Plan": plan,
@@ -324,8 +440,66 @@ def generate_explain_json_log(
         f.write("\n".join(lines) + "\n")
 
 
+# Every plan node carries exactly one "Node Type" key, so a JVM-side
+# regexp count over the raw JSON text is an exact per-plan node count —
+# the truncation detector's ground truth (no parse involved).
+_NODE_TYPE_PAT = '"Node Type"'
+
+
+def _n_nodes_in_text(col):
+    return F.regexp_count(col, F.lit(_NODE_TYPE_PAT))
+
+
+def _resolve_depth(
+    jsondf: DataFrame, json_col: str, build_plan, depth: int | None,
+    cap: int = 64,
+) -> int:
+    """Return a parse depth whose nested schema reaches EVERY node of
+    every plan in ``jsondf``, or raise.
+
+    ``from_json`` with a depth-d schema silently DROPS level-(d+1)+
+    ``Plans`` subtrees — real TPC-H/JOB EXPLAIN output is routinely
+    5-15 levels deep, so silent truncation is the first failure a
+    real-log user hits (the reference recurses arbitrarily,
+    tpch_utils_knob.py:480-535). Detection is exact and map-only: count
+    '"Node Type"' occurrences in the RAW text vs in the canonical
+    ``to_json`` re-serialization of the parse — equal iff no subtree was
+    dropped. With ``depth=None`` (auto) the schema depth doubles until
+    the counts match (each probe is one scan + tiny max-agg, log2 probes
+    total); with an explicit ``depth`` a mismatch raises instead of
+    truncating. ``build_plan(d)`` returns the parsed root-node struct
+    column at schema depth ``d`` (format-specific: bare node vs EXPLAIN
+    wrapper). Lines that fail to parse entirely (noise) count as NULL
+    and are skipped — they are dropped by design, not truncated."""
+    j = F.col(json_col)
+    d = depth or MAX_DEPTH
+    while True:
+        miss = (
+            jsondf.select(
+                F.max(
+                    _n_nodes_in_text(j)
+                    - _n_nodes_in_text(F.to_json(build_plan(d)))
+                ).alias("miss")
+            )
+            .first()["miss"]
+        )
+        if miss is None or miss <= 0:
+            return d
+        if depth is not None:
+            raise ValueError(
+                f"plan tree deeper than parse depth {depth}: up to {miss} "
+                "node(s) per plan would be silently dropped — pass "
+                "depth=None to auto-detect the required schema depth"
+            )
+        if d >= cap:
+            raise ValueError(
+                f"plan tree exceeds the maximum parse depth {cap}"
+            )
+        d = min(cap, d * 2)
+
+
 def read_plans_from_explain_json(
-    spark: SparkSession, path: str, depth: int = MAX_DEPTH
+    spark: SparkSession, path: str, depth: int | None = None
 ) -> DataFrame:
     """Salvage REAL ``EXPLAIN (FORMAT JSON)`` output: accepts per line
     either PostgreSQL's one-element array wrapper
@@ -337,25 +511,39 @@ def read_plans_from_explain_json(
     the same shape regardless of source format. NOTE: pretty-printed
     multi-line EXPLAIN files are whole-file JSON, not log lines — read
     those with ``spark.read.option("multiLine", True).json`` and select
-    ``Plan`` directly; this reader is for log-embedded one-line plans."""
-    wrapper = T.StructType(
-        [
-            T.StructField("Plan", plan_schema(depth)),
-            T.StructField("Planning Time", T.DoubleType()),
-            T.StructField("Execution Time", T.DoubleType()),
-        ]
-    )
+    ``Plan`` directly; this reader is for log-embedded one-line plans.
+
+    ``depth=None`` (default) auto-detects the schema depth needed to
+    reach every node (``_resolve_depth``); an explicit ``depth`` raises
+    on deeper trees instead of silently truncating them."""
+
+    def wrapper(d: int) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("Plan", plan_schema(d)),
+                T.StructField("Planning Time", T.DoubleType()),
+                T.StructField("Execution Time", T.DoubleType()),
+            ]
+        )
+
     raw = spark.read.text(path)
     stripped = F.regexp_replace(
         F.regexp_replace(F.col("value"), r"^\s*\[\s*", ""), r"\s*\]\s*$", ""
     )
-    parsed = (
-        raw.filter(F.col("value").rlike(r"^\s*[\[{]"))
-        .withColumn("w", F.from_json(stripped, wrapper))
-        .withColumn(
-            "plan",
-            F.coalesce(F.col("w.Plan"), F.from_json(stripped, plan_schema(depth))),
+    cand = raw.filter(F.col("value").rlike(r"^\s*[\[{]")).withColumn(
+        "json", stripped
+    )
+
+    def build_plan(d: int):
+        return F.coalesce(
+            F.from_json(F.col("json"), wrapper(d))["Plan"],
+            F.from_json(F.col("json"), plan_schema(d)),
         )
+
+    depth = _resolve_depth(cand, "json", build_plan, depth)
+    parsed = (
+        cand.withColumn("w", F.from_json(F.col("json"), wrapper(depth)))
+        .withColumn("plan", build_plan(depth))
         .filter(F.col("plan").isNotNull() & F.col("plan.`Node Type`").isNotNull())
     )
     return parsed.select(
@@ -371,7 +559,11 @@ def read_plans_from_explain_json(
     )
 
 
-def _plans_from_json_lines(cleaned: DataFrame, depth: int) -> DataFrame:
+def _plans_from_json_lines(cleaned: DataFrame, depth: int | None) -> DataFrame:
+    depth = _resolve_depth(
+        cleaned, "json", lambda d: F.from_json(F.col("json"), plan_schema(d)),
+        depth,
+    )
     parsed = cleaned.withColumn(
         "plan", F.from_json(F.col("json"), plan_schema(depth))
     ).filter(F.col("plan").isNotNull() & F.col("plan.`Node Type`").isNotNull())
@@ -387,10 +579,12 @@ def _plans_from_json_lines(cleaned: DataFrame, depth: int) -> DataFrame:
 
 
 def read_plans_from_log(
-    spark: SparkSession, path: str, depth: int = MAX_DEPTH
+    spark: SparkSession, path: str, depth: int | None = None
 ) -> DataFrame:
     """Salvage A1 console format: one row per plan with root fields +
-    the raw JSON for deeper descent."""
+    the raw JSON for deeper descent. ``depth=None`` auto-detects the
+    required schema depth; an explicit ``depth`` raises on deeper trees
+    instead of silently truncating."""
     raw = spark.read.text(path)
     cleaned = (
         raw.filter(F.col("value").rlike(r"^\s*\{"))
@@ -400,7 +594,7 @@ def read_plans_from_log(
 
 
 def read_plans_from_serverlog(
-    spark: SparkSession, path: str, depth: int = MAX_DEPTH
+    spark: SparkSession, path: str, depth: int | None = None
 ) -> DataFrame:
     """Salvage A2 serverlog format: key on `' CST ['`, take the JSON
     payload after the `LOG:  plan:` marker."""
@@ -443,27 +637,49 @@ NODE_FIELDS = [
     ("Strategy", "strategy"),
     ("Parallel Aware", "parallel_aware"),
     ("Hash Buckets", "hash_buckets"),
+    ("Subplan Name", "subplan_name"),
 ]
 
 
-def per_node_rows(plans: DataFrame, depth: int = MAX_DEPTH) -> DataFrame:
+def per_node_rows(plans: DataFrame, depth: int | None = None) -> DataFrame:
     """Explode EVERY tree level into per-node rows carrying the FULL
-    field surface (NODE_FIELDS) — the input to the A4 featurizers
-    (functions/plan_features.py). Same level-by-level JVM explode as
-    per_node_samples; no UDF."""
+    field surface (NODE_FIELDS) plus ``parent_node_id`` (NULL at the
+    root) and the ``is_subplan`` flag (the reference marks nodes
+    carrying 'Subplan Name', tpch_utils_knob.py:531-534) — the input to
+    the A4 featurizers (functions/plan_features.py) and the subplan
+    time rollup. Same level-by-level JVM explode as per_node_samples;
+    no UDF. ``depth=None`` auto-detects the schema depth needed to
+    reach every node of ``plans_json`` (``_resolve_depth``); an
+    explicit ``depth`` raises on deeper trees instead of silently
+    truncating."""
+    depth = _resolve_depth(
+        plans, "plans_json",
+        lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
+        depth,
+    )
     tree = plans.select(
         "plan_id", F.from_json("plans_json", plan_schema(depth)).alias("node")
-    )
+    ).withColumn("parent_node_id", F.lit(None).cast("long"))
     proj = [
         F.col(f"node.`{jf}`").alias(out) for jf, out in NODE_FIELDS
+    ] + [
+        F.col("node.`Subplan Name`").isNotNull().alias("is_subplan"),
     ]
     frames = []
     cur = tree
     for lvl in range(depth):
-        frames.append(cur.select("plan_id", F.lit(lvl).alias("level"), *proj))
+        frames.append(
+            cur.select(
+                "plan_id",
+                F.lit(lvl).alias("level"),
+                "parent_node_id",
+                *proj,
+            )
+        )
         if lvl < depth - 1:
             cur = cur.select(
                 "plan_id",
+                F.col("node.`Node Id`").alias("parent_node_id"),
                 F.explode(
                     F.coalesce(F.col("node.Plans"), F.array())
                 ).alias("node"),
@@ -480,15 +696,20 @@ def flatten_plan_nodes(plans: list[dict]) -> list[dict]:
     for per_node_rows)."""
     rows: list[dict] = []
 
-    def walk(node: dict, level: int) -> None:
+    def walk(node: dict, level: int, parent_id) -> None:
         rows.append(
-            {out: node.get(jf) for jf, out in NODE_FIELDS} | {"level": level}
+            {out: node.get(jf) for jf, out in NODE_FIELDS}
+            | {
+                "level": level,
+                "parent_node_id": parent_id,
+                "is_subplan": node.get("Subplan Name") is not None,
+            }
         )
         for child in node.get("Plans") or []:
-            walk(child, level + 1)
+            walk(child, level + 1, node.get("Node Id"))
 
     for p in plans:
-        walk(p, 0)
+        walk(p, 0, None)
     return rows
 
 
@@ -497,9 +718,22 @@ def flatten_plan_nodes(plans: list[dict]) -> list[dict]:
 # parquet side).
 PLAN_FIXTURE_SEED = 64
 PLAN_FIXTURE_N = 200
+# the depth-10 corpus (plan_featurize_deep): trees the default depth-4
+# schema provably truncates, parsed via auto depth detection
+PLAN_DEEP_SEED = 93
+PLAN_DEEP_N = 60
+PLAN_DEEP_DEPTH = 10
+# the JOB-vocabulary corpus (plan_featurize_job_vocab)
+PLAN_JOB_SEED = 88
+PLAN_JOB_N = 120
 
 
-def ensure_plan_nodes_fixture() -> str:
+def ensure_plan_nodes_fixture(
+    n_plans: int = PLAN_FIXTURE_N,
+    seed: int = PLAN_FIXTURE_SEED,
+    max_depth: int = MAX_DEPTH,
+    vocab: PlanVocab = TPCH_VOCAB,
+) -> str:
     """Write (once) and return the raw per-node parquet the DuckDB oracle
     reads. The filename embeds a digest of the generated rows, so a
     generator change can never pair a stale fixture with fresh Spark
@@ -509,7 +743,7 @@ def ensure_plan_nodes_fixture() -> str:
     import os
     import tempfile
 
-    rows = flatten_plan_nodes(generate_plans(PLAN_FIXTURE_N, PLAN_FIXTURE_SEED))
+    rows = flatten_plan_nodes(generate_plans(n_plans, seed, max_depth, vocab))
     key = hashlib.md5(
         json.dumps(rows, sort_keys=True).encode()
     ).hexdigest()[:10]
@@ -554,22 +788,31 @@ def write_plan_nodes_parquet(path: str, rows: list[dict]) -> None:
             ("strategy", pa.string()),
             ("parallel_aware", pa.string()),
             ("hash_buckets", pa.int64()),
+            ("subplan_name", pa.string()),
             ("level", pa.int32()),
+            ("parent_node_id", pa.int64()),
+            ("is_subplan", pa.bool_()),
         ]
     )
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
     pq.write_table(pa.table(cols, schema=schema), path)
 
 
-def per_node_samples(plans: DataFrame, depth: int = MAX_DEPTH) -> DataFrame:
+def per_node_samples(plans: DataFrame, depth: int | None = None) -> DataFrame:
     """Explode EVERY tree level into per-node (node_type, actual_rows,
     time) rows — the reference's recursive snapshot sample collection
     (A5, snapshot/snapshot.py:38-58) including its zero-row filter.
 
     Level-by-level: unions one frame per depth level, each a projection +
     explode of the parsed struct. Depth is a small constant, so this is
-    ``depth`` narrow passes — no UDF, full codegen.
+    ``depth`` narrow passes — no UDF, full codegen. ``depth=None``
+    auto-detects (``_resolve_depth``).
     """
+    depth = _resolve_depth(
+        plans, "plans_json",
+        lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
+        depth,
+    )
     tree = plans.select(
         "plan_id", F.from_json("plans_json", plan_schema(depth)).alias("node")
     )

@@ -258,3 +258,110 @@ def test_explain_json_wrapper_equals_bare_format(spark, tmp_path):
         per_node_rows(read_plans_from_explain_json(spark, p))
     ).select(feat_digest().alias("d")).first()
     assert out.d == _py_digest(want)
+
+
+def test_depth_truncation_detected_and_auto_recovered(spark, tmp_path):
+    """Round-4 contract: a depth-10 corpus parsed with an explicit
+    depth-4 schema must FAIL LOUDLY (round 3 silently dropped level-5+
+    subtrees); with depth=None the reader auto-detects the needed depth
+    and recovers EVERY node (count pinned against the pure-Python
+    arbitrary-depth flatten)."""
+    import pytest
+
+    from query_cost_feature_engineering_spark.sources.logs import (
+        flatten_plan_nodes,
+    )
+
+    path = str(tmp_path / "deep.log")
+    generate_console_log(path, n_plans=40, seed=93, max_depth=10)
+    want_nodes = len(flatten_plan_nodes(generate_plans(40, 93, max_depth=10)))
+    deepest = max(
+        r["level"] for r in flatten_plan_nodes(generate_plans(40, 93, 10))
+    )
+    assert deepest >= 5  # the corpus genuinely exceeds the default depth
+
+    with pytest.raises(ValueError, match="silently dropped"):
+        per_node_rows(read_plans_from_log(spark, path, depth=4), depth=4)
+
+    got = per_node_rows(read_plans_from_log(spark, path)).count()
+    assert got == want_nodes
+
+
+def test_subplan_flag_and_rollup_golden(spark, tmp_path):
+    """Hand-built plan pinning the QPPNet parent-sum contract
+    (ref models/QPPNet.py:191-198): each InitPlan/SubPlan child's time
+    is summed into its parent; non-subplan children are not."""
+    import json as _json
+
+    from query_cost_feature_engineering_spark.sources.logs import (
+        _plans_from_json_lines,
+    )
+
+    plan = {
+        "Node Type": "Aggregate", "Node Id": 1, "Actual Total Time": 100.0,
+        "Plans": [
+            {"Node Type": "Seq Scan", "Node Id": 2,
+             "Actual Total Time": 10.0, "Subplan Name": "InitPlan 1 (returns $0)"},
+            {"Node Type": "Sort", "Node Id": 3,
+             "Actual Total Time": 20.0, "Subplan Name": "SubPlan 2"},
+            {"Node Type": "Hash", "Node Id": 4, "Actual Total Time": 40.0},
+        ],
+    }
+    path = str(tmp_path / "sub.log")
+    with open(path, "w") as f:
+        f.write(_json.dumps(plan) + "\n")
+    nodes = per_node_rows(read_plans_from_log(spark, path))
+    pdf = nodes.toPandas().set_index("node_id")
+    assert bool(pdf.loc[2, "is_subplan"]) and bool(pdf.loc[3, "is_subplan"])
+    assert not bool(pdf.loc[1, "is_subplan"])
+    assert not bool(pdf.loc[4, "is_subplan"])
+    assert pdf.loc[2, "subplan_name"] == "InitPlan 1 (returns $0)"
+    assert int(pdf.loc[3, "parent_node_id"]) == 1
+
+    from pyspark.sql import functions as F
+
+    sub = (
+        nodes.filter(F.col("is_subplan"))
+        .groupBy(F.col("parent_node_id").alias("p_id"))
+        .agg(F.sum("actual_total_time").alias("st"))
+    )
+    out = (
+        nodes.join(sub, F.col("node_id") == F.col("p_id"))
+        .select("node_id", (F.col("actual_total_time") + F.col("st")).alias("t"))
+        .collect()
+    )
+    # parent 1 gets 10 + 20 (subplans only; Hash child 4 is NOT added)
+    assert len(out) == 1 and out[0]["node_id"] == 1 and out[0]["t"] == 130.0
+
+
+def test_job_vocab_featurizer(spark, tmp_path):
+    """The JOB-style vocabulary (23 node types, IMDB schema) drives the
+    SAME generator + featurizers via the PlanVocab argument — no source
+    edits (closes round-3 'workload-parameterized vocabularies')."""
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        type_feat_len,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import JOB_VOCAB
+
+    assert len(JOB_VOCAB.node_types) == 23
+    path = str(tmp_path / "job.log")
+    generate_console_log(path, n_plans=60, seed=88, vocab=JOB_VOCAB)
+    out = featurize_nodes(
+        per_node_rows(read_plans_from_log(spark, path)), vocab=JOB_VOCAB
+    )
+    pdf = out.select("node_id", "node_type", feat_digest().alias("dig")).toPandas()
+    got = {int(r.node_id): (r.node_type, r.dig) for r in pdf.itertuples()}
+    want, new_types = {}, set()
+    for p in generate_plans(60, 88, vocab=JOB_VOCAB):
+        for n in _walk(p):
+            want[n["Node Id"]] = (
+                n["Node Type"],
+                _py_digest(featurize_node_dict(n, JOB_VOCAB)),
+            )
+            new_types.add(n["Node Type"])
+    assert got == want
+    # the corpus exercised ops outside the TPCH vocabulary
+    assert new_types - set(TYPE_FEAT_LEN) & {"LockRows", "Result", "Append"}
+    # per-type lengths are vocabulary-derived (IMDB rels ≠ TPCH rels)
+    tl = type_feat_len(JOB_VOCAB)
+    assert tl["Seq Scan"] == BASICS_LEN + 6 + 3 * 8
