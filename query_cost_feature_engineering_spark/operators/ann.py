@@ -264,6 +264,12 @@ def ivf_topk(
 IVF_FIXED_CELLS = 8
 IVF_FIXED_PROBE = 4
 CELL_COS_DECIMALS = 6  # anchor-cosine quantization before the argmax
+# past this many anchors the literal-expression assignment (one folded
+# cosine expr per anchor) is routed to the Arrow matmul instead: the
+# expression plan grows linearly in n_cells while the matmul is one
+# BLAS call per batch
+IVF_MATMUL_CELL_THRESHOLD = 64
+IVF_MAX_CELLS = 4096
 
 
 def _cos_expr(vec, other) -> "F.Column":
@@ -286,6 +292,28 @@ def _cos_expr(vec, other) -> "F.Column":
     return dot / (norm(vec) * norm(other))
 
 
+def _assign_cells_matmul(
+    df: DataFrame, anchors, vec_col: str, n_top: int
+) -> DataFrame:
+    """Arrow-matmul cell assignment for large anchor sets: quantized
+    anchor cosines (CELL_COS_DECIMALS) + stable argsort, so ties break
+    to the smallest anchor rank — the same semantics as the
+    literal-expression path's ``array_position`` / ``row_number``
+    (first index wins). Cell ids are 1-based to match that path."""
+    A = np.asarray([list(r["_av"]) for r in anchors], dtype=np.float64)
+    An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = np.round(Xn @ An.T, CELL_COS_DECIMALS)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+        return pd.Series(list((order + 1).astype(np.int32)))
+
+    return df.withColumn("_cells", f(F.col(vec_col).cast("array<double>")))
+
+
 def ivf_fixed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -294,7 +322,7 @@ def ivf_fixed_topk(
     id_c: str = "neighbor_id",
     vec_q: str = "qv",
     vec_c: str = "cv",
-    n_cells: int = IVF_FIXED_CELLS,
+    n_cells: int | None = IVF_FIXED_CELLS,
     n_probe: int = IVF_FIXED_PROBE,
 ) -> DataFrame:
     """IVF cosine top-k with DETERMINISTIC anchors — the oracled variant
@@ -311,17 +339,24 @@ def ivf_fixed_topk(
     equi-join; exact cosine + top-k after.
 
     At 10^12 rows: anchor selection is a tiny hash-ordered limit, the
-    assignment scan has NO shuffle (anchor literals are plan constants),
-    and the only shuffle is the candidate equi-join on cell id — same
-    shape as the production :func:`ivf_topk`, minus the training step.
-    SIZE ``n_cells`` TO THE CORPUS at scale: the join has exactly
-    ``n_cells`` distinct keys, so 8 cells caps the join's parallelism at
-    8 tasks (fine for the small test corpus, where the query side
-    broadcasts anyway); production IVF practice is n_cells ≈ O(√N) —
-    which also bounds per-cell candidate counts — and the anchor-literal
-    plan grows linearly in n_cells, so beyond ~10³ cells switch the
-    assignment to the Arrow-matmul path :func:`ivf_topk` uses.
+    assignment scan has NO shuffle (anchors are plan constants), and
+    the only shuffle is the candidate equi-join on cell id — same shape
+    as the production :func:`ivf_topk`, minus the training step. The
+    join has exactly ``n_cells`` distinct keys, so the cell count IS
+    the join's parallelism: ``n_cells=None`` auto-sizes it to the IVF
+    practice ``≈ √N`` (one count job, clamped to
+    [IVF_FIXED_CELLS, IVF_MAX_CELLS]), and past
+    ``IVF_MATMUL_CELL_THRESHOLD`` anchors the assignment automatically
+    routes through the Arrow-matmul path :func:`ivf_topk` uses (the
+    literal-expression plan grows linearly in n_cells; the matmul is
+    one BLAS call per batch, same quantized-argmax + first-index
+    tie-break semantics). The 8-cell literal default stays for the
+    oracled test-size query, where the DuckDB mirror evaluates the
+    identical literal expressions.
     """
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(IVF_FIXED_CELLS, min(IVF_MAX_CELLS, round(n**0.5)))
     anchors = (
         corpus.select(
             F.col(vec_c).alias("_av"),
@@ -332,36 +367,49 @@ def ivf_fixed_topk(
         .collect()
     )
 
-    def cells_arr(vec) -> "F.Column":
-        return F.array(
-            *[
-                F.round(
-                    _cos_expr(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in r["_av"]]),
-                    ),
-                    CELL_COS_DECIMALS,
-                )
-                for r in anchors
-            ]
+    if len(anchors) > IVF_MATMUL_CELL_THRESHOLD:
+        ck = _assign_cells_matmul(corpus, anchors, vec_c, 1).select(
+            id_c, vec_c, F.element_at("_cells", 1).alias("_cell")
         )
+        qk = _assign_cells_matmul(queries, anchors, vec_q, n_probe).select(
+            id_q, vec_q, F.explode("_cells").alias("_cell")
+        )
+    else:
 
-    ck = corpus.withColumn("_cs", cells_arr(F.col(vec_c))).select(
-        id_c,
-        vec_c,
-        F.array_position(F.col("_cs"), F.array_max("_cs"))
-        .cast("int")
-        .alias("_cell"),
-    )
-    qs = queries.withColumn("_cs", cells_arr(F.col(vec_q))).select(
-        id_q, vec_q, F.posexplode("_cs").alias("_pos", "_s")
-    )
-    wq = Window.partitionBy(id_q).orderBy(F.col("_s").desc(), F.col("_pos"))
-    qk = (
-        qs.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(id_q, vec_q, (F.col("_pos") + 1).cast("int").alias("_cell"))
-    )
+        def cells_arr(vec) -> "F.Column":
+            return F.array(
+                *[
+                    F.round(
+                        _cos_expr(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in r["_av"]]),
+                        ),
+                        CELL_COS_DECIMALS,
+                    )
+                    for r in anchors
+                ]
+            )
+
+        ck = corpus.withColumn("_cs", cells_arr(F.col(vec_c))).select(
+            id_c,
+            vec_c,
+            F.array_position(F.col("_cs"), F.array_max("_cs"))
+            .cast("int")
+            .alias("_cell"),
+        )
+        qs = queries.withColumn("_cs", cells_arr(F.col(vec_q))).select(
+            id_q, vec_q, F.posexplode("_cs").alias("_pos", "_s")
+        )
+        wq = Window.partitionBy(id_q).orderBy(
+            F.col("_s").desc(), F.col("_pos")
+        )
+        qk = (
+            qs.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= n_probe)
+            .select(
+                id_q, vec_q, (F.col("_pos") + 1).cast("int").alias("_cell")
+            )
+        )
     cand = (
         qk.join(ck, "_cell")
         .drop("_cell")

@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from query_cost_feature_engineering_spark.operators.rank import _bucket_expr
+from query_cost_feature_engineering_spark.operators.rank import (
+    _bucket_expr,
+    adaptive_buckets,
+)
 from query_cost_feature_engineering_spark.runtime.statcache import (
     _MISS,
     StatsCache,
@@ -43,15 +46,21 @@ def with_running_sums(
     order_cols: list[str],
     value_cols: list[str],
     bucket_col: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    min_buckets: int = 64,
     rel_err: float = 0.001,
 ) -> DataFrame:
     """Append ``run_<col>`` global running sums (and ``run_rows``) in
     ``order_cols`` order. ``order_cols`` must be a total order;
     ``value_cols`` must be integral (long). ``bucket_col`` is a numeric
     column to range-bucket on (default: the first order column; cast a
-    timestamp with ``unix_micros`` first)."""
+    timestamp with ``unix_micros`` first). ``n_buckets=None`` (default)
+    sizes buckets from the input (``rank.adaptive_buckets`` — one
+    window task per ~256 MB, floored at ``min_buckets``) so the stage's
+    parallelism grows with the data instead of being a constant."""
     bucket_col = bucket_col or order_cols[0]
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(df, floor=min_buckets)
     fp = plan_fingerprint(df)
     ckey = (
         (fp, bucket_col, tuple(value_cols), n_buckets, rel_err)

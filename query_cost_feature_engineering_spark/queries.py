@@ -1348,7 +1348,7 @@ def running_total_orders(spark, sf_dir):
         ["o_orderdate", "o_orderkey"],
         ["cents"],
         bucket_col="_ts_us",
-        n_buckets=32,
+        min_buckets=32,
     )
     return out.select("o_orderkey", "run_cents", "run_rows")
 
@@ -1382,7 +1382,7 @@ def pack_sequences_docs(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     out = with_running_sums(
-        d, ["doc_id"], ["n_tokens"], bucket_col="doc_id", n_buckets=32
+        d, ["doc_id"], ["n_tokens"], bucket_col="doc_id", min_buckets=32
     )
     prefix = (F.col("run_n_tokens") - F.col("n_tokens")).alias("prefix")
     return out.select(

@@ -236,3 +236,24 @@ def test_running_sums_match_global_window(spark):
     # and the distributed plan has no single-partition Exchange
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_adaptive_buckets_scale_with_input(spark):
+    """Round-4: the range-bucket count for rank/prefix is derived from
+    the optimizer's size estimate, not a constant — a constant caps the
+    stage at fixed parallelism forever (round-3 verdict #2). Floor and
+    cap clamp the small and absurd ends."""
+    from query_cost_feature_engineering_spark.operators.rank import (
+        adaptive_buckets,
+    )
+
+    small = spark.range(100).selectExpr("id", "id * 2 AS v")
+    big = spark.range(200_000).selectExpr("id", "id * 2 AS v")
+    # real default: both are tiny vs 256 MB/bucket -> floor
+    assert adaptive_buckets(small) == 64
+    assert adaptive_buckets(small, floor=32) == 32
+    # shrink the per-bucket budget to expose the scaling behaviour
+    nb_small = adaptive_buckets(small, floor=8, bytes_per_bucket=4096)
+    nb_big = adaptive_buckets(big, floor=8, bytes_per_bucket=4096)
+    assert nb_big > nb_small >= 8
+    assert adaptive_buckets(big, floor=8, bytes_per_bucket=1, cap=4096) == 4096
