@@ -155,6 +155,71 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM16) — a REAL audio codec in pure stdlib struct + NumPy.
+# libsndfile/soundfile are absent from this container, but canonical WAV
+# needs no external library: it is a RIFF chunk walk + a PCM buffer. This
+# upgrades the audio path from "stub container only" to real-format
+# (lossless 16-bit PCM; compressed formats still need a codec library).
+# ---------------------------------------------------------------------------
+
+WAV_RIFF = b"RIFF"
+
+
+def encode_wav_pcm16(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM → canonical WAV bytes."""
+    if pcm.dtype != np.int16:
+        raise ValueError("encode_wav_pcm16 expects int16 samples")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    data = pcm.astype("<i2").tobytes()
+    byte_rate = rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF pads odd chunks
+    )
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE uncompressed PCM16 → ((frames, channels) int16, rate).
+
+    A real chunk walk: unknown chunks (LIST, fact, cue, ...) are skipped
+    by their declared size (+ the RIFF odd-length pad byte), so WAVs with
+    metadata parse correctly. Only audio format 1 (PCM) at 16 bits is
+    supported — compressed WAV genuinely needs a codec library."""
+    if data[:4] != WAV_RIFF or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    ch = rate = bits = audio_fmt = None
+    pcm_bytes = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)  # odd chunks carry one pad byte
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+        elif tag == b"data":
+            pcm_bytes = payload
+    if pcm_bytes is None or audio_fmt is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only uncompressed PCM16 WAV is supported "
+            f"(format={audio_fmt}, bits={bits})"
+        )
+    n = len(pcm_bytes) // (2 * ch)
+    pcm = np.frombuffer(pcm_bytes[: n * 2 * ch], dtype="<i2").reshape(n, ch)
+    return pcm.astype(np.int16), int(rate)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:

@@ -83,6 +83,24 @@ def _decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)[:n], rate
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Mono (n,) int16 PCM + rate from any supported audio payload:
+    REAL RIFF/PCM16 WAV (pure-stdlib parser, ``codecs.decode_wav``) or
+    the FAUD stub container. Multichannel WAV yields channel 0 (features
+    are per-clip scalars; channel choice is deterministic). Compressed
+    formats (mp3/ogg/m4a) still raise — those genuinely need a codec
+    library, probed via the soundfile import above."""
+    from query_cost_feature_engineering_spark.codecs import (
+        WAV_RIFF,
+        decode_wav,
+    )
+
+    if data[:4] == WAV_RIFF:
+        pcm, rate = decode_wav(bytes(data))
+        return pcm[:, 0], rate
+    return _decode_fake_audio(data)
+
+
 # --- format sniffing (mapInArrow, zero-copy) --------------------------------
 
 _MAGIC = [
@@ -91,6 +109,7 @@ _MAGIC = [
     (b"QJPG", "jpeg"),  # our deterministic lossy stub container
     (FVID_SIG, "fvid"),
     (FAUD_SIG, "faud"),
+    (b"RIFF", "wav"),
 ]
 
 
@@ -294,15 +313,15 @@ _AUDIO_SCHEMA = T.StructType(
 
 
 def with_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Scalar struct pandas UDF: PCM stats per clip (FAUD stub decode)."""
+    """Scalar struct pandas UDF: PCM stats per clip. Decode is REAL for
+    RIFF/PCM16 WAV (stdlib parser) and falls back to the FAUD stub for
+    the synthetic container (``decode_audio`` dispatch)."""
 
     @F.pandas_udf(_AUDIO_SCHEMA)
     def _afeat(data: pd.Series) -> pd.DataFrame:
         rows = []
         for b in data:
-            if _HAS_SF:  # pragma: no cover
-                raise NotImplementedError("soundfile path not wired in sandbox")
-            pcm, rate = _decode_fake_audio(bytes(b))
+            pcm, rate = decode_audio(bytes(b))
             x = pcm.astype(np.float64)
             rows.append(
                 {

@@ -2108,7 +2108,10 @@ def video_frame_sample(spark, sf_dir):
 
 
 def audio_features_clips(spark, sf_dir):
-    """PCM stats per clip over the FAUD stub container."""
+    """PCM stats per clip over a MIXED corpus: even clips are real
+    RIFF/PCM16 WAV decoded by the pure-stdlib codec (codecs.decode_wav —
+    no external library), odd clips the FAUD stub container; one pandas
+    UDF dispatches on magic bytes (functions/multimodal.decode_audio)."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
         with_audio_features,
     )

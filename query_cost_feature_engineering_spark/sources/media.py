@@ -36,17 +36,27 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
 
 
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
+    """Mixed-format clip table: even clips are REAL RIFF/PCM16 WAV
+    (pure-stdlib codec, ``codecs.encode_wav_pcm16``), odd clips the FAUD
+    stub container — the same PCM stream either way, so the decode
+    dispatch (``functions.multimodal.decode_audio``) is exercised on
+    both paths in every query run."""
+    from query_cost_feature_engineering_spark.codecs import encode_wav_pcm16
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         ns = int(rng.integers(1600, 48000))
         pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+        wav = i % 2 == 0
         rows.append(
             {
                 "clip_id": f"aud{i:06d}",
-                "bytes": encode_fake_audio(pcm, rate=16000),
+                "bytes": encode_wav_pcm16(pcm, rate=16000)
+                if wav
+                else encode_fake_audio(pcm, rate=16000),
                 "n_samples_true": ns,
-                "fmt": "faud",
+                "fmt": "wav" if wav else "faud",
             }
         )
     return pd.DataFrame(rows)

@@ -52,3 +52,76 @@ def test_generator_determinism_and_fidelity():
         ham = hamming64(int(r["phash"]), phash64(arr))
         assert ham == 0 if r["fmt"] == "png" else ham <= 10
         assert isinstance(r["caption"], str) and 3 <= len(r["caption"].split()) <= 12
+
+
+def test_wav_pcm16_roundtrip_mono_and_stereo():
+    """Round-4: REAL RIFF/PCM16 WAV in pure stdlib — lossless round-trip
+    for mono and stereo, exact sample + rate recovery."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = (rng.standard_normal(4001) * 9000).astype(np.int16)  # odd length
+    pcm, rate = decode_wav(encode_wav_pcm16(mono, rate=22050))
+    assert rate == 22050 and pcm.shape == (4001, 1)
+    np.testing.assert_array_equal(pcm[:, 0], mono)
+
+    stereo = (rng.standard_normal((1234, 2)) * 9000).astype(np.int16)
+    pcm2, rate2 = decode_wav(encode_wav_pcm16(stereo, rate=44100))
+    assert rate2 == 44100
+    np.testing.assert_array_equal(pcm2, stereo)
+
+
+def test_wav_chunk_walk_skips_metadata_and_rejects_compressed():
+    """The parser is a real RIFF chunk walk: LIST/fact metadata chunks
+    (with the odd-size pad byte) are skipped; non-PCM formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    mono = np.arange(-500, 500, dtype=np.int16)
+    wav = encode_wav_pcm16(mono, rate=8000)
+    # splice a LIST chunk (odd size -> pad byte) between fmt and data
+    fmt_end = wav.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:fmt_end] + meta + wav[fmt_end:]
+    # RIFF size field is informational for our walk; re-parse succeeds
+    pcm, rate = decode_wav(spliced)
+    np.testing.assert_array_equal(pcm[:, 0], mono)
+    assert rate == 8000
+
+    # IEEE-float WAV (format 3) must raise, not mis-decode
+    bad = bytearray(wav)
+    fmt_pos = wav.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_pos, 3)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav(bytes(bad))
+
+
+def test_wav_and_faud_same_pcm_same_features():
+    """decode_audio dispatch: the SAME PCM stream wrapped as WAV and as
+    FAUD decodes identically (real codec == stub contract)."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.codecs import encode_wav_pcm16
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+        encode_fake_audio,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    a, ra = decode_audio(encode_wav_pcm16(pcm, rate=16000))
+    b, rb = decode_audio(encode_fake_audio(pcm, rate=16000))
+    assert ra == rb == 16000
+    np.testing.assert_array_equal(a, b)

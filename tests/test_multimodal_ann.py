@@ -67,7 +67,15 @@ def test_video_decode_rejects_real_formats():
 
 
 def test_audio_features_match_golden(spark):
+    """The mixed corpus (even clips REAL WAV, odd clips FAUD stub) runs
+    through the same pandas UDF; the golden re-decodes each payload with
+    the matching codec."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+    )
+
     clips = generate_audio_pandas(30, seed=53)
+    assert {"wav", "faud"} == set(clips["fmt"])
     out = (
         with_audio_features(spark.createDataFrame(clips))
         .select("clip_id", "n_samples", "sample_rate", "rms", "zero_crossings")
@@ -75,7 +83,7 @@ def test_audio_features_match_golden(spark):
         .set_index("clip_id")
     )
     for row in clips.itertuples():
-        pcm, rate = _decode_fake_audio(bytes(row.bytes))
+        pcm, rate = decode_audio(bytes(row.bytes))
         got = out.loc[row.clip_id]
         assert got["n_samples"] == len(pcm) == row.n_samples_true
         assert got["sample_rate"] == rate
