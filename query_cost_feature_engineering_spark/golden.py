@@ -57,3 +57,52 @@ def golden_features(images: pd.DataFrame) -> pd.DataFrame:
         df, "nbytes", "px_mean"
     )
     return df.drop(columns=["bytes", "caption"]).reset_index(drop=True)
+
+
+def ensure_stream_features_fixture(
+    n: int = 2000, n_entities: int = 60, seed: int = 44
+) -> str:
+    """Write (once) the expected stream_image_features rows as parquet —
+    the DuckDB-visible mirror of the streaming query's synthetic input
+    (same generator, same seed). The pure-pandas side recomputes the
+    stateless featurize stage (decode stats share the exact NumPy core
+    the Arrow UDF runs, so doubles are bit-identical); the driver's hash
+    compare then checks the whole file-stream → micro-batch → sink path
+    end to end. Same digest-keyed atomic-write pattern as the plan-node
+    fixture (sources/logs.ensure_plan_nodes_fixture)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, n_entities, seed)
+    px = decode_stats_pandas(imgs["bytes"], imgs["fmt"])
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].astype(str),
+            "entity_id": imgs["entity_id"].astype("int64"),
+            "ts": imgs["ts"],
+            "fmt": imgs["fmt"].astype(str),
+            "token_count": imgs["caption"]
+            .str.split()
+            .map(len)
+            .astype("int64"),
+            "px_mean": px["px_mean"].to_numpy(dtype=np.float64),
+            "nbytes": imgs["bytes"].map(len).astype("float64"),
+        }
+    )
+    key = hashlib.md5(out.to_csv(index=False).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "qcfe_fixtures")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"stream_feats_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path

@@ -1496,6 +1496,30 @@ def _subplan_rollup_sql() -> str:
 ORACLES["subplan_rollup_plans"] = _subplan_rollup_sql()
 
 
+def _stream_image_features_sql() -> str:
+    """Mirror of stream_image_features via the both-sides-synthesize
+    pattern: a pure-pandas recompute of the stateless featurize stage
+    over the SAME seeded image table, written as a fixture parquet
+    (golden.ensure_stream_features_fixture). A hash match proves the
+    file-source stream → Arrow decode → sink path reproduces the
+    independent single-process computation row-for-row — upgrading the
+    round-3 rows-only check to a hard signal."""
+    from query_cost_feature_engineering_spark.golden import (
+        ensure_stream_features_fixture,
+    )
+
+    path = ensure_stream_features_fixture()
+    return f"""
+    SELECT image_id, entity_id, ts, fmt, token_count,
+           round(px_mean + 1e-9, 4) AS px_mean,
+           round(nbytes + 1e-9, 4) AS nbytes
+    FROM read_parquet('{path}')
+    """
+
+
+ORACLES["stream_image_features"] = _stream_image_features_sql()
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB mirror of pii_scrub_docs: identical deterministic PII
     injection, identical dialect-neutral patterns ('g' flag makes
