@@ -106,3 +106,299 @@ def ensure_stream_features_fixture(
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
         os.replace(tmp, path)
     return path
+
+
+def _write_fixture(tag: str, out: pd.DataFrame) -> str:
+    """Digest-keyed atomic parquet write under /tmp/qcfe_fixtures — the
+    shared writer for every both-sides-synthesize oracle fixture. The
+    content digest in the filename means a generator/semantics change
+    can never pair a stale fixture with fresh Spark output."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(out.to_csv(index=False).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "qcfe_fixtures")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{tag}_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_resize_meta_fixture(n: int = 120, size: int = 32) -> str:
+    """Expected rows for resize_images_meta: the SAME nearest-neighbor
+    index arithmetic + PNG re-encode as the Arrow UDF, in pure Python."""
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_image,
+        encode_png,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    nbytes = []
+    for b, f in zip(imgs["bytes"], imgs["fmt"]):
+        arr = decode_image(bytes(b), f)
+        ys = (np.arange(size) * arr.shape[0]) // size
+        xs = (np.arange(size) * arr.shape[1]) // size
+        nbytes.append(len(encode_png(arr[np.ix_(ys, xs)])))
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].astype(str),
+            "w": np.int32(size),
+            "h": np.int32(size),
+            "fmt": "png",
+            "out_nbytes": np.asarray(nbytes, dtype=np.int64),
+        }
+    )
+    return _write_fixture("resize_meta", out)
+
+
+def ensure_augment_meta_fixture(
+    n: int = 120, crop_frac: float = 0.875, hflip: bool = True
+) -> str:
+    """Expected rows for augment_images_meta: center crop + hflip + PNG
+    re-encode + phash recompute, mirroring the UDF op-for-op."""
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_image,
+        encode_png,
+        phash64,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    ws, hs, phs, nbytes = [], [], [], []
+    for b, f in zip(imgs["bytes"], imgs["fmt"]):
+        arr = decode_image(bytes(b), f)
+        h, w = arr.shape[0], arr.shape[1]
+        ch = max(int(h * crop_frac), 1)
+        cw = max(int(w * crop_frac), 1)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        cut = arr[y0 : y0 + ch, x0 : x0 + cw]
+        if hflip:
+            cut = cut[:, ::-1]
+        ws.append(cw)
+        hs.append(ch)
+        phs.append(phash64(cut))
+        nbytes.append(len(encode_png(np.ascontiguousarray(cut))))
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].astype(str),
+            "w": np.asarray(ws, dtype=np.int32),
+            "h": np.asarray(hs, dtype=np.int32),
+            "fmt": "png",
+            "phash": np.asarray(phs, dtype=np.int64),
+            "out_nbytes": np.asarray(nbytes, dtype=np.int64),
+        }
+    )
+    return _write_fixture("augment_meta", out)
+
+
+def ensure_video_frames_fixture(
+    n: int = 60, seed: int = 52, every_k: int = 5
+) -> str:
+    """Expected rows for video_frame_sample (FVID stub decode + every
+    k-th frame, same float mean)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        _decode_fake_video,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_videos_pandas,
+    )
+
+    vids = generate_videos_pandas(n, seed=seed)
+    rows = []
+    for mid, data in zip(vids["media_id"], vids["bytes"]):
+        frames = _decode_fake_video(bytes(data))
+        nf = frames.shape[0]
+        for i in range(0, nf, every_k):
+            rows.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": np.int32(i),
+                    "n_frames": np.int32(nf),
+                    "frame_mean": float(frames[i].mean()),
+                }
+            )
+    return _write_fixture("video_frames", pd.DataFrame(rows))
+
+
+def ensure_audio_features_fixture(n: int = 80, seed: int = 53) -> str:
+    """Expected rows for audio_features_clips over the mixed WAV+FAUD
+    corpus (same decode dispatch + formulas as the UDF)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_pandas,
+    )
+
+    clips = generate_audio_pandas(n, seed=seed)
+    rows = []
+    for cid, b in zip(clips["clip_id"], clips["bytes"]):
+        pcm, rate = decode_audio(bytes(b))
+        x = pcm.astype(np.float64)
+        rows.append(
+            {
+                "clip_id": cid,
+                "n_samples": np.int32(len(pcm)),
+                "sample_rate": np.int32(rate),
+                "duration_s": len(pcm) / rate,
+                "rms": float(np.sqrt(np.mean(x**2))) if len(pcm) else 0.0,
+                "zero_crossings": np.int32(
+                    np.sum(np.abs(np.diff(np.signbit(pcm))))
+                )
+                if len(pcm) > 1
+                else np.int32(0),
+            }
+        )
+    return _write_fixture("audio_feats", pd.DataFrame(rows))
+
+
+def ensure_sniff_fixture(n: int = 200) -> str:
+    """Expected rows for format_sniff_images (magic-byte table mirror)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        _MAGIC,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    sniffed = []
+    for b in imgs["bytes"]:
+        head = bytes(b)[:8]
+        fmt = "unknown"
+        for sig, name in _MAGIC:
+            if head.startswith(sig):
+                fmt = name
+                break
+        sniffed.append(fmt)
+    out = pd.DataFrame(
+        {
+            "media_id": imgs["image_id"].astype(str),
+            "declared_fmt": imgs["fmt"].astype(str),
+            "sniffed_fmt": sniffed,
+            "fmt_ok": [s == d for s, d in zip(sniffed, imgs["fmt"])],
+        }
+    )
+    return _write_fixture("sniff", out)
+
+
+def _phash_pairs_py(n: int = 400, max_dist: int = 12):
+    """Brute-force hamming pairs over the synthetic image corpus — the
+    exact mirror of hamming_neardup_pairs' lossless banding."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    ids = imgs["image_id"].tolist()
+    hs = [int(h) & 0xFFFFFFFFFFFFFFFF for h in imgs["phash"]]
+    order = np.argsort(ids)
+    pairs = []
+    for ii in range(len(order)):
+        a = order[ii]
+        for jj in range(ii + 1, len(order)):
+            b = order[jj]
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= max_dist:
+                pairs.append((ids[a], ids[b], d))
+    return ids, pairs
+
+
+def ensure_phash_pairs_fixture(n: int = 400, max_dist: int = 12) -> str:
+    _, pairs = _phash_pairs_py(n, max_dist)
+    out = pd.DataFrame(pairs, columns=["img_a", "img_b", "hamming"])
+    out["hamming"] = out["hamming"].astype(np.int32)
+    return _write_fixture("phash_pairs", out)
+
+
+def ensure_dedup_clusters_fixture(n: int = 400, max_dist: int = 12) -> str:
+    """Union-find over the brute-force pairs; cluster_id = min id in the
+    component, survivors = the min id itself; singletons included —
+    mirroring operators/cluster.dedup_clusters."""
+    ids, pairs = _phash_pairs_py(n, max_dist)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = pd.DataFrame(
+        {
+            "image_id": ids,
+            "cluster_id": [find(i) for i in ids],
+        }
+    ).sort_values("image_id")
+    out["is_survivor"] = out["image_id"] == out["cluster_id"]
+    return _write_fixture("dedup_clusters", out)
+
+
+def ensure_asof_features_fixture() -> str:
+    """Expected rows for image_asof_features: golden features (shared
+    decode core + pandas windows) + pandas merge_asof with the engine's
+    tie rule (right side sorted by (ts, image_id), backward, exact
+    matches allowed)."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+        generate_spine_pandas,
+    )
+
+    pdf = generate_images_pandas(400, 30, 42)
+    feats = golden_features(pdf)[
+        ["entity_id", "ts", "image_id", "px_mean", "session_id"]
+    ]
+    spine = generate_spine_pandas(pdf, n=200, seed=43)
+    lo = spine.sort_values("ts", kind="mergesort")
+    ro = feats.sort_values(["ts", "image_id"], kind="mergesort")
+    out = pd.merge_asof(
+        lo,
+        ro,
+        on="ts",
+        by="entity_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    out = out[["probe_id", "entity_id", "image_id", "px_mean", "session_id"]]
+    out["session_id"] = out["session_id"].astype("Int64")
+    return _write_fixture("asof_feats", out)
+
+
+def ensure_plan_samples_fit_fixture() -> str:
+    """Raw per-node (node_type, actual_rows, actual_total_time) samples
+    (zero-row filtered) for BOTH logscan corpora — the DuckDB input for
+    logscan_plans' per-node-type regression oracle."""
+    from query_cost_feature_engineering_spark.sources.logs import (
+        flatten_plan_nodes,
+        generate_plans,
+    )
+
+    rows = []
+    for n, seed in ((300, 61), (200, 62)):
+        for r in flatten_plan_nodes(generate_plans(n, seed)):
+            if (r["actual_rows"] or 0) > 0:
+                rows.append(
+                    {
+                        "node_type": r["node_type"],
+                        "actual_rows": np.int64(r["actual_rows"]),
+                        "actual_total_time": float(r["actual_total_time"]),
+                    }
+                )
+    return _write_fixture("plan_samples", pd.DataFrame(rows))

@@ -1520,6 +1520,86 @@ def _stream_image_features_sql() -> str:
 ORACLES["stream_image_features"] = _stream_image_features_sql()
 
 
+# Round 4: the remaining synthetic-input queries move from rows-only to
+# hash oracles via the same both-sides-synthesize fixtures — the
+# pure-Python side recomputes each operator's semantics independently
+# (same shared codec cores, so doubles are bit-identical; everything
+# else is integer/string-exact) and DuckDB reads the fixture parquet.
+def _fixture_oracles() -> dict[str, str]:
+    from query_cost_feature_engineering_spark import golden as G
+
+    return {
+        "resize_images_meta": f"""
+            SELECT image_id, w, h, fmt, out_nbytes
+            FROM read_parquet('{G.ensure_resize_meta_fixture()}')
+        """,
+        "augment_images_meta": f"""
+            SELECT image_id, w, h, fmt, phash, out_nbytes
+            FROM read_parquet('{G.ensure_augment_meta_fixture()}')
+        """,
+        "video_frame_sample": f"""
+            SELECT media_id, frame_idx, n_frames,
+                   round(frame_mean + 1e-9, 4) AS frame_mean
+            FROM read_parquet('{G.ensure_video_frames_fixture()}')
+        """,
+        "audio_features_clips": f"""
+            SELECT clip_id, n_samples, sample_rate,
+                   round(duration_s + 1e-9, 4) AS duration_s,
+                   round(rms + 1e-9, 4) AS rms,
+                   zero_crossings
+            FROM read_parquet('{G.ensure_audio_features_fixture()}')
+        """,
+        "format_sniff_images": f"""
+            SELECT media_id, declared_fmt, sniffed_fmt, fmt_ok
+            FROM read_parquet('{G.ensure_sniff_fixture()}')
+        """,
+        "phash_neardup_images": f"""
+            SELECT img_a, img_b, hamming
+            FROM read_parquet('{G.ensure_phash_pairs_fixture()}')
+        """,
+        "image_dedup_clusters": f"""
+            SELECT image_id, cluster_id, is_survivor
+            FROM read_parquet('{G.ensure_dedup_clusters_fixture()}')
+        """,
+        "image_asof_features": f"""
+            SELECT probe_id, entity_id, image_id,
+                   round(px_mean + 1e-9, 4) AS px_mean,
+                   session_id
+            FROM read_parquet('{G.ensure_asof_features_fixture()}')
+        """,
+        # logscan_plans: DuckDB re-derives the per-node-type regression
+        # (same covariance formula + <3-sample/zero-variance fallback as
+        # operators/snapshot.fit_linear_by_group) from the RAW samples
+        # fixture — parse + explode + fit checked end to end.
+        "logscan_plans": f"""
+            WITH s AS (
+              SELECT * FROM read_parquet(
+                  '{G.ensure_plan_samples_fit_fixture()}')
+            ),
+            agg AS (
+              SELECT node_type,
+                     covar_pop(actual_rows, actual_total_time) AS c,
+                     var_pop(actual_rows) AS v,
+                     avg(actual_rows) AS mx,
+                     avg(actual_total_time) AS my,
+                     count(*) AS n_samples
+              FROM s GROUP BY node_type
+            )
+            SELECT node_type,
+                   round(CASE WHEN n_samples >= 3 AND v > 0
+                         THEN c / v ELSE 0.0 END + 1e-11, 6) AS slope,
+                   round(CASE WHEN n_samples >= 3 AND v > 0
+                         THEN my - c / v * mx ELSE my END + 1e-9, 4)
+                       AS intercept,
+                   n_samples
+            FROM agg
+        """,
+    }
+
+
+ORACLES.update(_fixture_oracles())
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB mirror of pii_scrub_docs: identical deterministic PII
     injection, identical dialect-neutral patterns ('g' flag makes

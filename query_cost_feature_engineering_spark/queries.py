@@ -2050,7 +2050,13 @@ def image_asof_features(spark, sf_dir):
         spine, feats, on="ts", by="entity_id",
         value_cols=["image_id", "px_mean", "session_id"], tiebreak="image_id",
     )
-    return out.select("probe_id", "entity_id", "image_id", "px_mean", "session_id")
+    return out.select(
+        "probe_id",
+        "entity_id",
+        "image_id",
+        _rq("px_mean").alias("px_mean"),
+        "session_id",
+    )
 
 
 def resize_images_meta(spark, sf_dir):
@@ -2771,13 +2777,14 @@ _DRIVER_UNSEEN_ORACLED = [
     "embedding_cosine_topk", "quantized_cosine_topk",
     "embedding_neardup_pairs", "ann_lsh_topk", "ann_ivf_fixed_topk",
     "text_analysis_docs", "repetition_docs", "pii_scrub_docs",
+    # round-4 fixture-oracle upgrades (previously rows-only)
+    "logscan_plans", "image_asof_features", "phash_neardup_images",
+    "image_dedup_clusters", "resize_images_meta", "augment_images_meta",
+    "video_frame_sample", "audio_features_clips", "format_sniff_images",
 ]
 _ROWS_ONLY = [
-    "approx_profile_orders", "logscan_plans", "mscn_serialize_plans",
-    "ann_ivf_topk", "image_features", "image_asof_features",
-    "phash_neardup_images", "image_dedup_clusters", "resize_images_meta",
-    "augment_images_meta", "video_frame_sample", "audio_features_clips",
-    "format_sniff_images", "greedy_ablation_lineitem",
+    "approx_profile_orders", "mscn_serialize_plans", "ann_ivf_topk",
+    "image_features", "greedy_ablation_lineitem",
 ]
 REGISTRY = {
     name: REGISTRY[name]
