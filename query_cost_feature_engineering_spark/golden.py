@@ -402,3 +402,55 @@ def ensure_plan_samples_fit_fixture() -> str:
                     }
                 )
     return _write_fixture("plan_samples", pd.DataFrame(rows))
+
+
+def _java_fmt5(x: float) -> str:
+    """Java ``String.format("%.5f")`` semantics (HALF_UP on the exact
+    decimal expansion of the double) — matches Spark's
+    ``format_string('%.5f', x)`` digit for digit, unlike Python's
+    ``%.5f`` (round-half-even on exact binary ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x:
+        return "NaN"
+    return f"{Decimal(x).quantize(Decimal('0.00001'), rounding=ROUND_HALF_UP):.5f}"
+
+
+def ensure_image_features_fixture() -> str:
+    """Expected rows for the FLAGSHIP image_features query: the full
+    158-slot vector recomputed by the single-process golden
+    (shared decode core + pandas windows — verified bit-identical to the
+    Spark plan's doubles incl. the rolling/expanding window sums), then
+    digested with Java-semantics %.5f. A hash match is the strongest
+    end-to-end signal in the repo: decode → window layer → expanding OLS
+    → vector assembly, every slot, every row."""
+    import hashlib
+
+    from query_cost_feature_engineering_spark.plans.pipeline import (
+        FEATURE_ORDER,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    g = golden_features(generate_images_pandas(400, 30, 42))
+    digs = []
+    for _, r in g.iterrows():
+        vec = [
+            0.0 if (v is None or v != v) else float(v)
+            for v in (r[c] for c in FEATURE_ORDER)
+        ]
+        digs.append(
+            hashlib.md5(",".join(_java_fmt5(v) for v in vec).encode()).hexdigest()
+        )
+    out = pd.DataFrame(
+        {
+            "image_id": g["image_id"].astype(str),
+            "entity_id": g["entity_id"].astype("int64"),
+            "ts": g["ts"],
+            "session_id": g["session_id"].astype("int64"),
+            "n_features": np.int32(len(FEATURE_ORDER)),
+            "feature_digest": digs,
+        }
+    )
+    return _write_fixture("image_features", out)

@@ -1567,6 +1567,11 @@ def _fixture_oracles() -> dict[str, str]:
                    session_id
             FROM read_parquet('{G.ensure_asof_features_fixture()}')
         """,
+        "image_features": f"""
+            SELECT image_id, entity_id, ts, session_id,
+                   n_features, feature_digest
+            FROM read_parquet('{G.ensure_image_features_fixture()}')
+        """,
         # logscan_plans: DuckDB re-derives the per-node-type regression
         # (same covariance formula + <3-sample/zero-variance fallback as
         # operators/snapshot.fit_linear_by_group) from the RAW samples

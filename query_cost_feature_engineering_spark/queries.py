@@ -2778,13 +2778,13 @@ _DRIVER_UNSEEN_ORACLED = [
     "embedding_neardup_pairs", "ann_lsh_topk", "ann_ivf_fixed_topk",
     "text_analysis_docs", "repetition_docs", "pii_scrub_docs",
     # round-4 fixture-oracle upgrades (previously rows-only)
-    "logscan_plans", "image_asof_features", "phash_neardup_images",
+    "image_features", "logscan_plans", "image_asof_features", "phash_neardup_images",
     "image_dedup_clusters", "resize_images_meta", "augment_images_meta",
     "video_frame_sample", "audio_features_clips", "format_sniff_images",
 ]
 _ROWS_ONLY = [
     "approx_profile_orders", "mscn_serialize_plans", "ann_ivf_topk",
-    "image_features", "greedy_ablation_lineitem",
+    "greedy_ablation_lineitem",
 ]
 REGISTRY = {
     name: REGISTRY[name]
