@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_ivf_fixed_topk",
     "text_analysis_docs",
     "repetition_docs",
+    "lm_quality_docs",
     "pii_scrub_docs",
     "pack_sequences_docs",
     "mixture_rebalance_docs",

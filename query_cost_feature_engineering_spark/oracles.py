@@ -1605,6 +1605,32 @@ def _fixture_oracles() -> dict[str, str]:
 ORACLES.update(_fixture_oracles())
 
 
+# Bigram-LM quality scoring: identical model (corpus-trained add-one
+# smoothed bigram log-prob, mean per doc) re-derived in SQL.
+ORACLES["lm_quality_docs"] = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    db AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY w1, w2),
+    uni AS (SELECT unnest(toks) AS w FROM d),
+    cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS v FROM cu)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((cb + 1.0) / (cu + v))) + 1e-9, 4) AS lm_score
+    FROM db
+    JOIN cb USING (w1, w2)
+    JOIN cu ON db.w1 = cu.w
+    CROSS JOIN v
+    GROUP BY doc_id
+"""
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB mirror of pii_scrub_docs: identical deterministic PII
     injection, identical dialect-neutral patterns ('g' flag makes

@@ -1992,6 +1992,58 @@ def text_analysis_docs(spark, sf_dir):
     )
 
 
+def lm_quality_docs(spark, sf_dir):
+    """Bigram-LM perplexity-style quality scoring — the CCNet/KenLM
+    filtering step of LLM-pretraining pipelines, Spark-first: documents
+    are scored by the mean add-one-smoothed bigram log-probability under
+    a language model trained on the corpus ITSELF (low scores = text
+    unlike the corpus: boilerplate, noise, wrong-language shards).
+
+    Plan shape (10^12-doc safe): ONE explode pass builds the corpus
+    bigram and unigram count tables (map-side combine makes shuffle
+    volume vocabulary-sized, not token-sized); the vocabulary size is a
+    1-row aggregate cross-joined as a broadcast scalar; scoring is an
+    equi-join of per-doc bigrams against the count tables (shuffle on
+    bigram key — the model tables stay DISTRIBUTED, never collected) +
+    one per-doc aggregation. score = avg over doc bigrams of
+    ln((c(w1 w2)+1) / (c(w1)+V)).  No UDF, no driver-side model."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    doc_bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    cnt_b = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    unigrams = d.select(F.explode("toks").alias("w"))
+    cnt_u = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = cnt_u.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        doc_bigrams.join(cnt_b, ["w1", "w2"])
+        .join(cnt_u.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            _rq(F.avg("lp")).alias("lm_score"),
+        )
+    )
+    return scored.select("doc_id", "n_bigrams", "lm_score")
+
+
 # ---------------------------------------------------------------------------
 # Image pipeline (rows-only: the synthetic image table isn't a DuckDB view)
 # ---------------------------------------------------------------------------
@@ -2741,6 +2793,7 @@ REGISTRY = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_fixed_topk": ann_ivf_fixed_topk,
     "text_analysis_docs": text_analysis_docs,
+    "lm_quality_docs": lm_quality_docs,
     "repetition_docs": repetition_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "image_features": image_features,
@@ -2776,7 +2829,8 @@ _DRIVER_UNSEEN_ORACLED = [
     "running_total_orders", "dedup_clusters_docs", "simhash_docs",
     "embedding_cosine_topk", "quantized_cosine_topk",
     "embedding_neardup_pairs", "ann_lsh_topk", "ann_ivf_fixed_topk",
-    "text_analysis_docs", "repetition_docs", "pii_scrub_docs",
+    "text_analysis_docs", "lm_quality_docs", "repetition_docs",
+    "pii_scrub_docs",
     # round-4 fixture-oracle upgrades (previously rows-only)
     "image_features", "logscan_plans", "image_asof_features", "phash_neardup_images",
     "image_dedup_clusters", "resize_images_meta", "augment_images_meta",

