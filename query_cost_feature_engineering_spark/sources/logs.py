@@ -13,9 +13,11 @@ dropped, exactly like the reference's try/except parse loop.
 
 The reference featurizes arbitrary-depth plan trees
 (`tpch_utils_knob.py:480-535`); ``from_json`` needs a closed schema, so
-``plan_schema(depth)`` nests the node struct ``depth`` times (4 covers
-the synthetic corpus; callers raise it for deeper trees — schema depth
-is a parse-time constant, not a data limit).
+``plan_schema(depth)`` nests the node struct ``depth`` times. Since
+round 4 the depth is AUTO-DETECTED per corpus (``_resolve_depth``:
+exact, map-only truncation check + schema doubling), so arbitrary-depth
+trees parse without configuration and an explicitly-passed depth fails
+loudly instead of silently truncating.
 """
 
 from __future__ import annotations
@@ -546,7 +548,7 @@ def read_plans_from_explain_json(
         .withColumn("plan", build_plan(depth))
         .filter(F.col("plan").isNotNull() & F.col("plan.`Node Type`").isNotNull())
     )
-    return parsed.select(
+    out = parsed.select(
         F.monotonically_increasing_id().alias("plan_id"),
         F.col("plan.`Node Type`").alias("node_type"),
         F.col("plan.`Plan Rows`").alias("plan_rows"),
@@ -557,6 +559,9 @@ def read_plans_from_explain_json(
         F.col("w.`Execution Time`").alias("execution_time"),
         F.to_json(F.col("plan")).alias("plans_json"),
     )
+    # carry the validated depth so downstream explodes skip their probe
+    out._qcfe_depth = depth
+    return out
 
 
 def _plans_from_json_lines(cleaned: DataFrame, depth: int | None) -> DataFrame:
@@ -567,7 +572,7 @@ def _plans_from_json_lines(cleaned: DataFrame, depth: int | None) -> DataFrame:
     parsed = cleaned.withColumn(
         "plan", F.from_json(F.col("json"), plan_schema(depth))
     ).filter(F.col("plan").isNotNull() & F.col("plan.`Node Type`").isNotNull())
-    return parsed.select(
+    out = parsed.select(
         F.monotonically_increasing_id().alias("plan_id"),
         F.col("plan.`Node Type`").alias("node_type"),
         F.col("plan.`Plan Rows`").alias("plan_rows"),
@@ -576,6 +581,11 @@ def _plans_from_json_lines(cleaned: DataFrame, depth: int | None) -> DataFrame:
         F.size(F.coalesce(F.col("plan.Plans"), F.array())).alias("n_children"),
         F.col("json").alias("plans_json"),
     )
+    # carry the validated depth so downstream explodes (per_node_rows /
+    # per_node_samples) skip their own probe — one scan per corpus, not
+    # one per consumer
+    out._qcfe_depth = depth
+    return out
 
 
 def read_plans_from_log(
@@ -649,14 +659,20 @@ def per_node_rows(plans: DataFrame, depth: int | None = None) -> DataFrame:
     the A4 featurizers (functions/plan_features.py) and the subplan
     time rollup. Same level-by-level JVM explode as per_node_samples;
     no UDF. ``depth=None`` auto-detects the schema depth needed to
-    reach every node of ``plans_json`` (``_resolve_depth``); an
-    explicit ``depth`` raises on deeper trees instead of silently
-    truncating."""
-    depth = _resolve_depth(
-        plans, "plans_json",
-        lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
-        depth,
-    )
+    reach every node of ``plans_json`` (``_resolve_depth``) — unless
+    ``plans`` came straight from a reader, which carries its validated
+    depth (``_qcfe_depth``) so the probe scan runs once per corpus, not
+    once per consumer. An explicit ``depth`` raises on deeper trees
+    instead of silently truncating."""
+    carried = getattr(plans, "_qcfe_depth", None)
+    if depth is None and carried is not None:
+        depth = carried  # validated at read time; skip the probe scan
+    else:
+        depth = _resolve_depth(
+            plans, "plans_json",
+            lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
+            depth,
+        )
     tree = plans.select(
         "plan_id", F.from_json("plans_json", plan_schema(depth)).alias("node")
     ).withColumn("parent_node_id", F.lit(None).cast("long"))
@@ -806,13 +822,18 @@ def per_node_samples(plans: DataFrame, depth: int | None = None) -> DataFrame:
     Level-by-level: unions one frame per depth level, each a projection +
     explode of the parsed struct. Depth is a small constant, so this is
     ``depth`` narrow passes — no UDF, full codegen. ``depth=None``
-    auto-detects (``_resolve_depth``).
+    auto-detects (``_resolve_depth``), reusing the reader's validated
+    ``_qcfe_depth`` when present.
     """
-    depth = _resolve_depth(
-        plans, "plans_json",
-        lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
-        depth,
-    )
+    carried = getattr(plans, "_qcfe_depth", None)
+    if depth is None and carried is not None:
+        depth = carried  # validated at read time; skip the probe scan
+    else:
+        depth = _resolve_depth(
+            plans, "plans_json",
+            lambda d: F.from_json(F.col("plans_json"), plan_schema(d)),
+            depth,
+        )
     tree = plans.select(
         "plan_id", F.from_json("plans_json", plan_schema(depth)).alias("node")
     )
