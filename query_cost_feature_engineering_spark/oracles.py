@@ -1605,6 +1605,33 @@ def _fixture_oracles() -> dict[str, str]:
 ORACLES.update(_fixture_oracles())
 
 
+# Exact token-5-gram collision decontamination (GPT-3-style). The Spark
+# side hash-compacts gram keys to xxhash64 for an 8-byte shuffle; the
+# oracle joins on the gram STRING — identical pair counts unless a hash
+# collision merges two distinct grams (negligible and deterministic, a
+# mismatch would surface here).
+ORACLES["contamination_ngram_docs"] = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                 AS is_bench
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 4),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS g
+      FROM d WHERE len(toks) >= 5
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           count(*) AS shared_ngrams
+    FROM g t JOIN g b USING (g)
+    WHERE NOT t.is_bench AND b.is_bench
+    GROUP BY 1, 2
+"""
+
+
 # Bigram-LM quality scoring: identical model (corpus-trained add-one
 # smoothed bigram log-prob, mean per doc) re-derived in SQL.
 ORACLES["lm_quality_docs"] = """

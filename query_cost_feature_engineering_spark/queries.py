@@ -1537,6 +1537,57 @@ def contamination_docs(spark, sf_dir):
     )
 
 
+CONTAM_NGRAM = 5
+
+
+def contamination_ngram_docs(spark, sf_dir):
+    """Exact token-n-gram collision decontamination — the GPT-3/PaLM
+    method, complementing the Jaccard check above: a training document
+    is contaminated if it shares ANY length-5 token n-gram with a
+    benchmark document (same deterministic md5 ~10% bench split).
+
+    Plan shape (10^12-doc safe): each side explodes its DISTINCT token
+    5-grams (map-only; gram strings hash-compacted to xxhash64 so the
+    shuffle carries 8-byte keys, not text), ONE equi-join on the gram
+    key, then a (train, bench) pair aggregation counting shared grams.
+    No similarity math, no candidate generation — collisions ARE the
+    verdict. Zipf-hot grams are the classic skew source; the bench side
+    is ~10% of the corpus, and AQE's skew-join split handles hot keys
+    without a salting pass."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < F.lit("19999999")
+        ).alias("is_bench"),
+    )
+    grams = d.filter(F.size("toks") >= CONTAM_NGRAM).select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(slice(toks, 1, size(toks) - {CONTAM_NGRAM - 1}),"
+                    f" (w, i) -> xxhash64(concat_ws(' ',"
+                    f" slice(toks, i + 1, {CONTAM_NGRAM}))))"
+                )
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(~F.col("is_bench")).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    bench = grams.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    return (
+        train.join(bench, "g")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
 def dedup_clusters_docs(spark, sf_dir):
     """Dedup clustering: connected components over the minhash-LSH
     candidate pairs (operators/cluster.py iterative min-label
@@ -2780,6 +2831,7 @@ REGISTRY = {
     "minhash_band_pairs": minhash_band_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
+    "contamination_ngram_docs": contamination_ngram_docs,
     "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -2825,6 +2877,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "feature_hash_events", "outlier_events_robust", "ewma_events",
     "structural_grouping_users", "dedup_exact_docs", "minhash_signatures",
     "minhash_band_pairs", "ngram_jaccard_pairs", "contamination_docs",
+    "contamination_ngram_docs",
     "mixture_rebalance_docs", "weighted_sample_docs", "pack_sequences_docs",
     "running_total_orders", "dedup_clusters_docs", "simhash_docs",
     "embedding_cosine_topk", "quantized_cosine_topk",
