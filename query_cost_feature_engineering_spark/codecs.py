@@ -220,6 +220,119 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.int16), int(rate)
 
 
+# ---------------------------------------------------------------------------
+# AVI (RIFF / uncompressed DIB RGB24) — a REAL video container codec in
+# pure stdlib, the video twin of the WAV codec above: AVI is RIFF, and
+# the uncompressed-DIB form needs no codec library (H.264/MJPEG etc.
+# genuinely do — those still raise). Frames are stored as bottom-up BGR
+# rows padded to 4-byte strides, exactly per the Windows DIB spec.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → canonical uncompressed AVI."""
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_avi_dib expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    frame_size = h * stride
+
+    def dib(f: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+        return rows[::-1].tobytes()  # bottom-up row order
+
+    movi_items = b"".join(
+        b"00db"
+        + struct.pack("<I", frame_size)
+        + dib(f)
+        + (b"\x00" if frame_size % 2 else b"")
+        for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+
+    bmih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strf = b"strf" + struct.pack("<I", len(bmih)) + bmih
+    strh_data = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
+    strl_items = strh + strf
+    strl = b"LIST" + struct.pack("<I", 4 + len(strl_items)) + b"strl" + strl_items
+    avih_data = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_data)) + avih_data
+    hdrl_items = avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (tag, payload) walking a RIFF chunk run, honoring the
+    odd-size pad byte."""
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield tag, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Decode an uncompressed-DIB AVI → (n, h, w, 3) uint8 RGB frames.
+
+    A real RIFF walk: LIST hdrl → strl → strf (BITMAPINFOHEADER) for the
+    geometry, LIST movi for the frame chunks; unknown chunks (JUNK,
+    idx1, INFO, ...) are skipped by size. Only biCompression=0 at 24 bpp
+    is supported — compressed AVI (MJPG/H.264 fourccs) raises, it
+    genuinely needs a codec library."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = bitcount = compression = None
+    frames_raw: list[bytes] = []
+    for tag, payload in _riff_chunks(data, 12, len(data)):
+        if tag != b"LIST":
+            continue
+        kind = payload[:4]
+        if kind == b"hdrl":
+            for t2, p2 in _riff_chunks(payload, 4, len(payload)):
+                if t2 == b"LIST" and p2[:4] == b"strl":
+                    for t3, p3 in _riff_chunks(p2, 4, len(p2)):
+                        if t3 == b"strf":
+                            (_, w, h, _, bitcount, compression) = struct.unpack(
+                                "<IiiHHI", p3[:20]
+                            )
+        elif kind == b"movi":
+            for t2, p2 in _riff_chunks(payload, 4, len(payload)):
+                if t2[2:4] in (b"db", b"dc"):
+                    frames_raw.append(p2)
+    if w is None or not frames_raw:
+        raise ValueError("AVI missing strf/movi")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI is supported "
+            f"(compression={compression}, bpp={bitcount})"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        rows = np.frombuffer(raw[: h * stride], dtype=np.uint8).reshape(
+            h, stride
+        )
+        bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+        out[i] = bgr[:, :, ::-1]
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:

@@ -83,6 +83,21 @@ def _decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)[:n], rate
 
 
+def decode_video(data: bytes) -> np.ndarray:
+    """(n, h, w, 3) uint8 RGB frames from any supported video payload:
+    REAL uncompressed-DIB AVI (pure-stdlib RIFF parser,
+    ``codecs.decode_avi``) or the FVID luma stub (expanded to 3
+    channels, so downstream means/encodes are format-independent).
+    Compressed video (H.264/MJPEG/mp4) still raises — that genuinely
+    needs a codec library, probed via the PyAV import above."""
+    from query_cost_feature_engineering_spark.codecs import decode_avi
+
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi(bytes(data))
+    luma = _decode_fake_video(data)
+    return np.repeat(luma[..., None], 3, axis=3)
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Mono (n,) int16 PCM + rate from any supported audio payload:
     REAL RIFF/PCM16 WAV (pure-stdlib parser, ``codecs.decode_wav``) or
@@ -109,8 +124,19 @@ _MAGIC = [
     (b"QJPG", "jpeg"),  # our deterministic lossy stub container
     (FVID_SIG, "fvid"),
     (FAUD_SIG, "faud"),
-    (b"RIFF", "wav"),
 ]
+
+
+def _sniff_head(head: bytes) -> str:
+    """Format from the first 12 payload bytes (RIFF needs the form type
+    at offset 8 to split wav vs avi)."""
+    if head.startswith(b"RIFF"):
+        form = head[8:12]
+        return {b"WAVE": "wav", b"AVI ": "avi"}.get(form, "riff")
+    for sig, name in _MAGIC:
+        if head.startswith(sig):
+            return name
+    return "unknown"
 
 
 def sniff_formats(
@@ -121,7 +147,7 @@ def sniff_formats(
 ) -> DataFrame:
     """Data-quality pass: detect the TRUE payload format from magic bytes
     and compare with the declared ``fmt`` column. Uses ``mapInArrow``
-    (input_hint's zero-copy path): only the first 8 bytes of each payload
+    (input_hint's zero-copy path): only the first 12 bytes of each payload
     are materialized; the binary buffers are never copied into pandas."""
     import pyarrow as pa
 
@@ -133,13 +159,8 @@ def sniff_formats(
             sniffed = []
             for i in range(len(data)):
                 v = data[i]
-                head = bytes(v.as_buffer()[:8]) if v.is_valid else b""
-                fmt = "unknown"
-                for sig, name in _MAGIC:
-                    if head.startswith(sig):
-                        fmt = name
-                        break
-                sniffed.append(fmt)
+                head = bytes(v.as_buffer()[:12]) if v.is_valid else b""
+                sniffed.append(_sniff_head(head))
             sn = pa.array(sniffed, pa.string())
             ok = pa.compute.equal(sn, decl.cast(pa.string()))
             yield pa.RecordBatch.from_arrays(
@@ -269,15 +290,15 @@ def sample_video_frames(
 ) -> DataFrame:
     """Explode each video row into one row per sampled frame (every k-th),
     via ``mapInPandas`` (1→N row fan-out needs mapInPandas, not a scalar
-    UDF). Decode is the FVID stub (or PyAV when available)."""
+    UDF). Decode dispatches on magic bytes: REAL uncompressed-DIB AVI
+    (pure-stdlib codec) or the FVID stub (``decode_video``); compressed
+    formats need PyAV and raise."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                if _HAS_AV:  # pragma: no cover
-                    raise NotImplementedError("PyAV path not wired in sandbox")
-                frames = _decode_fake_video(bytes(data))
+                frames = decode_video(bytes(data))  # (n, h, w, 3) RGB
                 n = frames.shape[0]
                 for i in range(0, n, every_k):
                     f = frames[i]
@@ -287,9 +308,7 @@ def sample_video_frames(
                             "frame_idx": i,
                             "n_frames": n,
                             "frame_mean": float(f.mean()),
-                            "frame_png": encode_png(
-                                np.repeat(f[..., None], 3, axis=2)
-                            ),
+                            "frame_png": encode_png(f),
                         }
                     )
             yield pd.DataFrame(

@@ -209,7 +209,7 @@ def ensure_video_frames_fixture(
     """Expected rows for video_frame_sample (FVID stub decode + every
     k-th frame, same float mean)."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
-        _decode_fake_video,
+        decode_video,
     )
     from query_cost_feature_engineering_spark.sources.media import (
         generate_videos_pandas,
@@ -218,7 +218,7 @@ def ensure_video_frames_fixture(
     vids = generate_videos_pandas(n, seed=seed)
     rows = []
     for mid, data in zip(vids["media_id"], vids["bytes"]):
-        frames = _decode_fake_video(bytes(data))
+        frames = decode_video(bytes(data))
         nf = frames.shape[0]
         for i in range(0, nf, every_k):
             rows.append(
@@ -267,22 +267,14 @@ def ensure_audio_features_fixture(n: int = 80, seed: int = 53) -> str:
 def ensure_sniff_fixture(n: int = 200) -> str:
     """Expected rows for format_sniff_images (magic-byte table mirror)."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
-        _MAGIC,
+        _sniff_head,
     )
     from query_cost_feature_engineering_spark.sources.images import (
         generate_images_pandas,
     )
 
     imgs = generate_images_pandas(n, 30, 42)
-    sniffed = []
-    for b in imgs["bytes"]:
-        head = bytes(b)[:8]
-        fmt = "unknown"
-        for sig, name in _MAGIC:
-            if head.startswith(sig):
-                fmt = name
-                break
-        sniffed.append(fmt)
+    sniffed = [_sniff_head(bytes(b)[:12]) for b in imgs["bytes"]]
     out = pd.DataFrame(
         {
             "media_id": imgs["image_id"].astype(str),

@@ -17,19 +17,32 @@ from query_cost_feature_engineering_spark.functions.multimodal import (
 
 
 def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
+    """Mixed-format clip table: even clips are REAL uncompressed-DIB AVI
+    (pure-stdlib codec, ``codecs.encode_avi_dib``; RGB frames), odd
+    clips the FVID luma stub — so the decode dispatch
+    (``functions.multimodal.decode_video``) exercises both paths in
+    every query run."""
+    from query_cost_feature_engineering_spark.codecs import encode_avi_dib
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         nf = int(rng.integers(8, 40))
         h = int(rng.choice([16, 24, 32]))
         w = int(rng.choice([16, 24, 32]))
-        frames = rng.integers(0, 256, size=(nf, h, w)).astype(np.uint8)
+        avi = i % 2 == 0
+        if avi:
+            frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+            data = encode_avi_dib(frames)
+        else:
+            frames = rng.integers(0, 256, size=(nf, h, w)).astype(np.uint8)
+            data = encode_fake_video(frames)
         rows.append(
             {
                 "media_id": f"vid{i:06d}",
-                "bytes": encode_fake_video(frames),
+                "bytes": data,
                 "n_frames_true": nf,
-                "fmt": "fvid",
+                "fmt": "avi" if avi else "fvid",
             }
         )
     return pd.DataFrame(rows)

@@ -125,3 +125,55 @@ def test_wav_and_faud_same_pcm_same_features():
     b, rb = decode_audio(encode_fake_audio(pcm, rate=16000))
     assert ra == rb == 16000
     np.testing.assert_array_equal(a, b)
+
+
+def test_avi_dib_roundtrip_and_compressed_rejection():
+    """Round-4: REAL uncompressed-DIB AVI in pure stdlib — lossless
+    frame round-trip (incl. non-4-multiple widths that exercise row
+    stride padding); compressed fourccs raise instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_avi,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in [(5, 16, 24, 3), (3, 17, 23, 3)]:
+        fr = rng.integers(0, 256, size=shape).astype(np.uint8)
+        back = decode_avi(encode_avi_dib(fr, fps=12))
+        np.testing.assert_array_equal(back, fr)
+
+    data = bytearray(encode_avi_dib(rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)))
+    # flip biCompression in the strf BITMAPINFOHEADER to MJPG-ish
+    strf = bytes(data).index(b"strf") + 8
+    struct.pack_into("<I", data, strf + 16, 1196444237)
+    with pytest.raises(NotImplementedError, match="DIB"):
+        decode_avi(bytes(data))
+
+
+def test_video_and_audio_dispatch_sniff():
+    """_sniff_head splits RIFF into wav vs avi via the form type."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.codecs import (
+        encode_avi_dib,
+        encode_wav_pcm16,
+    )
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        _sniff_head,
+        encode_fake_video,
+    )
+
+    rng = np.random.default_rng(4)
+    avi = encode_avi_dib(rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8))
+    wav = encode_wav_pcm16((rng.standard_normal(64) * 100).astype(np.int16))
+    fvid = encode_fake_video(rng.integers(0, 256, (2, 8, 8)).astype(np.uint8))
+    assert _sniff_head(avi[:12]) == "avi"
+    assert _sniff_head(wav[:12]) == "wav"
+    assert _sniff_head(fvid[:12]) == "fvid"
+    assert _sniff_head(b"\x89PNG\r\n\x1a\n0000") == "png"
+    assert _sniff_head(b"RIFF\x00\x00\x00\x00XXXX") == "riff"

@@ -41,7 +41,16 @@ def test_resize_images_matches_golden(spark, images_pdf):
 
 
 def test_video_frame_sample_matches_golden(spark):
+    """Mixed corpus: even clips REAL uncompressed-DIB AVI (RGB), odd
+    clips the FVID luma stub — both through one decode dispatch; the
+    golden re-decodes with the same dispatch and the PNG round-trips
+    pixels exactly."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_video,
+    )
+
     vids = generate_videos_pandas(25, seed=52)
+    assert {"avi", "fvid"} == set(vids["fmt"])
     out = (
         sample_video_frames(spark.createDataFrame(vids), every_k=EVERY_K)
         .toPandas()
@@ -49,7 +58,7 @@ def test_video_frame_sample_matches_golden(spark):
     expected_rows = sum(-(-nf // EVERY_K) for nf in vids["n_frames_true"])
     assert len(out) == expected_rows
     golden_frames = {
-        row.media_id: _decode_fake_video(bytes(row.bytes))
+        row.media_id: decode_video(bytes(row.bytes))
         for row in vids.itertuples()
     }
     for r in out.itertuples():
@@ -58,7 +67,7 @@ def test_video_frame_sample_matches_golden(spark):
         f = frames[r.frame_idx]
         assert abs(r.frame_mean - f.mean()) < 1e-9
         png = decode_png(bytes(r.frame_png))
-        np.testing.assert_array_equal(png[..., 0], f)
+        np.testing.assert_array_equal(png, f)
 
 
 def test_video_decode_rejects_real_formats():
