@@ -60,3 +60,20 @@ def test_query_matches_oracle(spark, duck, name):
             assert (
                 a[c].astype(str).fillna("∅") == b[c].astype(str).fillna("∅")
             ).all(), f"{name}.{c}"
+
+
+def test_driver_sample_window_fully_oracled():
+    """The correctness driver hashes the FIRST 50 registry entries; the
+    round-4 ordering guarantees every slot in that window carries a
+    DuckDB oracle (rows-only queries sort last). Guard the invariant so
+    a future insertion can't silently waste sampled slots."""
+    from query_cost_feature_engineering_spark.oracles import ORACLES
+    from query_cost_feature_engineering_spark.queries import REGISTRY
+
+    names = list(REGISTRY)
+    assert len(names) >= 50
+    missing = [n for n in names[:50] if n not in ORACLES]
+    assert missing == []
+    # and every oracle key actually maps to a registered query
+    dangling = [k for k in ORACLES if k not in REGISTRY]
+    assert dangling == []
