@@ -209,3 +209,52 @@ def test_mscn_postorder_and_or_combine():
     assert np.array_equal(root_num, featurize_node_dict_padded(plan))
     assert root_num[1] == 10.0  # Plan Rows inside basics
     assert not nodes[6:].any()  # zero-pad align
+
+
+def test_mscn_serializer_under_job_vocab():
+    """A14 under the JOB vocabulary: the serializer's widths, op one-hot
+    indices and identity bits all derive from the PlanVocab argument —
+    the same no-source-edit contract as the featurizers."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.functions.plan_features import (
+        unified_feat_len,
+    )
+    from query_cost_feature_engineering_spark.plans.mscn import (
+        node_feat_len,
+        serialize_plan_dict,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import JOB_VOCAB
+
+    plan = {
+        "Node Type": "Result",
+        "Node Id": 1,
+        "Plans": [
+            {
+                "Node Type": "Seq Scan",
+                "Node Id": 2,
+                "Relation Name": "title",
+                "Filter": "(production_year > 2000)",
+                "Plan Width": 8,
+                "Plan Rows": 10,
+                "Total Cost": 1.5,
+            }
+        ],
+    }
+    vec, n = serialize_plan_dict(plan, vocab=JOB_VOCAB)
+    flen = node_feat_len(vocab=JOB_VOCAB)
+    assert n == 2 and len(vec) == 32 * flen
+    n_ops = len(JOB_VOCAB.node_types)
+    n_rel = len(JOB_VOCAB.rel_names)
+    child, parent = vec[:flen], vec[flen : 2 * flen]
+    # postorder: child (Seq Scan) first; parent is the JOB-only 'Result'
+    assert child[JOB_VOCAB.node_types.index("Seq Scan")] == 1.0
+    assert parent[JOB_VOCAB.node_types.index("Result")] == 1.0
+    # identity one-hot OR-combines up: 'title' bit set on BOTH rows
+    ti = JOB_VOCAB.rel_names.index("title")
+    assert child[n_ops + n_rel + ti] == 1.0
+    assert parent[n_ops + n_rel + ti] == 1.0
+    # numerics tail is the unified JOB-vocab A4 width
+    assert flen == n_ops + 2 * n_rel + unified_feat_len(JOB_VOCAB)
+    # the masked attr stat for the matched predicate attr is non-zero
+    assert np.abs(child[n_ops + 2 * n_rel :]).sum() > 0
