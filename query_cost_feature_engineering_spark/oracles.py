@@ -1658,6 +1658,187 @@ ORACLES["lm_quality_docs"] = """
 """
 
 
+# Passage-level exact-substring dedup (Lee et al. 2022). Spark joins on
+# xxhash64-compacted gram keys (8-byte shuffle); the oracle joins on the
+# gram STRING — identical spans unless a hash collision merges two
+# distinct grams (same documented contract as contamination_ngram_docs).
+ORACLES["span_dedup_docs"] = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(toks[i:i+4], ' ') AS g
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+      WHERE len(toks) >= 5
+    ),
+    shared AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    h AS (SELECT doc_id, pos FROM g JOIN shared USING (g)),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 5
+                  THEN 1 ELSE 0 END AS new_span
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (
+                 PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+             ) AS span_id
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM s GROUP BY doc_id, span_id
+"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of lang_id_docs: identical per-language vowel
+    permutation, identical md5 train split, identical add-one-smoothed
+    char-bigram naive-Bayes scoring, identical quantized-score argmax
+    (round to 6 dp with the +1e-9 nudge before ordering, lang ASC
+    tie-break)."""
+    from query_cost_feature_engineering_spark.queries import (
+        LANGID_LANGS,
+        LANGID_VOWEL_MAP,
+    )
+
+    xlat = "lower(text)"
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN translate(lower(text), 'aeiou', '{to}')"
+        for lg, to in LANGID_VOWEL_MAP.items()
+    ) + f" ELSE {xlat} END"
+    langs = ", ".join(f"'{lg}'" for lg in sorted(LANGID_LANGS))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, {case} AS t2,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                 AS is_train
+      FROM documents
+      WHERE lang IN ({langs}) AND length({case}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, lang, is_train, substr(t2, i, 2) AS bg
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, length(t2) - 1)) AS i
+      )
+    ),
+    prof AS (
+      SELECT lang, bg, count(*) AS cnt FROM bg WHERE is_train
+      GROUP BY lang, bg
+    ),
+    tot AS (SELECT lang, sum(cnt) AS tot FROM prof GROUP BY lang),
+    v AS (SELECT count(DISTINCT bg) AS v FROM prof),
+    cand AS (
+      SELECT b.doc_id, b.lang AS actual_lang, b.bg, l.lang
+      FROM bg b CROSS JOIN (SELECT unnest([{langs}]) AS lang) l
+    ),
+    scored AS (
+      SELECT c.doc_id, c.actual_lang, c.lang,
+             sum(ln((coalesce(p.cnt, 0) + 1.0) / (t.tot + v.v))) AS score
+      FROM cand c
+      LEFT JOIN prof p ON c.lang = p.lang AND c.bg = p.bg
+      JOIN tot t ON c.lang = t.lang
+      CROSS JOIN v
+      GROUP BY c.doc_id, c.actual_lang, c.lang
+    ),
+    best AS (
+      SELECT doc_id, actual_lang, lang, score,
+             row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY round(score + 1e-9, 6) DESC, lang
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, actual_lang AS lang, lang AS pred_lang,
+           lang = actual_lang AS correct,
+           round(score + 1e-9, 4) AS score
+    FROM best WHERE rn = 1
+    """
+
+
+ORACLES["lang_id_docs"] = _lang_id_sql()
+
+
+def _domain_dedup_sql() -> str:
+    """DuckDB mirror of domain_dedup_docs: identical deterministic URL
+    synthesis (md5-derived skewed domain index), identical host /
+    registered-domain extraction, blocklist, and per-domain cap."""
+    from query_cost_feature_engineering_spark.queries import (
+        DOMAIN_BLOCKLIST,
+        DOMAIN_CAP,
+        _MULTIPART_SUFFIXES,
+    )
+
+    block = ", ".join(f"'{b}'" for b in DOMAIN_BLOCKLIST)
+    suff = ", ".join(f"'{s}'" for s in _MULTIPART_SUFFIXES)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) AS h16
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, h16,
+             CASE WHEN h16 % 5 <= 1 THEN 0 ELSE h16 % 15 + 1 END AS idx
+      FROM u
+    ),
+    url AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN h16 % 3 = 0 THEN 'www.' ELSE '' END
+             || 'site' || CAST(idx AS VARCHAR) || '.'
+             || (['com', 'org', 'net', 'co.uk'])[CAST(idx % 4 + 1 AS INT)]
+             || '/doc/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN h16 % 7 = 0 THEN '?utm_source=feed' ELSE '' END
+                 AS url
+      FROM idx
+    ),
+    hst AS (
+      SELECT doc_id,
+             regexp_replace(
+                 regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1),
+                 '^www\\.', '') AS host
+      FROM url
+    ),
+    dom AS (
+      SELECT doc_id, host, string_split(host, '.') AS parts
+      FROM hst
+    ),
+    d2 AS (
+      SELECT doc_id, host,
+             CASE WHEN array_to_string(parts[-2:], '.') IN ({suff})
+                       AND len(parts) >= 3
+                  THEN array_to_string(parts[-3:], '.')
+                  ELSE array_to_string(parts[-2:], '.') END AS domain
+      FROM dom
+    ),
+    r AS (
+      SELECT doc_id, host, domain,
+             domain IN ({block}) AS blocked,
+             CAST(row_number() OVER (
+                 PARTITION BY domain ORDER BY doc_id
+             ) AS BIGINT) AS domain_rank
+      FROM d2
+    )
+    SELECT doc_id, host, domain, domain_rank, blocked,
+           (NOT blocked) AND domain_rank <= {DOMAIN_CAP} AS kept
+    FROM r
+    """
+
+
+ORACLES["domain_dedup_docs"] = _domain_dedup_sql()
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB mirror of pii_scrub_docs: identical deterministic PII
     injection, identical dialect-neutral patterns ('g' flag makes

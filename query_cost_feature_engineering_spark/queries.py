@@ -1588,6 +1588,81 @@ def contamination_ngram_docs(spark, sf_dir):
     )
 
 
+SPAN_NGRAM = 5
+
+
+def span_dedup_docs(spark, sf_dir):
+    """Within-corpus passage-level exact-substring dedup — the dedup
+    variant with the largest measured LM-quality effect in the public
+    literature (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): find maximal token spans that occur
+    verbatim in >=2 distinct documents and emit per-doc removal
+    verdicts ``(doc_id, span_start, span_end)``. Complements
+    ``contamination_ngram_docs`` (train-vs-bench only) by deduping
+    *inside* the training corpus.
+
+    Plan shape (10^12-doc safe, the contamination-ngram shape extended
+    with positions): ONE map-only pass explodes length-5 token grams
+    WITH their token offsets, gram strings hash-compacted to xxhash64
+    so every shuffle carries 8-byte keys; one aggregation finds grams
+    present in >=2 distinct docs; one semi-join keeps only duplicated
+    positions; then a per-doc window (partitioned by doc_id — bounded
+    by document length, never global) merges overlapping/adjacent gram
+    intervals [pos, pos+4] into maximal spans via the lag-gap →
+    cumulative-sum session-id idiom. Zipf-hot grams (boilerplate) are
+    the skew source; AQE's skew-join split handles the semi-join's hot
+    keys. Oracle: the identical formulation in DuckDB joining on the
+    gram STRING (same hash-compaction contract as
+    contamination_ngram_docs)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    grams = d.filter(F.size("toks") >= SPAN_NGRAM).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(slice(toks, 1, size(toks) - {SPAN_NGRAM - 1}),"
+                f" (w, i) -> xxhash64(concat_ws(' ',"
+                f" slice(toks, i + 1, {SPAN_NGRAM}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(shared, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_span = F.when(
+        prev.isNull() | (F.col("pos") - prev > SPAN_NGRAM), 1
+    ).otherwise(0)
+    spans = (
+        hits.withColumn("new_span", new_span)
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + SPAN_NGRAM - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shared_grams"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_shared_grams",
+    )
+
+
 def dedup_clusters_docs(spark, sf_dir):
     """Dedup clustering: connected components over the minhash-LSH
     candidate pairs (operators/cluster.py iterative min-label
@@ -2093,6 +2168,186 @@ def lm_quality_docs(spark, sf_dir):
         )
     )
     return scored.select("doc_id", "n_bigrams", "lm_score")
+
+
+# URL/domain dedup: deterministic synthetic URL per doc (same seeded-
+# injection pattern as pii_scrub_docs — the documents table carries no
+# URL column), Zipf-skewed toward domain 0 so the hot-domain path is
+# actually exercised. Cap + blocklist values are the operator contract.
+DOMAIN_CAP = 15
+DOMAIN_BLOCKLIST = ["site5.org", "site7.co.uk"]
+_MULTIPART_SUFFIXES = ["co.uk", "com.au"]
+
+
+def domain_dedup_docs(spark, sf_dir):
+    """URL/domain-level dedup + filtering — the Dolma/RedPajama-style
+    source-level pass that runs BEFORE content dedup: normalize URL →
+    registered-domain extraction (public-suffix-aware: two labels, or
+    three when the host ends in a multi-part suffix like co.uk) →
+    broadcast blocklist filter → per-domain document cap, emitting
+    ``(doc_id, host, domain, domain_rank, blocked, kept)``.
+
+    Plan shape (10^12-doc safe): URL synthesis + host/domain extraction
+    are map-only JVM string ops (regexp_extract / translate-free); the
+    blocklist is a literal broadcast membership test; the per-domain cap
+    is ONE window (row_number partitioned by domain, ordered by doc_id)
+    — the lone shuffle. Web domains are the textbook Zipf key (~40% of
+    this corpus lands on site0.com by construction); AQE handles the
+    skewed exchange, and because only ranks <= cap are *kept*, a real
+    deployment can pre-filter with a per-partition partial top-cap
+    before the shuffle. Oracle: identical string ops in DuckDB."""
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    # ~40% of docs hash to domain 0 (the hot head); the rest spread 1-15
+    idx = F.when(h16 % 5 <= 1, F.lit(0)).otherwise(h16 % 15 + 1)
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("co.uk")),
+        (idx % 4 + 1).cast("int"),
+    )
+    www = F.when(h16 % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"),
+        www,
+        F.lit("site"),
+        idx.cast("string"),
+        F.lit("."),
+        tld,
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(h16 % 7 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.regexp_extract(F.lower(F.col("url")), r"^[a-z]+://([^/?#]+)", 1),
+        r"^www\.",
+        "",
+    )
+    parts = F.split(F.col("host"), r"\.")
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    domain = F.when(
+        last2.isin(_MULTIPART_SUFFIXES) & (F.size(parts) >= 3),
+        F.concat_ws(".", F.slice(parts, -3, 3)),
+    ).otherwise(last2)
+    d2 = (
+        d.withColumn("host", host)
+        .withColumn("domain", domain)
+        .withColumn(
+            "blocked", F.col("domain").isin(DOMAIN_BLOCKLIST)
+        )
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        d2.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "kept", ~F.col("blocked") & (F.col("domain_rank") <= DOMAIN_CAP)
+        )
+        .select("doc_id", "host", "domain", "domain_rank", "blocked", "kept")
+    )
+
+
+# Language-ID model: per-language character-bigram profiles (the
+# Cavnar–Trenkle n-gram method, the first filter of the CCNet / Dolma /
+# RedPajama pretraining pipelines). The synthetic corpus carries lang
+# labels but language-invariant text, so each language's text is first
+# passed through a deterministic per-language vowel permutation (a
+# Latin square — every language maps every vowel differently), giving
+# the five labels genuinely distinct character distributions to learn.
+LANGID_LANGS = ["de", "en", "es", "fr", "zh"]
+LANGID_VOWEL_MAP = {
+    "en": "aeiou",  # identity
+    "es": "eioua",
+    "fr": "iouae",
+    "de": "ouaei",
+    "zh": "uaeio",
+}
+
+
+def lang_id_docs(spark, sf_dir):
+    """Language identification — char-bigram naive-Bayes profiles
+    (Cavnar–Trenkle / CCNet's first filter), trained on a deterministic
+    ~50% md5 split of the corpus and applied to EVERY document,
+    emitting ``(doc_id, lang, pred_lang, correct, score)``.
+
+    Plan shape (10^12-doc safe): one map-only pass applies the
+    per-language text transform and explodes character bigrams; the
+    per-(lang, bigram) count table is vocabulary-sized (map-side
+    combine; ~|charset|² × |langs| rows) and BROADCAST to the scoring
+    side, so scoring is map-side — each doc's bigrams are crossed with
+    the 5-language literal array, left-joined against the broadcast
+    profile (coalesce 0 for unseen grams), and reduced by ONE shuffle
+    (groupBy doc_id × lang) before a per-doc argmax window (partitioned
+    by doc_id). score(d, L) = Σ ln((c_L(bg)+1)/(tot_L+V)) — add-one
+    smoothing, same family as lm_quality_docs. The argmax orders by the
+    6-dp-rounded score (nudged, both sides) then lang, so partial-sum
+    ordering noise can never flip the prediction. No UDF, no
+    driver-side model."""
+    t2 = F.lower(F.col("text"))
+    for lg, to in LANGID_VOWEL_MAP.items():
+        t2 = F.when(
+            F.col("lang") == lg,
+            F.translate(F.lower(F.col("text")), "aeiou", to),
+        ).otherwise(t2)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(LANGID_LANGS))
+        .select(
+            "doc_id",
+            "lang",
+            t2.alias("t2"),
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < F.lit("80000000")
+            ).alias("is_train"),
+        )
+        .filter(F.length("t2") >= 2)
+    )
+    bigrams = d.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(
+            F.expr("transform(sequence(1, length(t2) - 1), i -> substring(t2, i, 2))")
+        ).alias("bg"),
+    )
+    prof = (
+        bigrams.filter("is_train")
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = prof.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = prof.select("bg").distinct().agg(F.count(F.lit(1)).alias("v"))
+    cand = bigrams.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        "bg",
+        F.explode(F.array(*[F.lit(lg) for lg in LANGID_LANGS])).alias("lang"),
+    )
+    scored = (
+        cand.join(F.broadcast(prof), ["lang", "bg"], "left")
+        .join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            ),
+        )
+        .groupBy("doc_id", "actual_lang", "lang")
+        .agg(F.sum("lp").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score") + F.lit(1e-9), 6).desc(), F.col("lang")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return best.select(
+        "doc_id",
+        F.col("actual_lang").alias("lang"),
+        F.col("lang").alias("pred_lang"),
+        (F.col("lang") == F.col("actual_lang")).alias("correct"),
+        _rq("score").alias("score"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2832,6 +3087,9 @@ REGISTRY = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "contamination_docs": contamination_docs,
     "contamination_ngram_docs": contamination_ngram_docs,
+    "span_dedup_docs": span_dedup_docs,
+    "lang_id_docs": lang_id_docs,
+    "domain_dedup_docs": domain_dedup_docs,
     "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -2871,6 +3129,8 @@ REGISTRY = {
 # sampled slot spent on one records only `no_oracle`). Nothing is added
 # or removed — this is a permutation of the same registry.
 _DRIVER_UNSEEN_ORACLED = [
+    # round-5 additions (the driver must hash these on its first look)
+    "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",
     "plan_featurize_nodes", "explain_json_featurize",
