@@ -291,14 +291,31 @@ def decode_avi(data: bytes) -> np.ndarray:
     """Decode an uncompressed-DIB AVI → (n, h, w, 3) uint8 RGB frames.
 
     A real RIFF walk: LIST hdrl → strl → strf (BITMAPINFOHEADER) for the
-    geometry, LIST movi for the frame chunks; unknown chunks (JUNK,
-    idx1, INFO, ...) are skipped by size. Only biCompression=0 at 24 bpp
-    is supported — compressed AVI (MJPG/H.264 fourccs) raises, it
-    genuinely needs a codec library."""
+    geometry, LIST movi for the frame chunks — including frames nested
+    in ``LIST rec`` interleave groups (the AVI spec's record grouping;
+    an UNRECOGNIZED list kind inside movi raises instead of silently
+    truncating the frame array). Negative biHeight (a top-down DIB, the
+    other valid real-file row order) is handled by skipping the
+    bottom-up flip. Only biCompression=0 at 24 bpp is supported —
+    compressed AVI (MJPG/H.264 fourccs) raises, it genuinely needs a
+    codec library."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = bitcount = compression = None
     frames_raw: list[bytes] = []
+
+    def walk_movi(payload: bytes) -> None:
+        for t2, p2 in _riff_chunks(payload, 4, len(payload)):
+            if t2 == b"LIST":
+                if p2[:4] == b"rec ":
+                    walk_movi(p2)
+                else:
+                    raise ValueError(
+                        f"unrecognized LIST group {p2[:4]!r} inside movi"
+                    )
+            elif t2[2:4] in (b"db", b"dc"):
+                frames_raw.append(p2)
+
     for tag, payload in _riff_chunks(data, 12, len(data)):
         if tag != b"LIST":
             continue
@@ -312,9 +329,7 @@ def decode_avi(data: bytes) -> np.ndarray:
                                 "<IiiHHI", p3[:20]
                             )
         elif kind == b"movi":
-            for t2, p2 in _riff_chunks(payload, 4, len(payload)):
-                if t2[2:4] in (b"db", b"dc"):
-                    frames_raw.append(p2)
+            walk_movi(payload)
     if w is None or not frames_raw:
         raise ValueError("AVI missing strf/movi")
     if compression != 0 or bitcount != 24:
@@ -322,13 +337,17 @@ def decode_avi(data: bytes) -> np.ndarray:
             f"only uncompressed 24-bit DIB AVI is supported "
             f"(compression={compression}, bpp={bitcount})"
         )
+    top_down = h < 0
+    h = abs(h)
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):
         rows = np.frombuffer(raw[: h * stride], dtype=np.uint8).reshape(
             h, stride
         )
-        bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
         out[i] = bgr[:, :, ::-1]
     return out
 

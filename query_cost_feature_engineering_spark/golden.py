@@ -264,17 +264,45 @@ def ensure_audio_features_fixture(n: int = 80, seed: int = 53) -> str:
     return _write_fixture("audio_feats", pd.DataFrame(rows))
 
 
+# INDEPENDENT magic-byte table for the sniff oracle — written from the
+# published file-format specs (PNG \x89PNG, JPEG SOI \xff\xd8\xff, RIFF
+# form types) and the repo's stub container signatures spelled out as
+# literals, deliberately NOT importing functions.multimodal._sniff_head:
+# the fixture must catch a sniffing bug, not reproduce it (round-4
+# ADVICE — the old fixture called the exact function under test).
+_SNIFF_ORACLE_MAGIC = [
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"QJPG", "jpeg"),
+    (b"FVID", "fvid"),
+    (b"FAUD", "faud"),
+]
+
+
+def _sniff_oracle(head: bytes) -> str:
+    if head[:4] == b"RIFF":
+        return {b"WAVE": "wav", b"AVI ": "avi"}.get(head[8:12], "riff")
+    for sig, name in _SNIFF_ORACLE_MAGIC:
+        if head[: len(sig)] == sig:
+            return name
+    return "unknown"
+
+
 def ensure_sniff_fixture(n: int = 200) -> str:
-    """Expected rows for format_sniff_images (magic-byte table mirror)."""
-    from query_cost_feature_engineering_spark.functions.multimodal import (
-        _sniff_head,
-    )
+    """Expected rows for format_sniff_images, derived from the
+    independent `_SNIFF_ORACLE_MAGIC` table above (NOT the UDF's own
+    `_sniff_head`). NOTE on shared-code oracles elsewhere in this file:
+    ensure_video_frames_fixture / ensure_audio_features_fixture reuse
+    decode_video / decode_audio, so they verify the Spark plumbing
+    (schema, batching, dispatch) — decode SEMANTICS for those codecs are
+    pinned separately by tests/test_codecs.py round-trips against
+    independently-constructed byte streams."""
     from query_cost_feature_engineering_spark.sources.images import (
         generate_images_pandas,
     )
 
     imgs = generate_images_pandas(n, 30, 42)
-    sniffed = [_sniff_head(bytes(b)[:12]) for b in imgs["bytes"]]
+    sniffed = [_sniff_oracle(bytes(b)[:12]) for b in imgs["bytes"]]
     out = pd.DataFrame(
         {
             "media_id": imgs["image_id"].astype(str),

@@ -292,14 +292,50 @@ def _cos_expr(vec, other) -> "F.Column":
     return dot / (norm(vec) * norm(other))
 
 
+def _round_half_up(a: np.ndarray, decimals: int) -> np.ndarray:
+    """Vectorized HALF_UP (away-from-zero) rounding, bit-exact with
+    Spark's ``F.round`` on doubles — ``np.round`` is half-EVEN, so an
+    exact ``...5`` tie would assign a vector to different cells on the
+    two assignment paths. Fast path: floor(|x|·10^d + 0.5). That can
+    disagree with Spark within ~1 ulp of a tie boundary (Spark's
+    BigDecimal.valueOf expands the SHORTEST decimal representation
+    instead of multiplying), so tie-suspect elements — vanishingly rare
+    in real cosine data — are re-rounded exactly via
+    Decimal(repr(x)).quantize(HALF_UP), which is the same
+    shortest-round-trip decimal Java's Double.toString produces."""
+    a = np.asarray(a, dtype=np.float64)
+    s = 10.0 ** decimals
+    scaled = np.abs(a) * s
+    out = np.sign(a) * np.floor(scaled + 0.5) / s
+    frac = scaled - np.floor(scaled)
+    sus = np.abs(frac - 0.5) <= 8 * np.spacing(np.maximum(scaled, 1.0))
+    if np.any(sus):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-decimals)
+        flat, src = out.reshape(-1), a.reshape(-1)
+        for i in np.flatnonzero(sus.reshape(-1)):
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def _assign_cells_matmul(
     df: DataFrame, anchors, vec_col: str, n_top: int
 ) -> DataFrame:
     """Arrow-matmul cell assignment for large anchor sets: quantized
-    anchor cosines (CELL_COS_DECIMALS) + stable argsort, so ties break
-    to the smallest anchor rank — the same semantics as the
-    literal-expression path's ``array_position`` / ``row_number``
-    (first index wins). Cell ids are 1-based to match that path."""
+    anchor cosines (CELL_COS_DECIMALS, HALF_UP like the
+    literal-expression path's ``F.round``) + stable argsort, so ties
+    break to the smallest anchor rank — the same semantics as that
+    path's ``array_position`` / ``row_number`` (first index wins). Cell
+    ids are 1-based to match. KNOWN divergence for degenerate inputs: a
+    zero-norm vector gets cosine 0 here (the 1e-12 clamp) but NaN from
+    ``_cos_expr``'s 0/0 on the literal path, so all-zero embeddings may
+    assign differently across the 64-anchor threshold — real corpora
+    should drop zero vectors upstream."""
     A = np.asarray([list(r["_av"]) for r in anchors], dtype=np.float64)
     An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
 
@@ -307,7 +343,7 @@ def _assign_cells_matmul(
     def f(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype=np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = np.round(Xn @ An.T, CELL_COS_DECIMALS)
+        sims = _round_half_up(Xn @ An.T, CELL_COS_DECIMALS)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
         return pd.Series(list((order + 1).astype(np.int32)))
 

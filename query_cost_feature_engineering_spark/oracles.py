@@ -1470,7 +1470,10 @@ ORACLES["plan_featurize_job_vocab"] = _plan_job_sql()
 def _subplan_rollup_sql() -> str:
     """Mirror of subplan_rollup_plans over the shared raw-node fixture:
     the parent-sum the reference's QPPNet applies to subplan predicted
-    times (models/QPPNet.py:191-198)."""
+    times (models/QPPNet.py:191-198). Both float columns carry the same
+    +1e-8 nudge the Spark side's ``_rq(c, 3)`` applies, so a sum landing
+    on an exact .0005 boundary rounds into the same bucket on both
+    engines (round-4 ADVICE)."""
     from query_cost_feature_engineering_spark.sources.logs import (
         ensure_plan_nodes_fixture,
     )
@@ -1480,14 +1483,14 @@ def _subplan_rollup_sql() -> str:
     WITH nodes AS (SELECT * FROM read_parquet('{path}')),
     sub AS (
       SELECT parent_node_id,
-             round(sum(actual_total_time), 3) AS subplan_time,
+             round(sum(actual_total_time) + 1e-8, 3) AS subplan_time,
              count(*) AS n_subplans
       FROM nodes
       WHERE is_subplan AND parent_node_id IS NOT NULL
       GROUP BY parent_node_id
     )
     SELECT n.node_id, s.n_subplans, s.subplan_time,
-           round(n.actual_total_time + s.subplan_time, 3)
+           round(n.actual_total_time + s.subplan_time + 1e-8, 3)
                AS time_with_subplans
     FROM nodes n JOIN sub s ON n.node_id = s.parent_node_id
     """

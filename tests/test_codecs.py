@@ -177,3 +177,53 @@ def test_video_and_audio_dispatch_sniff():
     assert _sniff_head(fvid[:12]) == "fvid"
     assert _sniff_head(b"\x89PNG\r\n\x1a\n0000") == "png"
     assert _sniff_head(b"RIFF\x00\x00\x00\x00XXXX") == "riff"
+
+
+def test_avi_top_down_dib_and_rec_groups():
+    """Round-5 ADVICE: the two valid real-file shapes the decoder used
+    to mishandle — negative biHeight (top-down row order) and frames
+    nested inside 'LIST rec ' interleave groups — now decode exactly;
+    an unrecognized LIST kind inside movi raises instead of silently
+    truncating the frame array."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_avi,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(3, 6, 5, 3), dtype=np.uint8)
+
+    # --- top-down: feed vertically flipped frames to the bottom-up
+    # encoder (stored bytes become natural row order), then flip the
+    # sign of biHeight in the BITMAPINFOHEADER
+    data = bytearray(encode_avi_dib(frames[:, ::-1]))
+    bmih = data.index(b"strf") + 8
+    (h,) = struct.unpack_from("<i", data, bmih + 8)
+    assert h == 6
+    struct.pack_into("<i", data, bmih + 8, -h)
+    got = decode_avi(bytes(data))
+    assert np.array_equal(got, frames)
+
+    # --- LIST rec: rewrap the movi items in a single interleave group
+    data = bytes(encode_avi_dib(frames))
+    movi_hdr = data.index(b"movi") - 8
+    (movi_size,) = struct.unpack("<I", data[movi_hdr + 4 : movi_hdr + 8])
+    items = data[movi_hdr + 12 : movi_hdr + 8 + movi_size]
+    rec = b"LIST" + struct.pack("<I", 4 + len(items)) + b"rec " + items
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
+    body = data[8:movi_hdr] + new_movi
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_avi(wrapped)
+    assert np.array_equal(got, frames)
+
+    # --- unknown LIST kind inside movi raises loudly
+    bogus = b"LIST" + struct.pack("<I", 4 + len(items)) + b"xxxx" + items
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(bogus)) + b"movi" + bogus
+    body = data[8:movi_hdr] + new_movi
+    with pytest.raises(ValueError, match="unrecognized LIST"):
+        decode_avi(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -312,3 +312,28 @@ def test_ivf_fixed_auto_sizes_and_routes_matmul(spark):
         .count()
     )
     assert cells > 64
+
+
+def test_matmul_rounding_matches_spark_half_up(spark):
+    """Round-5 ADVICE: the Arrow-matmul cell assignment quantizes with
+    HALF_UP (Spark F.round's mode), not numpy's half-even — pinned by
+    comparing against Spark's own round on tie-heavy probes."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from query_cost_feature_engineering_spark.operators.ann import (
+        CELL_COS_DECIMALS,
+        _round_half_up,
+    )
+
+    probes = [i * 5e-7 for i in range(-9, 10)]  # exact 1e-6 half-steps
+    probes += [0.1234565, -0.1234565, 0.9999995, 0.1111115]
+    got = _round_half_up(np.array(probes), CELL_COS_DECIMALS)
+    df = spark.createDataFrame([(float(p),) for p in probes], "v double")
+    want = [
+        r.r
+        for r in df.select(
+            F.round("v", CELL_COS_DECIMALS).alias("r")
+        ).collect()
+    ]
+    assert list(got) == want

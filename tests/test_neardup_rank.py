@@ -257,3 +257,57 @@ def test_adaptive_buckets_scale_with_input(spark):
     nb_big = adaptive_buckets(big, floor=8, bytes_per_bucket=4096)
     assert nb_big > nb_small >= 8
     assert adaptive_buckets(big, floor=8, bytes_per_bucket=1, cap=4096) == 4096
+
+
+def test_bucket_expr_two_level_matches_flat_scan(spark):
+    """Round-5: past 128 cuts the bucket search goes two-level (coarse
+    every-k-th cut + one slice) — <=128 comparisons/row at the 4096 cap
+    instead of 4095. Must be value-identical to the flat count of cuts
+    <= value, including below the first cut, above the last, and ON cut
+    boundaries."""
+    import bisect
+
+    from query_cost_feature_engineering_spark.operators.rank import (
+        _CUT_FANOUT,
+        _bucket_expr,
+    )
+
+    for n_cuts in [3, 128, 129, 1000, 4095]:
+        cuts = [float(3 * i + 1) for i in range(n_cuts)]
+        probes = (
+            [cuts[0] - 1, cuts[0], cuts[0] + 0.5, cuts[-1], cuts[-1] + 9]
+            + cuts[:: max(1, n_cuts // 37)]
+            + [c + 1.0 for c in cuts[:: max(1, n_cuts // 23)]]
+        )
+        df = spark.createDataFrame(
+            [(float(p),) for p in probes], "v double"
+        ).withColumn("b", _bucket_expr("v", cuts))
+        got = {r.v: r.b for r in df.collect()}
+        for p in probes:
+            assert got[float(p)] == bisect.bisect_right(cuts, p), (
+                n_cuts,
+                p,
+            )
+        # fan-out invariant: both levels stay <= _CUT_FANOUT segments
+        k = -(-n_cuts // _CUT_FANOUT)
+        assert len(cuts[k - 1 :: k]) <= _CUT_FANOUT
+        if n_cuts > 2 * _CUT_FANOUT:
+            assert k <= _CUT_FANOUT + 1
+
+
+def test_adaptive_buckets_rejects_implausible_estimates(spark):
+    """Round-5 ADVICE: Catalyst reports defaultSizeInBytes
+    (Long.MaxValue) for stat-less plans and multiplies sizes through
+    joins; a >=1 PiB estimate must fall back to the floor instead of
+    jumping to the cap (and paying a 4095-point approxQuantile)."""
+    from query_cost_feature_engineering_spark.operators.rank import (
+        adaptive_buckets,
+    )
+
+    small = spark.range(64).selectExpr("id", "id * 2 AS v")
+    # sanity: a plausible estimate is still used (not floored)
+    assert adaptive_buckets(small, floor=8, bytes_per_bucket=1) > 8
+    joined = small.crossJoin(spark.range(32)).crossJoin(spark.range(32))
+    for _ in range(4):  # inflate the size estimate multiplicatively
+        joined = joined.crossJoin(spark.range(1024))
+    assert adaptive_buckets(joined, floor=8, bytes_per_bucket=1) == 8
