@@ -436,6 +436,73 @@ def _java_fmt5(x: float) -> str:
     return f"{Decimal(x).quantize(Decimal('0.00001'), rounding=ROUND_HALF_UP):.5f}"
 
 
+def _java_fmt4(x: float) -> str:
+    """Java ``String.format("%.4f")`` — same exact-expansion HALF_UP
+    semantics as :func:`_java_fmt5`, at the MSCN digest's precision."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x:
+        return "NaN"
+    return f"{Decimal(x).quantize(Decimal('0.0001'), rounding=ROUND_HALF_UP):.4f}"
+
+
+def _rq_py(x: float, n: int) -> float:
+    """Python mirror of queries._rq: add the 10^-(n+5) nudge in DOUBLE
+    arithmetic (matching Spark's column addition), then round the way
+    Spark's ``F.round`` does — BigDecimal.valueOf(double), i.e. HALF_UP
+    on the SHORTEST round-trip decimal, which is exactly what Python's
+    ``repr`` produces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nudged = x + 10.0 ** -(n + 5)
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(repr(nudged)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def ensure_mscn_fixture(n_plans: int = 200, seed: int = 63) -> str:
+    """Expected rows for mscn_serialize_plans — the round-4 verdict's
+    last fixture upgrade: the pure-Python serializer (golden-tested
+    against a HAND-BUILT tree in tests/test_logscan.py, so the
+    serialization CONTRACT is pinned independently) runs over the same
+    deterministic plan stream the console log embeds, and every digest
+    column is recomputed with Java-semantics formatting. A hash match
+    therefore proves the log parse → canonical re-serialization →
+    distributed mapInPandas → digest path is bit-identical to the
+    single-process computation."""
+    import hashlib
+
+    from query_cost_feature_engineering_spark.plans.mscn import (
+        node_feat_len,
+        serialize_plan_dict,
+    )
+    from query_cost_feature_engineering_spark.sources.logs import (
+        generate_plans,
+    )
+
+    rows = []
+    flen = node_feat_len()
+    for plan in generate_plans(n_plans, seed):
+        vec, n = serialize_plan_dict(plan)
+        digest = hashlib.md5(
+            ",".join(_java_fmt4(v) for v in vec).encode()
+        ).hexdigest()
+        l1 = 0.0
+        for v in vec:  # sequential left fold = F.aggregate's order
+            l1 += abs(float(v))
+        rows.append(
+            {
+                "plan_key": hashlib.md5(
+                    f"{n},{digest}".encode()
+                ).hexdigest(),
+                "n_nodes": np.int32(n),
+                "feat_len": np.int32(flen),
+                "vec_digest": digest,
+                "vec_l1": _rq_py(l1, 2),
+            }
+        )
+    return _write_fixture("mscn", pd.DataFrame(rows))
+
+
 def ensure_image_features_fixture() -> str:
     """Expected rows for the FLAGSHIP image_features query: the full
     158-slot vector recomputed by the single-process golden

@@ -167,16 +167,21 @@ def ivf_topk(
     n_probe: int = 4,
     sample_n: int = 2048,
     kmeans_iters: int = 8,
-    seed: int = 97,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k — the second ANN scale path.
 
-    Train: a seeded deterministic sample of the corpus (hash-ordered, so
+    Train: a deterministic sample of the corpus (hash-ordered, so
     engine- and partitioning-independent) is collected and k-means runs
     DRIVER-side (centroids are tiny: n_cells × dim). Index: one Arrow
     matmul pass assigns every corpus vector to its nearest-centroid cell.
     Search: each query probes its ``n_probe`` nearest cells; candidates
     come from ONE equi-join on cell id; exact cosine + top-k after.
+
+    Round 5 (verdict #6): k-means INIT is the first ``n_cells`` vectors
+    of the hash-ordered sample — exactly the fixed-anchor seed
+    :func:`ivf_fixed_topk` uses — so the trained path carries NO RNG at
+    all and its output is digest-stable across runs and engines
+    (tie-breaks use stable argsort like the fixed path).
 
     At 10^12 rows the assignment is a linear scan (no shuffle), the join
     shuffles on cell id, and centroid training never touches more than
@@ -184,7 +189,8 @@ def ivf_topk(
     is a rows-only driver query; recall vs brute force is pytest-gated.
     """
     # deterministic sample: smallest md5(id) order — stable under any
-    # partitioning, no RNG in the distributed path
+    # partitioning, no RNG anywhere (init = sample head, the same
+    # fixed-anchor seed as ivf_fixed_topk)
     samp = (
         corpus.select(vec_c, F.md5(F.col(id_c).cast("string")).alias("_h"))
         .orderBy("_h")
@@ -193,8 +199,7 @@ def ivf_topk(
     )
     V = np.asarray(samp[vec_c].tolist(), dtype=np.float64)
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = Vn[rng.choice(len(Vn), size=min(n_cells, len(Vn)), replace=False)]
+    cent = Vn[: min(n_cells, len(Vn))].copy()
     for _ in range(kmeans_iters):
         sims = Vn @ cent.T
         assign = sims.argmax(axis=1)
@@ -211,7 +216,9 @@ def ivf_topk(
             X = np.asarray(vecs.tolist(), dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             sims = Xn @ C.T
-            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top].astype(
+                np.int32
+            )
             return pd.Series(list(top))
 
         return f

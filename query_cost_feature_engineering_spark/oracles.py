@@ -1575,6 +1575,14 @@ def _fixture_oracles() -> dict[str, str]:
                    n_features, feature_digest
             FROM read_parquet('{G.ensure_image_features_fixture()}')
         """,
+        # mscn_serialize_plans (round 5): rows-only -> hash oracle. The
+        # serialization contract itself is pinned by the hand-built-tree
+        # golden test; this fixture pins the full distributed pipeline's
+        # output digests (see golden.ensure_mscn_fixture docstring).
+        "mscn_serialize_plans": f"""
+            SELECT plan_key, n_nodes, feat_len, vec_digest, vec_l1
+            FROM read_parquet('{G.ensure_mscn_fixture()}')
+        """,
         # logscan_plans: DuckDB re-derives the per-node-type regression
         # (same covariance formula + <3-sample/zero-variance fallback as
         # operators/snapshot.fit_linear_by_group) from the RAW samples
@@ -1658,6 +1666,23 @@ ORACLES["lm_quality_docs"] = """
     JOIN cu ON db.w1 = cu.w
     CROSS JOIN v
     GROUP BY doc_id
+"""
+
+
+# approx_profile_orders (round 5): sketch values are engine-specific,
+# so the oracle checks exact anchors + literal TRUE for every sketch's
+# published error bound (the Spark side computes each bound against its
+# own exact aggregates — see the query docstring).
+ORACLES["approx_profile_orders"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_nd_exact,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)
+               AS totalprice_nd_exact,
+           TRUE AS custkey_nd_ok,
+           TRUE AS totalprice_nd_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM orders
 """
 
 

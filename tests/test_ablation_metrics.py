@@ -74,3 +74,69 @@ def test_qerror_metrics_golden(spark):
     assert abs(out["q_max"] - 2.0) < 1e-12
     assert abs(out["q_mean"] - (1 + 2 + 2 + 1) / 4) < 1e-12
     assert out["n"] == 4
+
+
+def test_greedy_ablation_lineitem_matches_independent_recompute(spark):
+    """Round-5 (verdict #6): the rows-only greedy_ablation_lineitem
+    query is pinned against a fully INDEPENDENT single-process
+    recompute — pandas reads the same parquet, mirrors the md5 hash
+    split, builds the Gram matrices with raw numpy, and runs a
+    test-local greedy loop (not operators.ablation's) — so a bug in
+    either the distributed Gram aggregation or the driver-side search
+    breaks this, not both."""
+    import hashlib
+
+    from query_cost_feature_engineering_spark.queries import (
+        greedy_ablation_lineitem,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.feature: r.status
+        for r in greedy_ablation_lineitem(spark, sf).collect()
+    }
+
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    li["row_key"] = li["l_orderkey"] * 10 + li["l_linenumber"]
+    thr = format(int(0.8 * 16**8), "08x")
+    is_train = li["row_key"].map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()[:8] < thr
+    )
+    feats = ["l_quantity", "l_discount", "l_tax", "l_linenumber", "l_partkey"]
+
+    def gram(pdf):
+        X = np.column_stack(
+            [np.ones(len(pdf))] + [pdf[c].to_numpy(dtype=float) for c in feats]
+        )
+        y = pdf["l_extendedprice"].to_numpy(dtype=float)
+        return X.T @ X, X.T @ y, float(y @ y), len(pdf)
+
+    tr, te = gram(li[is_train]), gram(li[~is_train])
+
+    def mse(idx):
+        xtx, xty, _, _ = tr
+        beta, *_ = np.linalg.lstsq(
+            xtx[np.ix_(idx, idx)], xty[idx], rcond=None
+        )
+        xtx2, xty2, yy2, n2 = te
+        sse = yy2 - 2.0 * beta @ xty2[idx] + beta @ xtx2[np.ix_(idx, idx)] @ beta
+        return max(float(sse), 0.0) / max(n2, 1)
+
+    active = list(range(1, 6))
+    best = mse([0] + active)
+    improved = True
+    while improved and len(active) > 1:
+        improved = False
+        for cand in sorted(active):
+            trial = [0] + [i for i in active if i != cand]
+            m = mse(trial)
+            if m <= best * 1.001:
+                active = [i for i in active if i != cand]
+                best = min(best, m)
+                improved = True
+                break
+    want = {
+        c: ("kept" if i + 1 in active else "dropped")
+        for i, c in enumerate(feats)
+    }
+    assert got == want

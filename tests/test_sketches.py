@@ -1,7 +1,9 @@
 """Sketch-profiling error bounds: approx_count_distinct (HLL++, rsd=0.05)
-and percentile_approx vs the exact answers on the same input. The driver
-records approx_profile_orders rows-only (sketches are engine-specific);
-this test is the correctness evidence."""
+and percentile_approx vs the exact answers on the same input. Round 5:
+approx_profile_orders now emits exact anchors + per-sketch bound
+booleans and is DuckDB-oracled (the oracle hashes literal TRUEs); this
+test keeps the tighter numeric error magnitudes pinned on the raw
+sketches."""
 
 from __future__ import annotations
 
@@ -21,10 +23,14 @@ def test_sketch_error_bounds(spark):
 
     row = approx_profile_orders(spark, SF_DIR).first()
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    exact = o.agg(
+    raw = o.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("o_custkey").alias("nd_c"),
         F.count_distinct("o_totalprice").alias("nd_t"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("a_c"),
+        F.approx_count_distinct("o_totalprice", rsd=0.05).alias("a_t"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("ap95"),
         F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias(
             "p50"
         ),
@@ -32,16 +38,18 @@ def test_sketch_error_bounds(spark):
             "p95"
         ),
     ).first()
-    assert row["n"] == exact["n"]
-    # HLL++ rsd=0.05 → 3σ ≈ 15% relative error bound
-    for a, e in [
-        (row["custkey_approx_nd"], exact["nd_c"]),
-        (row["totalprice_approx_nd"], exact["nd_t"]),
-    ]:
+    # the oracled invariant columns must all hold
+    assert row["n"] == raw["n"]
+    assert row["custkey_nd_exact"] == raw["nd_c"]
+    assert row["totalprice_nd_exact"] == raw["nd_t"]
+    for flag in ("custkey_nd_ok", "totalprice_nd_ok", "p50_ok", "p95_ok"):
+        assert row[flag] is True, flag
+    # HLL++ rsd=0.05 → 3σ ≈ 15% relative error bound on the raw sketches
+    for a, e in [(raw["a_c"], raw["nd_c"]), (raw["a_t"], raw["nd_t"])]:
         assert abs(a - e) / e <= 0.15, (a, e)
     # percentile_approx(accuracy=10000) on 15k rows: near-exact rank; the
     # returned value is an actual data value within a tight quantile band
-    for a, e in [(row["p50_totalprice"], exact["p50"]), (row["p95_totalprice"], exact["p95"])]:
+    for a, e in [(raw["ap50"], raw["p50"]), (raw["ap95"], raw["p95"])]:
         assert abs(a - e) / abs(e) <= 0.02, (a, e)
 
 
