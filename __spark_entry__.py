@@ -3,10 +3,14 @@
 ``entry(spark)`` runs the centerpiece backward as-of join over the
 sf0.001 parquet tables; ``queries()`` exposes every implemented operator
 (SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
-mirror for each SQL-expressible one. Image-pipeline queries
-(image_features / image_asof_features / phash_neardup_images) synthesize
-their own deterministic input-table (the BASELINE.json input_hint shape)
-and are covered by the pandas golden oracle in pytest instead.
+mirror for each. Synthetic-input queries (the image/media pipeline, the
+plan-log parsers, the MSCN serializer) synthesize their own
+deterministic input tables (the BASELINE.json input_hint shape) and are
+oracled via both-sides-synthesize fixtures: an independent
+single-process recompute written as parquet that DuckDB reads back
+(golden.py). Only two registry entries have no oracle_sql — trained
+k-means IVF and the greedy ablation loop (not SQL-expressible; both
+digest-stable and pinned by independent recompute tests).
 """
 
 from __future__ import annotations

@@ -1796,6 +1796,61 @@ def _lang_id_sql() -> str:
 ORACLES["lang_id_docs"] = _lang_id_sql()
 
 
+def _token_stats_sql() -> str:
+    """DuckDB mirror of token_stats_docs: INDEPENDENT greedy
+    longest-match implementation (recursive CTE — each step advances by
+    the length of the longest vocabulary piece matching at the cursor,
+    or 1 char as UNK) over the same frozen BPE_VOCAB artifact the Spark
+    Arrow UDF consumes. Verifies the matching algorithm end to end, not
+    a replay of the UDF."""
+    from query_cost_feature_engineering_spark.functions.text import BPE_VOCAB
+
+    vals = ", ".join(f"('{p}')" for p in BPE_VOCAB)
+    return f"""
+    WITH RECURSIVE vocab(piece) AS (VALUES {vals}),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dw AS (SELECT DISTINCT w FROM words),
+    r(w, pos, cnt, unk) AS (
+      SELECT w, 0, 0, 0 FROM dw
+      UNION ALL
+      SELECT r.w,
+             r.pos + coalesce(
+               (SELECT max(length(v.piece)) FROM vocab v
+                WHERE substr(r.w, r.pos + 1, length(v.piece)) = v.piece), 1),
+             r.cnt + 1,
+             r.unk + CASE WHEN (
+               SELECT max(length(v.piece)) FROM vocab v
+               WHERE substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+             ) IS NULL THEN 1 ELSE 0 END
+      FROM r WHERE r.pos < length(r.w)
+    ),
+    tok AS (
+      SELECT w, max(cnt) AS w_bpe, max(unk) AS w_unk
+      FROM r WHERE pos >= length(w) GROUP BY w
+    ),
+    per_doc AS (
+      SELECT words.doc_id,
+             sum(tok.w_bpe) AS n_bpe_tokens,
+             sum(tok.w_unk) AS n_unk
+      FROM words JOIN tok USING (w)
+      GROUP BY words.doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' '))::BIGINT AS n_words,
+           p.n_bpe_tokens::BIGINT AS n_bpe_tokens,
+           p.n_unk::BIGINT AS n_unk,
+           round(length(d.text) / nullif(p.n_bpe_tokens, 0) + 1e-11, 6)
+             AS chars_per_token
+    FROM documents d JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+ORACLES["token_stats_docs"] = _token_stats_sql()
+
+
 def _domain_dedup_sql() -> str:
     """DuckDB mirror of domain_dedup_docs: identical deterministic URL
     synthesis (md5-derived skewed domain index), identical host /

@@ -2369,6 +2369,71 @@ def lang_id_docs(spark, sf_dir):
     )
 
 
+def token_stats_docs(spark, sf_dir):
+    """Distributed token statistics under a FIXED BPE-style subword
+    vocabulary (VERDICT r4 #9 — real tokenizer lengths for sequence
+    packing, replacing the whitespace proxy). Emits per doc:
+    ``(doc_id, n_words, n_bpe_tokens, n_unk, chars_per_token)``.
+
+    Plan shape (10^12-token safe): the greedy longest-match tokenizer
+    (Arrow UDF, ``functions.text.bpe_token_stats``) runs over DISTINCT
+    words only — Zipf's law makes |distinct words| orders of magnitude
+    smaller than the corpus token count, so the Python-side cost is
+    O(corpus vocabulary), not O(tokens). Occurrences then rejoin the
+    tokenized word table by word key (AQE broadcasts it when small,
+    shuffle-hash otherwise — both sides are already narrow projections)
+    and reduce with ONE groupBy(doc_id) carrying map-side combine.
+    Tokenization never touches full document text twice: the explode is
+    the same single pass that feeds the distinct.
+
+    The DuckDB oracle re-implements greedy longest-match independently
+    (recursive CTE advancing by the longest matching piece per step)
+    against the same frozen vocabulary artifact — verifying the
+    algorithm, not replaying the UDF."""
+    from query_cost_feature_engineering_spark.functions.text import (
+        bpe_token_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = (
+        words.select("w")
+        .distinct()
+        .withColumn("ts", bpe_token_stats()(F.col("w")))
+        .select(
+            "w",
+            F.col("ts.n_bpe").alias("w_bpe"),
+            F.col("ts.n_unk").alias("w_unk"),
+        )
+    )
+    per_doc = (
+        words.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("w_unk").cast("long").alias("n_unk"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_unk",
+            _rq(
+                F.col("n_chars") / F.expr("nullif(n_bpe_tokens, 0)"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Image pipeline (rows-only: the synthetic image table isn't a DuckDB view)
 # ---------------------------------------------------------------------------
@@ -3160,6 +3225,7 @@ REGISTRY = {
     "span_dedup_docs": span_dedup_docs,
     "lang_id_docs": lang_id_docs,
     "domain_dedup_docs": domain_dedup_docs,
+    "token_stats_docs": token_stats_docs,
     "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -3200,8 +3266,9 @@ REGISTRY = {
 # or removed — this is a permutation of the same registry.
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
-    # three new operators + the two rows-only -> oracle upgrades
+    # four new operators + the two rows-only -> oracle upgrades
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
+    "token_stats_docs",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

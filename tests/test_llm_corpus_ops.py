@@ -149,3 +149,95 @@ def test_lang_id_train_split_matches_md5_contract():
         for i in range(500)
     )
     assert 200 < n_train < 300
+
+
+# --- Round-5 #9: BPE-style token statistics --------------------------------
+
+
+def _regex_bpe(word):
+    """INDEPENDENT greedy longest-match reimplementation: a regex
+    alternation of all pieces sorted longest-first (Python `re` picks
+    the first matching alternative => longest match at each cursor),
+    with `.` as the 1-char UNK fallback."""
+    import re
+
+    from query_cost_feature_engineering_spark.functions.text import BPE_VOCAB
+
+    pieces = sorted(BPE_VOCAB, key=len, reverse=True)
+    pat = re.compile("|".join(re.escape(p) for p in pieces) + "|.")
+    toks = pat.findall(word)
+    vocab = set(BPE_VOCAB)
+    return len(toks), sum(1 for t in toks if t not in vocab)
+
+
+def test_bpe_tokenizer_matches_independent_regex_engine():
+    from query_cost_feature_engineering_spark.functions.text import (
+        BPE_VOCAB,
+        bpe_word_tokens,
+    )
+
+    # hand-pinned values: full-vocab words are 1 token; UNK chars count
+    assert bpe_word_tokens("table") == (1, 0)
+    assert bpe_word_tokens("window") == (1, 0)
+    assert bpe_word_tokens("") == (0, 0)
+    assert bpe_word_tokens("x7!") == (3, 2)  # 'x' known, '7' and '!' UNK
+    # every vocab piece tokenizes to exactly itself
+    for p in BPE_VOCAB:
+        assert bpe_word_tokens(p) == (1, 0)
+    # fuzz against the regex-engine reimplementation
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz0123456789-")
+    for _ in range(500):
+        w = "".join(rng.choice(alphabet, size=rng.integers(0, 20)))
+        assert bpe_word_tokens(w) == _regex_bpe(w), w
+
+
+def test_token_stats_feed_pack_sequences_parity(spark):
+    """VERDICT r4 #9 'done' bar: packing runs on REAL tokenizer lengths.
+    The distributed range-bucket prefix sum over n_bpe_tokens must equal
+    a single-process pandas cumsum recompute bit-exactly."""
+    from query_cost_feature_engineering_spark.functions.text import (
+        bpe_word_tokens,
+    )
+    from query_cost_feature_engineering_spark.operators.prefix import (
+        with_running_sums,
+    )
+    from query_cost_feature_engineering_spark.queries import (
+        PACK_CONTEXT_LEN,
+        token_stats_docs,
+    )
+
+    stats = token_stats_docs(spark, SF).select("doc_id", "n_bpe_tokens")
+    packed = (
+        with_running_sums(
+            stats, ["doc_id"], ["n_bpe_tokens"],
+            bucket_col="doc_id", min_buckets=8,
+        )
+        .withColumn(
+            "seq_id",
+            F.expr(
+                f"(run_n_bpe_tokens - n_bpe_tokens) DIV {PACK_CONTEXT_LEN}"
+            ),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # independent recompute: tokenize every doc single-process
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_bpe = docs["text"].map(
+        lambda t: sum(bpe_word_tokens(w)[0] for w in t.split(" "))
+    )
+    assert list(packed["n_bpe_tokens"]) == list(n_bpe)
+    cum = n_bpe.cumsum() - n_bpe  # exclusive prefix
+    assert list(packed["run_n_bpe_tokens"] - packed["n_bpe_tokens"]) == list(cum)
+    assert list(packed["seq_id"]) == list(cum // PACK_CONTEXT_LEN)
