@@ -91,10 +91,11 @@ HEADLINE = [
     "pii_scrub_docs",
     "pack_sequences_docs",
     "mixture_rebalance_docs",
-    # round 5: passage dedup, language ID, domain dedup
+    # round 5: passage dedup, language ID, domain dedup, token stats
     "span_dedup_docs",
     "lang_id_docs",
     "domain_dedup_docs",
+    "token_stats_docs",
     "plan_featurize_nodes",
     "mscn_serialize_plans",
     "stream_sessionize_events",

@@ -2321,6 +2321,19 @@ def lang_id_docs(spark, sf_dir):
         )
         .filter(F.length("t2") >= 2)
     )
+    # Guarded spread: a small corpus arrives as one parquet split, which
+    # would serialize every downstream map stage (translate, explode,
+    # partial aggs) onto one core. Repartition ONLY when the scan has
+    # fewer splits than cores — at real scale the input already has
+    # thousands of splits and this is a no-op (no corpus shuffle).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    # One explode, materialized ONCE (lazy localCheckpoint — the
+    # lm_quality/neardup idiom): profile, total, vocabulary and scoring
+    # all derive from this frame; without the checkpoint Catalyst plans
+    # four separate scan+translate+explode lineages (no exchange reuse
+    # fires across the differing aggregations).
     bigrams = d.select(
         "doc_id",
         "lang",
@@ -2328,7 +2341,7 @@ def lang_id_docs(spark, sf_dir):
         F.explode(
             F.expr("transform(sequence(1, length(t2) - 1), i -> substring(t2, i, 2))")
         ).alias("bg"),
-    )
+    ).localCheckpoint(eager=False)
     prof = (
         bigrams.filter("is_train")
         .groupBy("lang", "bg")
