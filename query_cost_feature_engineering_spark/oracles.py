@@ -2038,3 +2038,212 @@ ORACLES["mixture_rebalance_docs"] = """
     FROM k
     WHERE n_copies >= 1
 """
+
+
+def _gopher_quality_sql() -> str:
+    """DuckDB mirror of gopher_quality_docs: identical tokenization,
+    per-word length/alpha metrics, symbol counting and stopword
+    membership; pass/fail thresholds compared on the UNROUNDED doubles
+    (both engines compute them from the same integer arithmetic)."""
+    from query_cost_feature_engineering_spark.queries import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             lower(text) AS t,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS word_count,
+             CASE WHEN len(ws) = 0 THEN 0
+                  ELSE list_reduce(
+                      list_transform(ws, x -> CAST(len(x) AS BIGINT)),
+                      (a, b) -> a + b)
+             END AS sum_len,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS alpha,
+             CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS hashes,
+             CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT)
+                 AS ellipses,
+             CAST({stop_sum} AS BIGINT) AS stopword_hits
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, word_count,
+             sum_len / nullif(word_count, 0) AS mwl,
+             (hashes + ellipses) / nullif(word_count, 0) AS sym,
+             alpha / nullif(word_count, 0) AS alpha_frac,
+             stopword_hits
+      FROM m
+    )
+    SELECT doc_id, word_count,
+           round(mwl + 1e-11, 6) AS mean_word_len,
+           round(sym + 1e-11, 6) AS symbol_ratio,
+           round(alpha_frac + 1e-11, 6) AS frac_alpha_words,
+           stopword_hits,
+           (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+           AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
+           AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+           AND stopword_hits >= {GOPHER_MIN_STOPWORDS} AS passes
+    FROM r
+    """
+
+
+ORACLES["gopher_quality_docs"] = _gopher_quality_sql()
+
+
+def _shard_shuffle_sql() -> str:
+    """DuckDB mirror of shard_shuffle_docs: identical md5 shuffle key,
+    md5-prefix shard id, per-shard rank and round-robin interleave."""
+    from query_cost_feature_engineering_spark.queries import SHUFFLE_SHARDS
+
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS _k,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (
+                 PARTITION BY shard ORDER BY _k, doc_id
+             ) AS BIGINT) AS shard_pos
+      FROM k
+    )
+    SELECT doc_id, shard, shard_pos,
+           CAST((shard_pos - 1) * {SHUFFLE_SHARDS} + shard AS BIGINT)
+               AS global_pos
+    FROM r
+    """
+
+
+ORACLES["shard_shuffle_docs"] = _shard_shuffle_sql()
+
+
+def _semdedup_sql() -> str:
+    """DuckDB mirror of semdedup_embeddings: identical md5-ranked
+    anchors, quantized-argmax cell assignment (first-index tie-break on
+    both sides) and fold-order cosine, then the same triangular
+    keep-first dup marking."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        CELL_COS_DECIMALS,
+    )
+    from query_cost_feature_engineering_spark.queries import (
+        SEMDEDUP_CELLS,
+        SEMDEDUP_TAU,
+    )
+
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    anchors AS (
+      SELECT v AS av,
+             row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR))
+             ) AS rk
+      FROM c
+      QUALIFY rk <= {SEMDEDUP_CELLS}
+    ),
+    cell AS (
+      SELECT vec_id, v, rk AS cell FROM (
+        SELECT x.vec_id, x.v, a.rk,
+               round({_COS.format(a="x.v", b="a.av")},
+                     {CELL_COS_DECIMALS}) AS s
+        FROM c x CROSS JOIN anchors a
+      )
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, rk
+      ) = 1
+    ),
+    dup AS (
+      SELECT b.vec_id AS vec_id,
+             CAST(count(*) AS BIGINT) AS n_prior_dups,
+             max({cos_ab}) AS mpc
+      FROM cell a JOIN cell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT cell.vec_id, cell.cell,
+           coalesce(dup.n_prior_dups, 0) AS n_prior_dups,
+           round(dup.mpc + 1e-9, 4) AS max_prior_cos,
+           dup.mpc IS NULL AS kept
+    FROM cell LEFT JOIN dup USING (vec_id)
+    """
+
+
+ORACLES["semdedup_embeddings"] = _semdedup_sql()
+
+
+def _dsir_weights_sql() -> str:
+    """DuckDB mirror of dsir_weights_docs: identical md5-prefix bucket
+    hash, add-one smoothed target/raw bucket distributions, mean
+    per-token log-likelihood ratio."""
+    from query_cost_feature_engineering_spark.queries import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+    )
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                 % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, source, unnest(ws) AS w FROM d)
+    ),
+    raw AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw
+      FROM toks GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+      FROM toks WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ),
+    model AS (
+      SELECT raw.bucket, c_raw, coalesce(c_tgt, 0) AS c_tgt
+      FROM raw LEFT JOIN tgt USING (bucket)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+      FROM toks
+    ),
+    s AS (
+      SELECT toks.doc_id,
+             ln((c_tgt + 1.0) / (n_tgt + {DSIR_BUCKETS}.0))
+             - ln((c_raw + 1.0) / (n_raw + {DSIR_BUCKETS}.0)) AS lr
+      FROM toks JOIN model USING (bucket) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lr) + 1e-11, 6) AS dsir_logratio
+    FROM s GROUP BY doc_id
+    """
+
+
+ORACLES["dsir_weights_docs"] = _dsir_weights_sql()

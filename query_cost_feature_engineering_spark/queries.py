@@ -2447,6 +2447,297 @@ def token_stats_docs(spark, sf_dir):
     )
 
 
+# Gopher document-quality rules (Rae et al. 2021, appendix A1.1) — the
+# heuristic pre-filter every public pretraining pipeline applies before
+# dedup/LM scoring. Thresholds are the published ones; the stopword list
+# is Gopher's 8-word set.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_docs(spark, sf_dir):
+    """Gopher quality-filter rules — per-document heuristic quality
+    gates: word-count bounds, mean word length in [3, 10], symbol-to-
+    word ratio (# and …) <= 0.1, >= 80% of words containing an
+    alphabetic character, and >= 2 distinct stop words present.
+
+    Plan shape (10^12-doc safe): every metric is a map-only JVM
+    expression over the tokenized text (split / filter / aggregate /
+    array_intersect — no UDF, no shuffle, no driver state); the
+    operator composes with a pushed-down projection of exactly
+    (doc_id, text). At 100 TB this is the cheapest pass in the
+    pipeline — one scan, zero exchanges. Oracle: identical string ops
+    in DuckDB (list_filter / list_reduce / list_intersect)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    d = d.withColumn(
+        "ws", F.filter(F.split("t", " "), lambda w: w != F.lit(""))
+    )
+    wc = F.size("ws").cast("long")
+    sum_len = F.aggregate(
+        F.transform("ws", lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    alpha = F.size(F.filter("ws", lambda w: w.rlike("[a-z]"))).cast("long")
+    hashes = (F.length("t") - F.length(F.translate("t", "#", ""))).cast(
+        "long"
+    )
+    ellipses = (
+        (F.length("t") - F.length(F.replace("t", F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    m = d.select(
+        "doc_id",
+        wc.alias("word_count"),
+        (sum_len / F.nullif(wc, F.lit(0))).alias("_mwl"),
+        ((hashes + ellipses) / F.nullif(wc, F.lit(0))).alias("_sym"),
+        (alpha / F.nullif(wc, F.lit(0))).alias("_alpha"),
+        F.size(F.array_intersect(F.array_distinct("ws"), stops))
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+    passes = (
+        m.word_count.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & m._mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (m._sym <= GOPHER_MAX_SYMBOL_RATIO)
+        & (m._alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (m.stopword_hits >= GOPHER_MIN_STOPWORDS)
+    )
+    return m.select(
+        "doc_id",
+        "word_count",
+        _rq("_mwl", 6).alias("mean_word_len"),
+        _rq("_sym", 6).alias("symbol_ratio"),
+        _rq("_alpha", 6).alias("frac_alpha_words"),
+        "stopword_hits",
+        passes.alias("passes"),
+    )
+
+
+# Deterministic training-order shuffle: shard count is the operator
+# contract (a real deployment sizes it to the trainer's data-loader
+# world size).
+SHUFFLE_SHARDS = 16
+
+
+def shard_shuffle_docs(spark, sf_dir):
+    """Deterministic global shuffle into training shards — the
+    reproducible data-order pass before sequence packing: every doc gets
+    a pseudo-random but seed-free position derived from md5(doc_id), is
+    assigned to one of ``SHUFFLE_SHARDS`` shards, ranked within its
+    shard, and given a round-robin interleaved global position (shard-
+    striped, the order a multi-worker data loader consumes).
+
+    Plan shape (10^12-doc safe): the md5 key and shard id are map-only;
+    the ONLY exchange is the per-shard window (row_number partitioned by
+    shard, ordered by the hash key) — exactly ``SHUFFLE_SHARDS``-way.
+    Because the key is uniform, shards are balanced by construction (no
+    skew, no salting needed); global_pos needs no second shuffle — it is
+    arithmetic on (shard, shard_pos). Oracle: identical md5 ordering in
+    DuckDB."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        % SHUFFLE_SHARDS
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", key.alias("_k"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    ).withColumn(
+        "global_pos",
+        ((F.col("shard_pos") - 1) * SHUFFLE_SHARDS + F.col("shard")).cast(
+            "long"
+        ),
+    )
+
+
+# SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+# then drop within-cluster semantic duplicates above a cosine threshold.
+# The synthetic embeddings are near-isotropic (max pairwise cos ~0.51 at
+# sf0.01), so the demo threshold sits at 0.3 — the paper's 0.95+ would
+# drop nothing here; the threshold is the operator's tuning parameter.
+SEMDEDUP_CELLS = 8
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup — semantic deduplication over the embedding table:
+    cluster vectors (deterministic md5-ordered anchors, the engine's
+    oracled IVF assignment), then within each cluster mark every vector
+    that has an EARLIER (smaller-id) cluster-mate with cosine >=
+    ``SEMDEDUP_TAU`` as a semantic duplicate — the released SemDeDup
+    code's triangular keep-first policy. Emits per vector:
+    ``(vec_id, cell, n_prior_dups, max_prior_cos, kept)``.
+
+    Plan shape (10^12-vector safe): anchor selection is a tiny hash-
+    ordered limit; cell assignment is map-only (anchor cosines are plan
+    constants — the same literal/matmul auto-routed path as
+    ``ivf_fixed_topk``); the ONLY shuffle is the within-cell self-join
+    on cell id. That quadratic-within-cluster cost is the published
+    algorithm's shape — SemDeDup works precisely because k is sized so
+    clusters stay small (~N/k vectors each); at real scale k ≈ √N keeps
+    per-cell work bounded, and the cell id gives the join its full
+    parallelism. Oracle: identical anchors, quantized argmax and fold-
+    order cosine in DuckDB."""
+    from query_cost_feature_engineering_spark.operators.ann import (
+        CELL_COS_DECIMALS,
+        _cos_expr,
+    )
+
+    corpus = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = (
+        corpus.select(
+            F.col("v").alias("_av"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(SEMDEDUP_CELLS)
+        .collect()
+    )
+    cs = F.array(
+        *[
+            F.round(
+                _cos_expr(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in r["_av"]]),
+                ),
+                CELL_COS_DECIMALS,
+            )
+            for r in anchors
+        ]
+    )
+    ck = corpus.withColumn("_cs", cs).select(
+        "vec_id",
+        "v",
+        F.array_position(F.col("_cs"), F.array_max("_cs"))
+        .cast("int")
+        .alias("cell"),
+    )
+    a, b = ck.alias("a"), ck.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("_cos", _cos_expr(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("_cos") >= SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_dups"),
+            F.max("_cos").alias("_mpc"),
+        )
+    )
+    return (
+        ck.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_prior_dups", F.lit(0)).cast("long").alias(
+                "n_prior_dups"
+            ),
+            _rq("_mpc").alias("max_prior_cos"),
+            F.col("_mpc").isNull().alias("kept"),
+        )
+    )
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): per-doc importance weights = mean hashed-
+# n-gram log-likelihood ratio between a TARGET distribution (here the
+# src0 slice — the "high-quality domain") and the RAW corpus.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights_docs(spark, sf_dir):
+    """DSIR importance weights — the hashed-n-gram data-selection score:
+    unigrams are hashed into ``DSIR_BUCKETS`` buckets (engine-agnostic
+    md5-prefix hash), bucket distributions are estimated for the target
+    slice (``source = 'src0'``) and the raw corpus with add-one
+    smoothing, and each document scores the MEAN per-token
+    ``ln(p_target/p_raw)`` — resampling keeps the highest-weight docs.
+    Emits ``(doc_id, n_tokens, dsir_logratio)``.
+
+    Plan shape (10^12-token safe): ONE explode pass builds the
+    (doc_id, source, bucket) token table (lazy localCheckpoint — the
+    lm_quality idiom; map-side combine makes both count aggregations
+    bucket-sized); the two count tables are at most ``DSIR_BUCKETS``
+    rows each, so the scoring join is a BROADCAST — the corpus-sized
+    side never shuffles at all. Totals are 1-row broadcast scalars.
+    Oracle: identical hash + smoothing in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode("ws").alias("w"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % DSIR_BUCKETS,
+        )
+        .drop("w")
+        .localCheckpoint(eager=False)
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
+        ).alias("n_tgt"),
+    )
+    scored = (
+        toks.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.col("c_tgt") + F.lit(1.0))
+                / (F.col("n_tgt") + F.lit(float(DSIR_BUCKETS)))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1.0))
+                / (F.col("n_raw") + F.lit(float(DSIR_BUCKETS)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            _rq(F.avg("lr"), 6).alias("dsir_logratio"),
+        )
+    )
+    return scored.select("doc_id", "n_tokens", "dsir_logratio")
+
+
 # ---------------------------------------------------------------------------
 # Image pipeline (rows-only: the synthetic image table isn't a DuckDB view)
 # ---------------------------------------------------------------------------
@@ -3239,6 +3530,10 @@ REGISTRY = {
     "lang_id_docs": lang_id_docs,
     "domain_dedup_docs": domain_dedup_docs,
     "token_stats_docs": token_stats_docs,
+    "gopher_quality_docs": gopher_quality_docs,
+    "shard_shuffle_docs": shard_shuffle_docs,
+    "semdedup_embeddings": semdedup_embeddings,
+    "dsir_weights_docs": dsir_weights_docs,
     "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -3279,9 +3574,11 @@ REGISTRY = {
 # or removed — this is a permutation of the same registry.
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
-    # four new operators + the two rows-only -> oracle upgrades
+    # eight new operators + the two rows-only -> oracle upgrades
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
+    "gopher_quality_docs", "shard_shuffle_docs", "semdedup_embeddings",
+    "dsir_weights_docs",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",
