@@ -91,6 +91,56 @@ def bpe_token_stats():
     return _tok
 
 
+def train_bpe_merges(word_freqs, n_merges: int):
+    """BPE merge training (Sennrich et al. 2016) over a compact
+    ``(word, freq)`` model table — the sequential half of the tokenizer-
+    training pipeline; the corpus-scale half (word counting + top-K
+    pruning) is distributed (see ``queries.bpe_train_docs``).
+
+    Each round counts every adjacent symbol pair weighted by word
+    frequency, picks the winner under the fully deterministic order
+    ``(count DESC, left ASC, right ASC)``, and rewrites each word's
+    symbol sequence with the pair merged LEFT-TO-RIGHT NON-OVERLAPPING
+    (so ``aaa`` under merge ``(a,a)`` becomes ``[aa, a]``). Stops early
+    when no pairs remain. Pure function of its inputs — no RNG, no
+    environment. Returns ``[(merge_rank, left, right, merged,
+    pair_freq)]`` with ranks contiguous from 1.
+
+    The DuckDB oracle (oracles._bpe_train_sql) re-implements this loop
+    INDEPENDENTLY as a recursive CTE over delimiter-wrapped symbol
+    strings — a non-circular check of the algorithm, not of this code.
+    """
+    freqs = {w: int(f) for w, f in word_freqs}
+    segs = {w: list(w) for w in freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: dict = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        for w, s in segs.items():
+            if a not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
 def with_caption_features(df: DataFrame, col: str = "caption") -> DataFrame:
     """token_count + one count column per vocabulary word (64)."""
     toks = F.split(F.col(col), _TOKEN_SPLIT)

@@ -2247,3 +2247,76 @@ def _dsir_weights_sql() -> str:
 
 
 ORACLES["dsir_weights_docs"] = _dsir_weights_sql()
+
+
+def _bpe_train_sql() -> str:
+    """DuckDB mirror of bpe_train_docs, implemented INDEPENDENTLY of the
+    Python trainer: word counts + top-K in plain SQL, then the merge
+    loop as a RECURSIVE CTE whose working table carries each word's
+    symbol sequence as a delimiter-wrapped string ``(s1)(s2)...``.
+    Each recursion level picks the best adjacent pair over the working
+    table (same ``count DESC, left, right`` tie-break) and applies it
+    via string replace — which is left-to-right non-overlapping, exactly
+    the trainer's merge rule (the wrapping parens make boundary-sharing
+    matches impossible: ``(a)(b)(a)(b)`` -> ``(ab)(ab)``). Recursion
+    ends at the merge cap or when no pairs remain (empty LIMIT-1 lateral
+    kills the level). Pair statistics count ALL adjacent occurrences
+    (overlapping), matching the published algorithm."""
+    from query_cost_feature_engineering_spark.queries import (
+        BPE_TRAIN_MERGES,
+        BPE_TRAIN_TOPK,
+    )
+
+    return rf"""
+    WITH RECURSIVE wc AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      )
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+      QUALIFY row_number() OVER (ORDER BY freq DESC, word)
+              <= {BPE_TRAIN_TOPK}
+    ),
+    t AS (
+      SELECT 0 AS it, word, freq,
+             list_reduce(
+                 list_transform(string_split(word, ''),
+                                c -> '(' || c || ')'),
+                 (a, b) -> a || b) AS s,
+             CAST(NULL AS VARCHAR) AS bl,
+             CAST(NULL AS VARCHAR) AS br,
+             CAST(NULL AS BIGINT) AS bc
+      FROM wc
+      UNION ALL
+      SELECT it + 1, word, freq,
+             replace(s, '(' || m.bl || ')(' || m.br || ')',
+                     '(' || m.bl || m.br || ')'),
+             m.bl, m.br, m.bc
+      FROM t, (
+        SELECT l AS bl, r AS br, c AS bc FROM (
+          SELECT d.syms[u.i] AS l, d.syms[u.i + 1] AS r,
+                 sum(d.freq) AS c
+          FROM (
+            SELECT freq,
+                   regexp_extract_all(s, '\(([a-z]+)\)', 1) AS syms
+            FROM t
+          ) d,
+          unnest(generate_series(1, len(d.syms) - 1)) AS u(i)
+          GROUP BY 1, 2
+          ORDER BY c DESC, l, r
+          LIMIT 1
+        )
+      ) m
+      WHERE it < {BPE_TRAIN_MERGES}
+    )
+    SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank,
+           bl AS left_piece, br AS right_piece,
+           bl || br AS merged, bc AS pair_freq
+    FROM t WHERE it > 0
+    ORDER BY merge_rank
+    """
+
+
+ORACLES["bpe_train_docs"] = _bpe_train_sql()

@@ -2738,6 +2738,71 @@ def dsir_weights_docs(spark, sf_dir):
     return scored.select("doc_id", "n_tokens", "dsir_logratio")
 
 
+# BPE tokenizer TRAINING (Sennrich et al. 2016) — learns the merge table
+# token_stats_docs consumes as a frozen artifact. The model-table cap is
+# the operator contract: Zipf's law means the top-K words carry almost
+# all pair mass (real trainers — HF tokenizers, SentencePiece — train on
+# exactly such an aggregated word-count table).
+BPE_TRAIN_TOPK = 1024
+BPE_TRAIN_MERGES = 32
+
+
+def bpe_train_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training: learn the merge table from
+    the corpus. Emits one row per learned merge:
+    ``(merge_rank, left_piece, right_piece, merged, pair_freq)``.
+
+    Plan shape (10^12-token safe): the CORPUS-SCALE work — lowercased
+    word explode + exact frequency count — is one groupBy with map-side
+    combine (the only full-data shuffle), followed by a distributed
+    top-K (``TakeOrdered`` under the total order ``freq DESC, word``,
+    no global sort materialized). Only the top-``BPE_TRAIN_TOPK``
+    ``(word, freq)`` rows — a bounded model table, the same driver-state
+    class as IVF anchors and range-bucket cuts — reach the driver, where
+    the inherently sequential merge loop (each round's pair counts
+    depend on the previous round's merge) runs as a pure function
+    (``functions.text.train_bpe_merges``). This mirrors how production
+    tokenizer trainers operate: distributed counting, sequential merge
+    learning over the compact word-frequency model.
+
+    Oracle: an INDEPENDENT recursive-CTE implementation in DuckDB —
+    word counts + top-K in SQL, then the merge loop as recursion over
+    delimiter-wrapped symbol strings with the same ``(count DESC, left,
+    right)`` tie-break — verifying the algorithm, not replaying the
+    Python."""
+    from query_cost_feature_engineering_spark.functions.text import (
+        train_bpe_merges,
+    )
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        words.orderBy(F.col("freq").desc(), "w")
+        .limit(BPE_TRAIN_TOPK)
+        .collect()
+    )
+    merges = train_bpe_merges(
+        [(r["w"], r["freq"]) for r in top], BPE_TRAIN_MERGES
+    )
+    return spark.createDataFrame(
+        [
+            (int(rk), a, b, m, int(c))
+            for rk, a, b, m, c in merges
+        ],
+        schema=(
+            "merge_rank long, left_piece string, right_piece string,"
+            " merged string, pair_freq long"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Image pipeline (rows-only: the synthetic image table isn't a DuckDB view)
 # ---------------------------------------------------------------------------
@@ -3534,6 +3599,7 @@ REGISTRY = {
     "shard_shuffle_docs": shard_shuffle_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "dsir_weights_docs": dsir_weights_docs,
+    "bpe_train_docs": bpe_train_docs,
     "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -3578,7 +3644,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
     "gopher_quality_docs", "shard_shuffle_docs", "semdedup_embeddings",
-    "dsir_weights_docs",
+    "dsir_weights_docs", "bpe_train_docs",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

@@ -201,3 +201,46 @@ def test_dsir_weights_on_testdata(spark):
     assert out["dsir_logratio"].std() < 0.5
     spread = out["dsir_logratio"].max() - out["dsir_logratio"].min()
     assert spread < 1.0
+
+
+def test_bpe_train_recovers_planted_merges(spark, tmp_path):
+    """Hand-derived merge sequence on a tiny corpus (ties included:
+    ranks 4-8 all have pair_freq 3 and resolve purely by the (left,
+    right) lexicographic tie-break)."""
+    from query_cost_feature_engineering_spark.queries import bpe_train_docs
+
+    rows = [
+        (0, "the cat sat on the mat the cat", "en", "src0"),
+        (1, "low lower lowest low low", "en", "src0"),
+        (2, "newer new newest wider wide", "en", "src0"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = [tuple(r) for r in bpe_train_docs(spark, d).collect()]
+    assert out[:8] == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "a", "t", "at", 4),
+        (4, "e", "r", "er", 3),
+        (5, "e", "w", "ew", 3),
+        (6, "h", "e", "he", 3),
+        (7, "n", "ew", "new", 3),
+        (8, "t", "he", "the", 3),
+    ]
+
+
+def test_bpe_train_invariants_on_testdata(spark):
+    """Ranks contiguous from 1, merged = left||right, and the winning
+    pair count is non-increasing in rank (a new pair (x, ab) can occur
+    at most count(a,b) times, and count(a,b) was the running max)."""
+    from query_cost_feature_engineering_spark.queries import (
+        BPE_TRAIN_MERGES,
+        bpe_train_docs,
+    )
+
+    out = bpe_train_docs(spark, SF).toPandas()
+    assert list(out["merge_rank"]) == list(range(1, len(out) + 1))
+    assert len(out) <= BPE_TRAIN_MERGES
+    assert (out["left_piece"] + out["right_piece"] == out["merged"]).all()
+    assert (out["pair_freq"].diff().dropna() <= 0).all()
+    # learned pieces feed greedy inference: every merged piece is a-z
+    assert out["merged"].str.fullmatch("[a-z]+").all()
