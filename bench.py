@@ -91,11 +91,17 @@ HEADLINE = [
     "pii_scrub_docs",
     "pack_sequences_docs",
     "mixture_rebalance_docs",
-    # round 5: passage dedup, language ID, domain dedup, token stats
+    # round 5: passage dedup, language ID, domain dedup, token stats,
+    # Gopher gates, shard shuffle, SemDeDup, DSIR, BPE training
     "span_dedup_docs",
     "lang_id_docs",
     "domain_dedup_docs",
     "token_stats_docs",
+    "gopher_quality_docs",
+    "shard_shuffle_docs",
+    "semdedup_embeddings",
+    "dsir_weights_docs",
+    "bpe_train_docs",
     "plan_featurize_nodes",
     "mscn_serialize_plans",
     "stream_sessionize_events",

@@ -2540,8 +2540,12 @@ def shard_shuffle_docs(spark, sf_dir):
     shard, ordered by the hash key) — exactly ``SHUFFLE_SHARDS``-way.
     Because the key is uniform, shards are balanced by construction (no
     skew, no salting needed); global_pos needs no second shuffle — it is
-    arithmetic on (shard, shard_pos). Oracle: identical md5 ordering in
-    DuckDB."""
+    arithmetic on (shard, shard_pos). The window-per-shard plan stays
+    bounded at real scale because shard COUNT scales with the corpus
+    (production shards hold a fixed ~10k-100k docs each, so 10^12 docs
+    means ~10^7 shards of constant size — per-task sort work never
+    grows); the demo constant 16 only mirrors that ratio at sf scale.
+    Oracle: identical md5 ordering in DuckDB."""
     key = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
