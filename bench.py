@@ -109,6 +109,7 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "stream_interval_join_events",
     "image_dedup_clusters",
+    "caption_align_images",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -541,3 +541,73 @@ def ensure_image_features_fixture() -> str:
         }
     )
     return _write_fixture("image_features", out)
+
+
+def ensure_caption_align_fixture(
+    n: int = 400, n_entities: int = 30, seed: int = 42
+) -> str:
+    """Expected rows for caption_align_images. The image-side histogram
+    shares the decode core (pixels are plumbing here, verified bit-exact
+    by the allclose goldens above); everything ALIGNMENT-specific is
+    computed independently of the Spark expressions: caption bucketing
+    via hashlib.md5 (vs Spark's F.md5 + conv), and the cosine as
+    explicit left-to-right float accumulation matching Spark's
+    left-associative ``+`` chain, so doubles are bit-identical."""
+    import hashlib
+    import math
+
+    from query_cost_feature_engineering_spark.queries import (
+        CAPTION_ALIGN_BINS,
+        CAPTION_ALIGN_TAU,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    pdf = generate_images_pandas(n, n_entities, seed)
+    px = decode_stats_pandas(pdf["bytes"], pdf["fmt"])
+    rows = []
+    for i in range(len(pdf)):
+        toks = [
+            w
+            for w in str(pdf["caption"].iloc[i]).lower().split(" ")
+            if w
+        ]
+        c = [0.0] * CAPTION_ALIGN_BINS
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            c[b % CAPTION_ALIGN_BINS] += 1.0
+        h = [
+            float(px[f"hist_{k}"].iloc[i])
+            for k in range(CAPTION_ALIGN_BINS)
+        ]
+        dot = h[0] * c[0]
+        hn = h[0] * h[0]
+        cn = c[0] * c[0]
+        for k in range(1, CAPTION_ALIGN_BINS):
+            dot = dot + h[k] * c[k]
+            hn = hn + h[k] * h[k]
+            cn = cn + c[k] * c[k]
+        denom = math.sqrt(hn) * math.sqrt(cn)
+        score = None if denom == 0.0 else dot / denom
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                int(pdf["entity_id"].iloc[i]),
+                len(toks),
+                score,
+                score is not None and score >= CAPTION_ALIGN_TAU,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id",
+            "entity_id",
+            "token_count",
+            "align_score",
+            "kept",
+        ],
+    )
+    out["token_count"] = out["token_count"].astype("int64")
+    return _write_fixture("caption_align", out)

@@ -1575,6 +1575,15 @@ def _fixture_oracles() -> dict[str, str]:
                    n_features, feature_digest
             FROM read_parquet('{G.ensure_image_features_fixture()}')
         """,
+        # caption_align_images (round 5): both-sides-synthesize fixture
+        # with INDEPENDENT caption hashing + cosine (hashlib / Python
+        # float loop vs F.md5+conv / JVM expression chain); the fixture
+        # stores the raw score, quantized here with the _rq nudge.
+        "caption_align_images": f"""
+            SELECT image_id, entity_id, token_count,
+                   round(align_score + 1e-11, 6) AS align_score, kept
+            FROM read_parquet('{G.ensure_caption_align_fixture()}')
+        """,
         # mscn_serialize_plans (round 5): rows-only -> hash oracle. The
         # serialization contract itself is pinned by the hand-built-tree
         # golden test; this fixture pins the full distributed pipeline's

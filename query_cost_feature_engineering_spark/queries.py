@@ -2964,6 +2964,88 @@ def format_sniff_images(spark, sf_dir):
     return out.select("media_id", "declared_fmt", "sniffed_fmt", "fmt_ok")
 
 
+# LAION/DataComp-style image-caption ALIGNMENT filter: production pair
+# pipelines score every (image, caption) pair with a similarity model
+# (CLIP) and drop pairs below a threshold (LAION kept CLIP >= 0.28).
+# Re-expressed library-free: the image "embedding" is the decoded 8-bin
+# luminance histogram (already a distribution, produced by the
+# pipeline's one Arrow decode), the caption "embedding" is the
+# md5-hashed token-bucket distribution over the same bin count, and the
+# alignment score is their cosine. On synthetic random captions the
+# score is structural rather than semantic — the operator contract is
+# the exact, deterministic pair-scoring plan, not the model.
+CAPTION_ALIGN_BINS = 8  # == functions.image_features.HIST_BINS
+CAPTION_ALIGN_TAU = 0.5
+
+
+def caption_align_images(spark, sf_dir):
+    """Image-caption alignment scoring + filtering (the CLIP-score
+    pair-filter shape). Emits one row per pair:
+    ``(image_id, entity_id, token_count, align_score, kept)``.
+
+    Plan shape (10^12-pair safe): MAP-ONLY — one Arrow-batched decode
+    UDF (the pipeline's shared decode pass) followed by pure JVM
+    expressions (token bucket counts via size/filter over the split
+    caption, cosine as an explicit left-associative sum chain); ZERO
+    shuffles, bytes never leave the scan stage. At 100 TB this filter
+    runs at scan speed and composes with predicate pushdown on any
+    upstream metadata gate. Cosine of two non-negative vectors is in
+    [0, 1]; an empty caption yields a NULL score (division by zero) and
+    ``kept = false``. Oracle: both-sides-synthesize fixture
+    (golden.ensure_caption_align_fixture) — caption hashing and cosine
+    are INDEPENDENTLY recomputed (hashlib vs F.md5+conv, Python float
+    loop vs JVM expression chain), bit-identical doubles."""
+    return _with_caption_alignment(_synth_images(spark))
+
+
+def _with_caption_alignment(images: DataFrame) -> DataFrame:
+    """The alignment plan over any (image_id, entity_id, bytes, fmt,
+    caption) frame — factored out so tests can run it on planted
+    solid-color images with bin-targeted captions."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        HIST_COLS,
+        with_image_features,
+    )
+
+    df = with_image_features(images).drop("bytes")
+    toks = F.filter(
+        F.split(F.lower(F.col("caption")), " "), lambda w: w != F.lit("")
+    )
+    df = df.withColumn("_toks", toks).drop("caption")
+
+    def bucket(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % CAPTION_ALIGN_BINS
+        )
+
+    def count_in_bin(k):
+        # NB: the lambda must stay unary — a second (defaulted) parameter
+        # makes pyspark treat it as the (element, index) binary form and
+        # bind it to the array position instead of the closed-over bin.
+        return F.size(
+            F.filter("_toks", lambda t: bucket(t) == F.lit(k))
+        ).cast("double")
+
+    cs = [count_in_bin(k) for k in range(CAPTION_ALIGN_BINS)]
+    hs = [F.col(c) for c in HIST_COLS]
+    dot, hn, cn = hs[0] * cs[0], hs[0] * hs[0], cs[0] * cs[0]
+    for k in range(1, CAPTION_ALIGN_BINS):
+        dot = dot + hs[k] * cs[k]
+        hn = hn + hs[k] * hs[k]
+        cn = cn + cs[k] * cs[k]
+    score = F.try_divide(dot, F.sqrt(hn) * F.sqrt(cn))
+    return df.select(
+        "image_id",
+        "entity_id",
+        F.size("_toks").cast("long").alias("token_count"),
+        _rq(score, 6).alias("align_score"),
+        F.coalesce(score >= F.lit(CAPTION_ALIGN_TAU), F.lit(False)).alias(
+            "kept"
+        ),
+    )
+
+
 def greedy_ablation_lineitem(spark, sf_dir):
     """A19/A20 feature reduction as a driver-visible query: greedy
     leave-one-out over lineitem numeric features predicting extendedprice
@@ -3629,6 +3711,7 @@ REGISTRY = {
     "video_frame_sample": video_frame_sample,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
+    "caption_align_images": caption_align_images,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 
@@ -3648,7 +3731,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
     "gopher_quality_docs", "shard_shuffle_docs", "semdedup_embeddings",
-    "dsir_weights_docs", "bpe_train_docs",
+    "dsir_weights_docs", "bpe_train_docs", "caption_align_images",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

@@ -337,3 +337,90 @@ def test_matmul_rounding_matches_spark_half_up(spark):
         ).collect()
     ]
     assert list(got) == want
+
+
+def test_caption_align_planted_extremes(spark):
+    """Solid-color image -> one-hot luminance histogram. A caption whose
+    tokens ALL hash into that bin scores cosine exactly 1.0 (parallel
+    one-hot vectors); tokens all in a different bin score exactly 0.0
+    (orthogonal); an empty caption yields NULL score and kept=false."""
+    import hashlib
+
+    import pandas as pd
+
+    from query_cost_feature_engineering_spark.codecs import encode_png
+    from query_cost_feature_engineering_spark.queries import (
+        CAPTION_ALIGN_BINS,
+        _with_caption_alignment,
+    )
+
+    # gray = (299*200 + 587*200 + 114*200) // 1000 = 200 -> bin 200>>5 = 6
+    arr = np.full((8, 8, 3), 200, dtype=np.uint8)
+    png = encode_png(arr)
+    target_bin = 200 >> 5
+
+    def words_in_bin(b, n):
+        out, i = [], 0
+        while len(out) < n:
+            w = f"w{i}"
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            if h % CAPTION_ALIGN_BINS == b:
+                out.append(w)
+            i += 1
+        return out
+
+    hit = " ".join(words_in_bin(target_bin, 3))
+    miss = " ".join(words_in_bin((target_bin + 3) % CAPTION_ALIGN_BINS, 4))
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["hit", "miss", "empty"],
+            "entity_id": [1, 2, 3],
+            "bytes": [png, png, png],
+            "fmt": ["png", "png", "png"],
+            "caption": [hit, miss, ""],
+        }
+    )
+    out = {
+        r["image_id"]: r
+        for r in _with_caption_alignment(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    assert out["hit"]["align_score"] == 1.0 and out["hit"]["kept"]
+    assert out["hit"]["token_count"] == 3
+    assert out["miss"]["align_score"] == 0.0 and not out["miss"]["kept"]
+    assert out["empty"]["align_score"] is None
+    assert out["empty"]["kept"] is False
+    assert out["empty"]["token_count"] == 0
+
+
+def test_caption_align_matches_independent_recompute(spark, images_pdf):
+    """Full-fixture parity: the Spark plan vs the golden's independent
+    hashlib + Python-float recompute, exact on every row."""
+    import pandas as pd
+
+    from query_cost_feature_engineering_spark import golden as G
+    from query_cost_feature_engineering_spark.queries import (
+        caption_align_images,
+    )
+
+    got = (
+        caption_align_images(spark, None)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(G.ensure_caption_align_fixture())
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 400
+    assert (got["image_id"] == exp["image_id"]).all()
+    assert (got["token_count"] == exp["token_count"]).all()
+    assert (got["kept"] == exp["kept"]).all()
+    exp_q = np.round(exp["align_score"].astype(float) + 1e-11, 6)
+    assert np.allclose(
+        got["align_score"].astype(float), exp_q, rtol=0, atol=0,
+        equal_nan=True,
+    )
