@@ -110,6 +110,8 @@ HEADLINE = [
     "stream_interval_join_events",
     "image_dedup_clusters",
     "caption_align_images",
+    "c4_clean_docs",
+    "datacomp_filter_images",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

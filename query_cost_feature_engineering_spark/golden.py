@@ -543,6 +543,62 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+def ensure_datacomp_filter_fixture(
+    n: int = 400, n_entities: int = 30, seed: int = 42
+) -> str:
+    """Expected rows for datacomp_filter_images: every gate recomputed
+    in pure Python (int/float ops, str.split) over the same generator
+    output the Spark plan reads — no Spark expression is reused."""
+    from query_cost_feature_engineering_spark.queries import (
+        DATACOMP_FMTS,
+        DATACOMP_MAX_ASPECT,
+        DATACOMP_MIN_CAPTION_TOKENS,
+        DATACOMP_MIN_SIDE,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    pdf = generate_images_pandas(n, n_entities, seed)
+    rows = []
+    for i in range(len(pdf)):
+        w, h = int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+        toks = [
+            t
+            for t in str(pdf["caption"].iloc[i]).lower().split(" ")
+            if t
+        ]
+        aspect = max(w, h) / min(w, h)
+        size_ok = min(w, h) >= DATACOMP_MIN_SIDE
+        aspect_ok = aspect <= DATACOMP_MAX_ASPECT
+        caption_ok = len(toks) >= DATACOMP_MIN_CAPTION_TOKENS
+        fmt_ok = str(pdf["fmt"].iloc[i]) in DATACOMP_FMTS
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                w,
+                h,
+                aspect,  # raw; the oracle quantizes with the _rq nudge
+                len(toks),
+                size_ok,
+                aspect_ok,
+                caption_ok,
+                fmt_ok,
+                size_ok and aspect_ok and caption_ok and fmt_ok,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "w", "h", "aspect", "caption_tokens",
+            "size_ok", "aspect_ok", "caption_ok", "fmt_ok", "kept",
+        ],
+    )
+    for c in ("w", "h", "caption_tokens"):
+        out[c] = out[c].astype("int64")
+    return _write_fixture("datacomp_filter", out)
+
+
 def ensure_caption_align_fixture(
     n: int = 400, n_entities: int = 30, seed: int = 42
 ) -> str:

@@ -1579,6 +1579,16 @@ def _fixture_oracles() -> dict[str, str]:
         # with INDEPENDENT caption hashing + cosine (hashlib / Python
         # float loop vs F.md5+conv / JVM expression chain); the fixture
         # stores the raw score, quantized here with the _rq nudge.
+        # datacomp_filter_images (round 5): both-sides-synthesize
+        # fixture; every gate recomputed in pure Python, raw aspect
+        # quantized here with the _rq nudge.
+        "datacomp_filter_images": f"""
+            SELECT image_id, w, h,
+                   round(aspect + 1e-11, 6) AS aspect,
+                   caption_tokens, size_ok, aspect_ok, caption_ok,
+                   fmt_ok, kept
+            FROM read_parquet('{G.ensure_datacomp_filter_fixture()}')
+        """,
         "caption_align_images": f"""
             SELECT image_id, entity_id, token_count,
                    round(align_score + 1e-11, 6) AS align_score, kept
@@ -2116,6 +2126,109 @@ def _gopher_quality_sql() -> str:
 
 
 ORACLES["gopher_quality_docs"] = _gopher_quality_sql()
+
+
+def _c4_clean_sql() -> str:
+    """DuckDB mirror of c4_clean_docs: identical 8-word line synthesis,
+    identical md5(doc_id:line_no) decoration (lorem / brace /
+    javascript / boilerplate / plain+punct), identical line/page gates,
+    and the corpus-level exact first-occurrence line dedup expressed as
+    a row_number window over the line text (equivalent to Spark's
+    min(struct(doc_id, line_no)) groupBy + join — safe at oracle
+    scale)."""
+    from query_cost_feature_engineering_spark.queries import (
+        C4_BOILER,
+        C4_LINE_WORDS,
+        C4_LOREM,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES,
+    )
+
+    w = C4_LINE_WORDS
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+             array_to_string(ws[i*{w}+1 : i*{w}+{w}], ' ') AS base,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(i AS VARCHAR)) AS h
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(len(ws) // {w} AS BIGINT) - 1)) AS i)
+      WHERE len(ws) >= {w}
+    ),
+    l2 AS (
+      SELECT doc_id, line_no,
+        CASE
+          WHEN substr(h,1,1)='0' AND substr(h,2,1)='0'
+            THEN '{C4_LOREM}'
+          WHEN substr(h,1,1)='0' AND substr(h,2,1)='1'
+            THEN base || ' {{'
+          WHEN substr(h,1,1)='1'
+            THEN 'javascript ' || base ||
+                 CASE WHEN substr(h,3,1) < 'c' THEN '.' ELSE '' END
+          WHEN substr(h,1,1) IN ('2','3')
+            THEN CASE WHEN substr(h,2,1) < '8'
+                      THEN '{C4_BOILER[0]}' ELSE '{C4_BOILER[1]}' END
+          ELSE base ||
+               CASE WHEN substr(h,3,1) < 'c' THEN '.' ELSE '' END
+        END AS line
+      FROM ln
+    ),
+    g AS (
+      SELECT doc_id, line_no, line,
+        ends_with(line, '.')
+        AND len(list_filter(string_split(line, ' '),
+                            w -> w <> '')) >= {C4_MIN_LINE_WORDS}
+        AND NOT contains(line, 'javascript') AS line_kept
+      FROM l2
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN line_kept THEN 1 ELSE 0 END)
+                  AS BIGINT) AS kept_lines,
+             (NOT bool_or(contains(line, 'lorem ipsum'))
+              AND NOT bool_or(contains(line, '{{'))
+              AND sum(CASE WHEN line_kept THEN 1 ELSE 0 END)
+                  >= {C4_MIN_LINES}) AS page_kept
+      FROM g GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT g.doc_id, g.line_no, g.line
+      FROM g JOIN p USING (doc_id)
+      WHERE g.line_kept AND p.page_kept
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (
+                 PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM cand
+    ),
+    dup AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_removed
+      FROM r WHERE rn > 1 GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_lines, p.kept_lines,
+           COALESCE(dup.dup_removed, 0) AS dup_removed,
+           CAST(CASE WHEN p.page_kept
+                THEN p.kept_lines - COALESCE(dup.dup_removed, 0)
+                ELSE 0 END AS BIGINT) AS final_lines,
+           p.page_kept
+    FROM p LEFT JOIN dup USING (doc_id)
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), false
+    FROM d WHERE len(ws) < {w}
+    """
+
+
+ORACLES["c4_clean_docs"] = _c4_clean_sql()
 
 
 def _shard_shuffle_sql() -> str:

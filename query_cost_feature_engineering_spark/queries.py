@@ -2521,6 +2521,161 @@ def gopher_quality_docs(spark, sf_dir):
     )
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2, "Exploring the Limits of
+# Transfer Learning..."): line-level gates (terminal punctuation, >= 5
+# words, no "javascript"), page-level gates ("lorem ipsum" / "{" /
+# >= 3 retained lines) and a corpus-level exact-line dedup keeping the
+# globally first occurrence (the CCNet/Dolma paragraph-dedup variant of
+# C4's three-sentence-span rule; multi-token spans are span_dedup_docs'
+# job). The documents table has no newline structure, so — the
+# lang_id_docs idiom — lines are DERIVED deterministically inside the
+# query (8-word chunks decorated via md5(doc_id:line_no) into plain /
+# lorem / brace / javascript / boilerplate shapes) and the DuckDB
+# oracle re-derives them with its own string ops.
+C4_LINE_WORDS = 8
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+C4_LOREM = "lorem ipsum dolor sit amet consectetur."
+C4_BOILER = [
+    "all rights reserved contact the site administrator for details.",
+    "click here to subscribe to our weekly newsletter today.",
+]
+
+
+def c4_clean_docs(spark, sf_dir):
+    """C4 cleaning pipeline (Raffel et al. 2020) — per-page summary
+    ``(doc_id, n_lines, kept_lines, dup_removed, final_lines,
+    page_kept)`` after line gates, page gates, and corpus-level exact
+    first-occurrence line dedup.
+
+    Line synthesis (mirrored verbatim by the oracle): the lowered text
+    splits into 8-word lines; ``h = md5(doc_id || ':' || line_no)``
+    decorates each line — ``h[0:2] == '00'`` -> the lorem-ipsum page
+    killer, ``'01'`` -> a trailing ``{`` page killer, ``h[0] == '1'``
+    -> a "javascript"-prefixed line (line killer), ``h[0] in '23'`` ->
+    one of two fixed boilerplate lines (organic cross-corpus
+    duplicates, variant by ``h[1] < '8'``), else the plain line with a
+    terminal ``.`` iff ``h[2] < 'c'``.
+
+    Plan shape (10^12-doc safe): synthesis + gates are one map-only
+    pass (split/slice/posexplode/md5 — zero UDFs). Page verdicts use a
+    window partitioned by doc_id; the per-doc aggregate reuses that
+    hash partitioning (no second exchange). Corpus dedup is ONE
+    groupBy(line) -> min(struct(doc_id, line_no)) with map-side
+    combine + ONE equi-join back — the boilerplate lines are exactly
+    the Zipf-hot keys real web footers produce; the min-struct
+    pre-aggregation shrinks hot groups map-side and AQE splits the
+    skewed probe, whereas a row_number window over the line key would
+    serialize each hot footer into one task. Oracle: identical
+    formulation in DuckDB (window row_number is safe at oracle
+    scale)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+        ).alias("ws"),
+    )
+    n_lines = (F.size("ws") / C4_LINE_WORDS).cast("int")
+    # NB: the >= filter must precede the explode — Spark's
+    # sequence(0, -1) defaults its step to -1 and would emit two bogus
+    # lines for a doc with < 8 words instead of zero.
+    lines = d.filter(F.size("ws") >= C4_LINE_WORDS).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("ws", i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "
+                ),
+            )
+        ).alias("line_no", "base"),
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("line_no").cast("string")))
+    c1, c2, c3 = (F.substring(h, i, 1) for i in (1, 2, 3))
+    punct = F.when(c3 < F.lit("c"), F.lit(".")).otherwise(F.lit(""))
+    line = (
+        F.when((c1 == "0") & (c2 == "0"), F.lit(C4_LOREM))
+        .when((c1 == "0") & (c2 == "1"), F.concat("base", F.lit(" {")))
+        .when(c1 == "1", F.concat(F.lit("javascript "), "base", punct))
+        .when((c1 == "2") | (c1 == "3"),
+              F.when(c2 < F.lit("8"), F.lit(C4_BOILER[0]))
+              .otherwise(F.lit(C4_BOILER[1])))
+        .otherwise(F.concat("base", punct))
+    )
+    lw = F.size(F.filter(F.split("line", " "), lambda w: w != F.lit("")))
+    lines = lines.select(
+        "doc_id", "line_no", line.alias("line")
+    ).withColumn(
+        "line_kept",
+        F.endswith("line", F.lit("."))
+        & (lw >= C4_MIN_LINE_WORDS)
+        & ~F.contains("line", F.lit("javascript")),
+    )
+    wd = Window.partitionBy("doc_id")
+    lines = (
+        lines.withColumn("n_lines", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "kept_lines", F.sum(F.col("line_kept").cast("long")).over(wd)
+        )
+        .withColumn(
+            "page_kept",
+            ~F.bool_or(F.contains("line", F.lit("lorem ipsum"))).over(wd)
+            & ~F.bool_or(F.contains("line", F.lit("{"))).over(wd)
+            & (F.sum(F.col("line_kept").cast("long")).over(wd)
+               >= C4_MIN_LINES),
+        )
+    )
+    pages = lines.groupBy("doc_id").agg(
+        F.first("n_lines").cast("long").alias("n_lines"),
+        F.first("kept_lines").cast("long").alias("kept_lines"),
+        F.first("page_kept").alias("page_kept"),
+    )
+    cand = lines.filter(F.col("line_kept") & F.col("page_kept")).select(
+        "doc_id", "line_no", "line"
+    )
+    winners = cand.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("w")
+    )
+    dups = (
+        cand.join(winners, "line")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("line_no") != F.col("w.line_no"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_removed"))
+    )
+    out = pages.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        F.coalesce("dup_removed", F.lit(0).cast("long")).alias(
+            "dup_removed"
+        ),
+        F.when(
+            F.col("page_kept"),
+            F.col("kept_lines")
+            - F.coalesce("dup_removed", F.lit(0).cast("long")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("final_lines"),
+        "page_kept",
+    )
+    # Docs with < 8 words synthesize zero lines and never reach the
+    # exploded frame — re-attach them as empty failed pages.
+    empty = d.filter(F.size("ws") < C4_LINE_WORDS).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("kept_lines"),
+        F.lit(0).cast("long").alias("dup_removed"),
+        F.lit(0).cast("long").alias("final_lines"),
+        F.lit(False).alias("page_kept"),
+    )
+    return out.unionByName(empty)
+
+
 # Deterministic training-order shuffle: shard count is the operator
 # contract (a real deployment sizes it to the trainer's data-loader
 # world size).
@@ -3043,6 +3198,62 @@ def _with_caption_alignment(images: DataFrame) -> DataFrame:
         F.coalesce(score >= F.lit(CAPTION_ALIGN_TAU), F.lit(False)).alias(
             "kept"
         ),
+    )
+
+
+# DataComp basic metadata filters (Gadre et al. 2023 §4 "baseline
+# filtering"; LAION-5B applied the same gates before CLIP scoring):
+# minimum side length, aspect-ratio bound, caption-token floor, format
+# whitelist. Thresholds are scaled to the synthetic corpus's 16-64 px
+# size grid; the operator contract is the exact deterministic gate
+# plan, not the production constants.
+DATACOMP_MIN_SIDE = 24
+DATACOMP_MAX_ASPECT = 2.0
+DATACOMP_MIN_CAPTION_TOKENS = 5
+DATACOMP_FMTS = ["png", "jpeg"]
+
+
+def datacomp_filter_images(spark, sf_dir):
+    """DataComp/LAION basic image-pair filter — per-pair gate verdicts
+    ``(image_id, w, h, aspect, caption_tokens, size_ok, aspect_ok,
+    caption_ok, fmt_ok, kept)`` from METADATA ONLY.
+
+    Plan shape (10^12-pair safe): map-only JVM expressions over
+    (w, h, fmt, caption) — the bytes column is never read, so with
+    column pruning the parquet scan skips the payload pages entirely
+    (this is the cheap pre-gate a production pipeline runs BEFORE the
+    expensive decode/CLIP stages; composes with caption_align_images,
+    which is the post-gate scorer). Zero shuffles, zero UDFs. Oracle:
+    both-sides-synthesize fixture (golden.ensure_datacomp_filter_fixture)
+    recomputing every gate in pure Python over the same generator
+    output."""
+    return _with_datacomp_gates(_synth_images(spark))
+
+
+def _with_datacomp_gates(img: DataFrame) -> DataFrame:
+    """The gate plan over any (image_id, w, h, fmt, caption) frame —
+    factored out so tests can run it on planted violations."""
+    toks = F.filter(
+        F.split(F.lower(F.col("caption")), " "), lambda w: w != F.lit("")
+    )
+    aspect = F.greatest("w", "h").cast("double") / F.least("w", "h").cast(
+        "double"
+    )
+    m = img.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        _rq(aspect, 6).alias("aspect"),
+        F.size(toks).cast("long").alias("caption_tokens"),
+        (F.least("w", "h") >= DATACOMP_MIN_SIDE).alias("size_ok"),
+        (aspect <= DATACOMP_MAX_ASPECT).alias("aspect_ok"),
+        (F.size(toks) >= DATACOMP_MIN_CAPTION_TOKENS).alias("caption_ok"),
+        F.col("fmt").isin(DATACOMP_FMTS).alias("fmt_ok"),
+    )
+    return m.withColumn(
+        "kept",
+        F.col("size_ok") & F.col("aspect_ok") & F.col("caption_ok")
+        & F.col("fmt_ok"),
     )
 
 
@@ -3682,6 +3893,7 @@ REGISTRY = {
     "domain_dedup_docs": domain_dedup_docs,
     "token_stats_docs": token_stats_docs,
     "gopher_quality_docs": gopher_quality_docs,
+    "c4_clean_docs": c4_clean_docs,
     "shard_shuffle_docs": shard_shuffle_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "dsir_weights_docs": dsir_weights_docs,
@@ -3712,6 +3924,7 @@ REGISTRY = {
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
+    "datacomp_filter_images": datacomp_filter_images,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 
@@ -3730,8 +3943,10 @@ _DRIVER_UNSEEN_ORACLED = [
     # eight new operators + the two rows-only -> oracle upgrades
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
-    "gopher_quality_docs", "shard_shuffle_docs", "semdedup_embeddings",
+    "gopher_quality_docs", "c4_clean_docs", "shard_shuffle_docs",
+    "semdedup_embeddings",
     "dsir_weights_docs", "bpe_train_docs", "caption_align_images",
+    "c4_clean_docs", "datacomp_filter_images",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

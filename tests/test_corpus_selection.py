@@ -244,3 +244,138 @@ def test_bpe_train_invariants_on_testdata(spark):
     assert (out["pair_freq"].diff().dropna() <= 0).all()
     # learned pieces feed greedy inference: every merged piece is a-z
     assert out["merged"].str.fullmatch("[a-z]+").all()
+
+
+def _c4_expected(rows):
+    """Independent pure-Python recompute of c4_clean_docs: hashlib.md5
+    decoration (vs Spark's F.md5), Python string gates (vs JVM
+    expressions), dict-based global first-occurrence dedup (vs the
+    min-struct groupBy + join)."""
+    import hashlib
+
+    from query_cost_feature_engineering_spark.queries import (
+        C4_BOILER,
+        C4_LINE_WORDS,
+        C4_LOREM,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES,
+    )
+
+    out, pages, cands = {}, {}, []
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split(" ") if w]
+        n = len(ws) // C4_LINE_WORDS
+        if n == 0:
+            out[doc_id] = (0, 0, 0, 0, False)
+            continue
+        lines = []
+        for i in range(n):
+            base = " ".join(ws[i * C4_LINE_WORDS:(i + 1) * C4_LINE_WORDS])
+            h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+            if h[0] == "0" and h[1] == "0":
+                line = C4_LOREM
+            elif h[0] == "0" and h[1] == "1":
+                line = base + " {"
+            elif h[0] == "1":
+                line = "javascript " + base + ("." if h[2] < "c" else "")
+            elif h[0] in "23":
+                line = C4_BOILER[0] if h[1] < "8" else C4_BOILER[1]
+            else:
+                line = base + ("." if h[2] < "c" else "")
+            kept = (
+                line.endswith(".")
+                and len([w for w in line.split(" ") if w])
+                >= C4_MIN_LINE_WORDS
+                and "javascript" not in line
+            )
+            lines.append((i, line, kept))
+        kept_n = sum(1 for _, _, k in lines if k)
+        page = (
+            not any("lorem ipsum" in l for _, l, _ in lines)
+            and not any("{" in l for _, l, _ in lines)
+            and kept_n >= C4_MIN_LINES
+        )
+        pages[doc_id] = (n, kept_n, page)
+        if page:
+            cands += [(l, doc_id, i) for i, l, k in lines if k]
+    first, dup = {}, {}
+    for line, d_, i in sorted(cands, key=lambda t: (t[1], t[2])):
+        if line in first:
+            dup[d_] = dup.get(d_, 0) + 1
+        else:
+            first[line] = (d_, i)
+    for d_, (n, k, p) in pages.items():
+        dr = dup.get(d_, 0)
+        out[d_] = (n, k, dr, (k - dr) if p else 0, p)
+    return out
+
+
+def test_c4_clean_matches_independent_recompute(spark, tmp_path):
+    """Full parity on a 48-doc seeded corpus sized so the fixture
+    organically exercises EVERY path: boilerplate cross-doc duplicates
+    (dup_removed > 0), lorem/brace page kills, javascript line kills,
+    no-terminal-punct line drops, kept pages, and a < 8-word doc."""
+    import random
+
+    from query_cost_feature_engineering_spark.queries import c4_clean_docs
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = []
+    for d_ in range(48):
+        n_words = rng.randrange(0, 220)
+        rows.append(
+            (d_, " ".join(rng.choice(vocab) for _ in range(n_words)),
+             "en", "web")
+        )
+    exp = _c4_expected([(d_, t) for d_, t, _, _ in rows])
+    # the seed must produce a fixture with every path live
+    assert sum(e[2] for e in exp.values()) > 0, "no organic dups"
+    assert any(not e[4] and e[0] > 0 for e in exp.values())
+    assert any(e[4] for e in exp.values())
+    assert any(e[0] == 0 for e in exp.values())
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["kept_lines"], r["dup_removed"],
+            r["final_lines"], r["page_kept"],
+        )
+        for r in c4_clean_docs(spark, d).collect()
+    }
+    assert got == exp
+
+
+def test_c4_clean_page_killers_are_exact(spark, tmp_path):
+    """Deterministically planted killers: scanning doc_id space for a
+    doc whose md5 decoration places a lorem line (page dropped even
+    though every other line is clean) and one with a brace line."""
+    import hashlib
+
+    from query_cost_feature_engineering_spark.queries import (
+        C4_LINE_WORDS,
+        c4_clean_docs,
+    )
+
+    def first_doc_with(prefix, n_lines=6):
+        d_ = 0
+        while True:
+            hs = [
+                hashlib.md5(f"{d_}:{i}".encode()).hexdigest()
+                for i in range(n_lines)
+            ]
+            if any(h.startswith(prefix) for h in hs):
+                return d_
+            d_ += 1
+
+    lorem_doc = first_doc_with("00")
+    brace_doc = first_doc_with("01")
+    text = " ".join(f"t{j}" for j in range(6 * C4_LINE_WORDS))
+    rows = [(lorem_doc, text, "en", "web")]
+    if brace_doc != lorem_doc:
+        rows.append((brace_doc, text, "en", "web"))
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in c4_clean_docs(spark, d).collect()}
+    for d_ in (lorem_doc, brace_doc):
+        assert out[d_]["page_kept"] is False
+        assert out[d_]["final_lines"] == 0
+        assert out[d_]["n_lines"] == 6

@@ -424,3 +424,43 @@ def test_caption_align_matches_independent_recompute(spark, images_pdf):
         got["align_score"].astype(float), exp_q, rtol=0, atol=0,
         equal_nan=True,
     )
+
+
+def test_datacomp_gates_planted_violations(spark):
+    """One planted pair per gate plus one passing all: tiny side,
+    elongated aspect, short caption, non-whitelisted format."""
+    import pandas as pd
+
+    from query_cost_feature_engineering_spark.queries import (
+        _with_datacomp_gates,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["ok", "tiny", "long", "shortcap", "badfmt"],
+            "w": [32, 16, 64, 32, 32],
+            "h": [32, 32, 24, 32, 32],
+            "fmt": ["png", "png", "jpeg", "png", "bmp"],
+            "caption": [
+                "a b c d e f",
+                "a b c d e f",
+                "a b c d e f",
+                "a b",
+                "a b c d e f",
+            ],
+        }
+    )
+    out = {
+        r["image_id"]: r
+        for r in _with_datacomp_gates(spark.createDataFrame(pdf)).collect()
+    }
+    assert out["ok"]["kept"]
+    assert not out["tiny"]["size_ok"] and not out["tiny"]["kept"]
+    assert not out["long"]["aspect_ok"] and not out["long"]["kept"]
+    assert out["long"]["aspect"] == round(64 / 24 + 1e-11, 6)
+    assert not out["shortcap"]["caption_ok"] and not out["shortcap"]["kept"]
+    assert out["shortcap"]["caption_tokens"] == 2
+    assert not out["badfmt"]["fmt_ok"] and not out["badfmt"]["kept"]
+    assert all(
+        out[k]["size_ok"] for k in ("ok", "long", "shortcap", "badfmt")
+    )
