@@ -112,6 +112,7 @@ HEADLINE = [
     "caption_align_images",
     "c4_clean_docs",
     "datacomp_filter_images",
+    "video_frame_dedup",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -318,6 +318,78 @@ def sample_video_frames(
     return df.select(id_col, bytes_col).mapInPandas(gen, FRAME_SCHEMA)
 
 
+_FRAME_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("hamming_prev", T.IntegerType()),
+        T.StructField("kept", T.BooleanType()),
+    ]
+)
+
+
+def dedup_video_frames(
+    df: DataFrame,
+    tau: int = 6,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Within-video duplicate-frame removal — the static-scene /
+    dup-frame pass video training pipelines run before frame sampling:
+    per video, phash every frame and drop frames within Hamming
+    distance ``tau`` of the LAST KEPT frame (frame 0 always kept, so a
+    static run collapses to its first frame and every scene cut
+    survives).
+
+    Plan shape (10^12-frame safe): ``mapInPandas`` 1→N fan-out; the
+    keep-chain is sequential WITHIN one video only (bounded by
+    frames-per-video, never crosses rows of the outer frame), so the
+    stage is embarrassingly parallel over videos — zero shuffles, video
+    bytes never leave the scan stage. ``hamming_prev`` is the distance
+    actually compared (to the last kept frame; NULL for frame 0)."""
+    from query_cost_feature_engineering_spark.codecs import (
+        hamming64,
+        phash64,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                frames = decode_video(bytes(data))
+                n = frames.shape[0]
+                last_kept: int | None = None
+                for i in range(n):
+                    ph = phash64(frames[i])
+                    d = (
+                        None
+                        if last_kept is None
+                        else hamming64(ph, last_kept)
+                    )
+                    kept = d is None or d > tau
+                    if kept:
+                        last_kept = ph
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "n_frames": n,
+                            "phash": ph,
+                            "hamming_prev": d,
+                            "kept": kept,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_DEDUP_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        gen, _FRAME_DEDUP_SCHEMA
+    )
+
+
 # --- audio features (stubbed decode, real plumbing) -------------------------
 
 _AUDIO_SCHEMA = T.StructType(

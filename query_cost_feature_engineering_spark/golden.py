@@ -543,6 +543,59 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+def ensure_video_dedup_fixture(n: int = 60, seed: int = 54) -> str:
+    """Expected rows for video_frame_dedup: the keep-chain recomputed
+    in pure Python from the generator's ORIGINAL frame arrays
+    (frames_true) — the decode path under test is never called, so the
+    fixture pins the encode->decode roundtrip AND the dedup semantics.
+    phash64 is shared with the UDF (documented; its correctness is
+    pinned by the image-pipeline allclose goldens)."""
+    from query_cost_feature_engineering_spark.codecs import (
+        hamming64,
+        phash64,
+    )
+    from query_cost_feature_engineering_spark.queries import (
+        VIDEO_DEDUP_TAU,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_static_videos_pandas,
+    )
+
+    pdf = generate_static_videos_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        frames = pdf["frames_true"].iloc[i]
+        last = None
+        for j in range(frames.shape[0]):
+            ph = phash64(frames[j])
+            d = None if last is None else hamming64(ph, last)
+            kept = d is None or d > VIDEO_DEDUP_TAU
+            if kept:
+                last = ph
+            rows.append(
+                (
+                    str(pdf["media_id"].iloc[i]),
+                    j,
+                    int(frames.shape[0]),
+                    ph,
+                    d,
+                    kept,
+                )
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "frame_idx", "n_frames", "phash",
+            "hamming_prev", "kept",
+        ],
+    )
+    out["frame_idx"] = out["frame_idx"].astype("int32")
+    out["n_frames"] = out["n_frames"].astype("int32")
+    out["phash"] = out["phash"].astype("int64")
+    out["hamming_prev"] = out["hamming_prev"].astype("Int32")
+    return _write_fixture("video_dedup", out)
+
+
 def ensure_datacomp_filter_fixture(
     n: int = 400, n_entities: int = 30, seed: int = 42
 ) -> str:

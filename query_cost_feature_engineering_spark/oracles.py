@@ -1579,6 +1579,14 @@ def _fixture_oracles() -> dict[str, str]:
         # with INDEPENDENT caption hashing + cosine (hashlib / Python
         # float loop vs F.md5+conv / JVM expression chain); the fixture
         # stores the raw score, quantized here with the _rq nudge.
+        # video_frame_dedup (round 5): both-sides-synthesize fixture;
+        # keep-chain recomputed in pure Python from the ORIGINAL frame
+        # arrays (never the decode path under test).
+        "video_frame_dedup": f"""
+            SELECT media_id, frame_idx, n_frames, phash,
+                   hamming_prev, kept
+            FROM read_parquet('{G.ensure_video_dedup_fixture()}')
+        """,
         # datacomp_filter_images (round 5): both-sides-synthesize
         # fixture; every gate recomputed in pure Python, raw aspect
         # quantized here with the _rq nudge.

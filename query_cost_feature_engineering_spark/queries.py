@@ -3083,6 +3083,38 @@ def video_frame_sample(spark, sf_dir):
     )
 
 
+# Within-video duplicate-frame removal threshold: Hamming <= 6 of 64
+# phash bits is the conventional "perceptually identical" band; the
+# generator's +/-1 pixel jitter stays well inside it and scene cuts
+# (fresh random base frames) land far outside.
+VIDEO_DEDUP_TAU = 6
+
+
+def video_frame_dedup(spark, sf_dir):
+    """Static-scene / duplicate-frame removal inside each video: phash
+    every frame, drop frames within Hamming ``VIDEO_DEDUP_TAU`` of the
+    last kept frame. One ``mapInPandas`` pass, zero shuffles, bytes
+    never shuffled (functions/multimodal.dedup_video_frames). Corpus:
+    scene-structured mixed-format clips (even = real AVI-DIB, odd =
+    FVID stub). Oracle: both-sides-synthesize fixture recomputing the
+    keep-chain in pure Python from the ORIGINAL frame arrays (never the
+    decode path under test) — it therefore also pins the encode->decode
+    roundtrip; phash64 itself is shared with the UDF (its correctness
+    is pinned separately by the image-pipeline goldens)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        dedup_video_frames,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_static_videos_pandas,
+    )
+
+    pdf = generate_static_videos_pandas(60, seed=54).drop(
+        columns=["frames_true"]
+    )
+    vids = spark.createDataFrame(pdf)
+    return dedup_video_frames(vids, tau=VIDEO_DEDUP_TAU)
+
+
 def audio_features_clips(spark, sf_dir):
     """PCM stats per clip over a MIXED corpus: even clips are real
     RIFF/PCM16 WAV decoded by the pure-stdlib codec (codecs.decode_wav —
@@ -3921,6 +3953,7 @@ REGISTRY = {
     "resize_images_meta": resize_images_meta,
     "augment_images_meta": augment_images_meta,
     "video_frame_sample": video_frame_sample,
+    "video_frame_dedup": video_frame_dedup,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
@@ -3946,7 +3979,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "gopher_quality_docs", "c4_clean_docs", "shard_shuffle_docs",
     "semdedup_embeddings",
     "dsir_weights_docs", "bpe_train_docs", "caption_align_images",
-    "c4_clean_docs", "datacomp_filter_images",
+    "c4_clean_docs", "datacomp_filter_images", "video_frame_dedup",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

@@ -48,6 +48,56 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_static_videos_pandas(n: int, seed: int = 54) -> pd.DataFrame:
+    """Scene-structured clip table for frame-dedup queries: each video
+    is a sequence of SCENES — a base frame repeated 2-8 times with
+    per-pixel ±1 jitter (near-static runs, the camera-on-a-tripod
+    shape) — so consecutive-frame perceptual hashes collide within a
+    scene and jump across scene cuts. Mixed formats like
+    generate_videos_pandas (even = real AVI-DIB, odd = FVID stub).
+    Returns the ORIGINAL frame arrays too (``frames_true``, object
+    column, never written to parquet) so fixtures can recompute
+    expected hashes without the decode path under test."""
+    from query_cost_feature_engineering_spark.codecs import encode_avi_dib
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.choice([16, 24, 32]))
+        w = int(rng.choice([16, 24, 32]))
+        n_scenes = int(rng.integers(2, 6))
+        frames = []
+        for _ in range(n_scenes):
+            base = rng.integers(0, 256, size=(h, w, 3)).astype(np.int16)
+            run = int(rng.integers(2, 9))
+            for _ in range(run):
+                jit = rng.integers(-1, 2, size=(h, w, 3))
+                frames.append(
+                    np.clip(base + jit, 0, 255).astype(np.uint8)
+                )
+        arr = np.stack(frames)
+        avi = i % 2 == 0
+        data = (
+            encode_avi_dib(arr)
+            if avi
+            # the FVID stub stores luma only; keep channels identical so
+            # decode (luma -> 3 channels) roundtrips the gray values
+            else encode_fake_video(arr[:, :, :, 0])
+        )
+        if not avi:
+            arr = np.repeat(arr[:, :, :, :1], 3, axis=3)
+        rows.append(
+            {
+                "media_id": f"svid{i:06d}",
+                "bytes": data,
+                "n_frames_true": arr.shape[0],
+                "fmt": "avi" if avi else "fvid",
+                "frames_true": arr,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
     """Mixed-format clip table: even clips are REAL RIFF/PCM16 WAV
     (pure-stdlib codec, ``codecs.encode_wav_pcm16``), odd clips the FAUD

@@ -464,3 +464,68 @@ def test_datacomp_gates_planted_violations(spark):
     assert all(
         out[k]["size_ok"] for k in ("ok", "long", "shortcap", "badfmt")
     )
+
+
+def test_video_frame_dedup_planted_static_run(spark):
+    """Hand-built 2-scene AVI: scene A repeated 4x EXACTLY (hamming 0
+    -> frames 1-3 dropped), then an inverted frame (scene cut -> kept),
+    repeated 2x (its dup dropped). Expect kept = frames 0 and 4."""
+    import pandas as pd
+
+    from query_cost_feature_engineering_spark.codecs import encode_avi_dib
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        dedup_video_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    b = (255 - a).astype(np.uint8)
+    frames = np.stack([a, a, a, a, b, b])
+    vids = pd.DataFrame(
+        {"media_id": ["v0"], "bytes": [encode_avi_dib(frames)]}
+    )
+    out = (
+        dedup_video_frames(spark.createDataFrame(vids), tau=6)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["kept"] for r in out] == [True, False, False, False, True, False]
+    assert out[0]["hamming_prev"] is None
+    assert out[1]["hamming_prev"] == 0
+    assert out[4]["hamming_prev"] > 6
+    assert out[5]["hamming_prev"] == 0
+    assert all(r["n_frames"] == 6 for r in out)
+
+
+def test_video_frame_dedup_matches_fixture(spark):
+    """Full parity vs the golden's pure-Python keep-chain recompute
+    over the original frame arrays — also pins the AVI/FVID
+    encode->decode roundtrip, since the fixture never decodes."""
+    import duckdb
+
+    from query_cost_feature_engineering_spark import golden as G
+    from query_cost_feature_engineering_spark.queries import (
+        video_frame_dedup,
+    )
+
+    got = (
+        video_frame_dedup(spark, None)
+        .orderBy("media_id", "frame_idx")
+        .toPandas()
+    )
+    exp = (
+        duckdb.sql(
+            f"SELECT * FROM read_parquet('{G.ensure_video_dedup_fixture()}')"
+            " ORDER BY media_id, frame_idx"
+        )
+        .df()
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["media_id"].values == exp["media_id"].values).all()
+    assert (got["phash"].values == exp["phash"].values).all()
+    assert (got["kept"].values == exp["kept"].values).all()
+    gh = got["hamming_prev"].fillna(-1).astype("int64")
+    eh = exp["hamming_prev"].fillna(-1).astype("int64")
+    assert (gh.values == eh.values).all()
+    # fixture must exercise both drop and keep paths organically
+    assert 0 < got["kept"].sum() < len(got)
