@@ -113,6 +113,7 @@ HEADLINE = [
     "c4_clean_docs",
     "datacomp_filter_images",
     "video_frame_dedup",
+    "shard_pack_images",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

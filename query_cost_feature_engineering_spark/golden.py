@@ -543,6 +543,55 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+def ensure_shard_pack_fixture(
+    n: int = 400, n_entities: int = 30, seed: int = 42
+) -> str:
+    """Expected rows for shard_pack_images: record sizes and the
+    exclusive prefix sum recomputed with plain Python ints (len() on
+    raw bytes / UTF-8 encoded captions, a sequential cumsum) — vs the
+    Spark side's length/octet_length expressions and the distributed
+    range-bucket prefix-sum operator."""
+    from query_cost_feature_engineering_spark.queries import (
+        WEBDATASET_SHARD_BYTES,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    pdf = generate_images_pandas(n, n_entities, seed)
+    recs = sorted(
+        (
+            int(str(pdf["image_id"].iloc[i])[3:]),
+            str(pdf["image_id"].iloc[i]),
+            len(bytes(pdf["bytes"].iloc[i]))
+            + len(str(pdf["caption"].iloc[i]).encode("utf-8")),
+        )
+        for i in range(len(pdf))
+    )
+    rows, prefix = [], 0
+    for _, image_id, rb in recs:
+        rows.append(
+            (
+                image_id,
+                rb,
+                prefix,
+                prefix // WEBDATASET_SHARD_BYTES,
+                prefix % WEBDATASET_SHARD_BYTES,
+            )
+        )
+        prefix += rb
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "rec_bytes", "prefix_bytes", "shard_id",
+            "shard_off",
+        ],
+    )
+    for c in ("rec_bytes", "prefix_bytes", "shard_id", "shard_off"):
+        out[c] = out[c].astype("int64")
+    return _write_fixture("shard_pack", out)
+
+
 def ensure_video_dedup_fixture(n: int = 60, seed: int = 54) -> str:
     """Expected rows for video_frame_dedup: the keep-chain recomputed
     in pure Python from the generator's ORIGINAL frame arrays

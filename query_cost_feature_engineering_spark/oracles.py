@@ -1579,6 +1579,14 @@ def _fixture_oracles() -> dict[str, str]:
         # with INDEPENDENT caption hashing + cosine (hashlib / Python
         # float loop vs F.md5+conv / JVM expression chain); the fixture
         # stores the raw score, quantized here with the _rq nudge.
+        # shard_pack_images (round 5): both-sides-synthesize fixture;
+        # plain-Python cumsum vs the distributed range-bucket prefix
+        # sum (exact integers, so the match is bit-exact).
+        "shard_pack_images": f"""
+            SELECT image_id, rec_bytes, prefix_bytes, shard_id,
+                   shard_off
+            FROM read_parquet('{G.ensure_shard_pack_fixture()}')
+        """,
         # video_frame_dedup (round 5): both-sides-synthesize fixture;
         # keep-chain recomputed in pure Python from the ORIGINAL frame
         # arrays (never the decode path under test).

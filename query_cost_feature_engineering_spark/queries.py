@@ -3083,6 +3083,57 @@ def video_frame_sample(spark, sf_dir):
     )
 
 
+# WebDataset-style shard packing: shard size is the operator contract
+# (production tars target 100 MB-1 GB; scaled to the synthetic corpus).
+WEBDATASET_SHARD_BYTES = 65536
+
+
+def shard_pack_images(spark, sf_dir):
+    """WebDataset/TFRecord shard packing for image+caption pairs — the
+    multimodal analogue of ``pack_sequences_docs``: every record's
+    shard id and byte offset are pure functions of the EXCLUSIVE
+    global prefix sum of record sizes (image bytes + UTF-8 caption
+    bytes) in corpus order: shard_id = ⌊prefix/S⌋, shard_off = prefix
+    mod S (a record spanning a boundary starts in shard_id and spills
+    — the writer splits at pack time, so sizing needs no second pass).
+
+    Plan shape (10^12-pair safe): record sizes are map-only
+    (length/octet_length — the BYTES COLUMN IS NEVER SHUFFLED, only
+    its length); the global ordered prefix sum goes through the
+    distributed range-bucket operator (operators/prefix
+    .with_running_sums — one range exchange + broadcast offsets), not
+    a single-partition ``SUM OVER (ORDER BY)``. Integer sums are exact
+    past 2^53 via DIV (the pack_sequences fix). Oracle:
+    both-sides-synthesize fixture (pure-Python cumsum over the same
+    generator output)."""
+    from query_cost_feature_engineering_spark.operators.prefix import (
+        with_running_sums,
+    )
+
+    img = _synth_images(spark).select(
+        "image_id",
+        F.substring("image_id", 4, 8).cast("long").alias("_seq"),
+        (F.length("bytes") + F.octet_length("caption"))
+        .cast("long")
+        .alias("rec_bytes"),
+    )
+    out = with_running_sums(
+        img, ["_seq"], ["rec_bytes"], bucket_col="_seq", min_buckets=8
+    )
+    prefix = F.col("run_rec_bytes") - F.col("rec_bytes")
+    return out.select(
+        "image_id",
+        "rec_bytes",
+        prefix.cast("long").alias("prefix_bytes"),
+        F.expr(
+            f"(run_rec_bytes - rec_bytes) DIV {WEBDATASET_SHARD_BYTES}"
+        )
+        .cast("long")
+        .alias("shard_id"),
+        (prefix % WEBDATASET_SHARD_BYTES).cast("long").alias("shard_off"),
+    )
+
+
 # Within-video duplicate-frame removal threshold: Hamming <= 6 of 64
 # phash bits is the conventional "perceptually identical" band; the
 # generator's +/-1 pixel jitter stays well inside it and scene cuts
@@ -3954,6 +4005,7 @@ REGISTRY = {
     "augment_images_meta": augment_images_meta,
     "video_frame_sample": video_frame_sample,
     "video_frame_dedup": video_frame_dedup,
+    "shard_pack_images": shard_pack_images,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
@@ -3980,6 +4032,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "semdedup_embeddings",
     "dsir_weights_docs", "bpe_train_docs", "caption_align_images",
     "c4_clean_docs", "datacomp_filter_images", "video_frame_dedup",
+    "shard_pack_images",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

@@ -529,3 +529,28 @@ def test_video_frame_dedup_matches_fixture(spark):
     assert (gh.values == eh.values).all()
     # fixture must exercise both drop and keep paths organically
     assert 0 < got["kept"].sum() < len(got)
+
+
+def test_shard_pack_images_invariants(spark):
+    """Shard packing invariants over the synthetic corpus: exclusive
+    prefix = cumsum shifted by one in corpus order, shard ids
+    non-decreasing, every offset < the shard size, and record count
+    per shard bounded below by the size floor."""
+    from query_cost_feature_engineering_spark.queries import (
+        WEBDATASET_SHARD_BYTES,
+        shard_pack_images,
+    )
+
+    out = (
+        shard_pack_images(spark, None).orderBy("image_id").toPandas()
+    )
+    assert len(out) == 400
+    cum = out["rec_bytes"].cumsum().shift(1, fill_value=0)
+    assert (out["prefix_bytes"].values == cum.values).all()
+    assert (out["shard_id"].diff().dropna() >= 0).all()
+    assert out["shard_id"].nunique() > 1, "corpus must span shards"
+    assert (out["shard_off"] < WEBDATASET_SHARD_BYTES).all()
+    assert (
+        out["shard_id"].values
+        == out["prefix_bytes"].values // WEBDATASET_SHARD_BYTES
+    ).all()
