@@ -2557,8 +2557,10 @@ def c4_clean_docs(spark, sf_dir):
     duplicates, variant by ``h[1] < '8'``), else the plain line with a
     terminal ``.`` iff ``h[2] < 'c'``.
 
-    Plan shape (10^12-doc safe): synthesis + gates are one map-only
-    pass (split/slice/posexplode/md5 — zero UDFs). Page verdicts use a
+    Plan shape (10^12-doc safe): ONE corpus scan — synthesis + gates
+    are one map-only pass (split/slice/posexplode_outer/md5 — zero
+    UDFs; zero-line docs ride the same scan as NULL-line rows instead
+    of a second scan + union). Page verdicts use a
     window partitioned by doc_id; the per-doc aggregate reuses that
     hash partitioning (no second exchange). Corpus dedup is ONE
     groupBy(line) -> min(struct(doc_id, line_no)) with map-side
@@ -2576,19 +2578,22 @@ def c4_clean_docs(spark, sf_dir):
         ).alias("ws"),
     )
     n_lines = (F.size("ws") / C4_LINE_WORDS).cast("int")
-    # NB: the >= filter must precede the explode — Spark's
+    # posexplode_OUTER over a when()-guarded array: docs with < 8 words
+    # synthesize an EMPTY array (the guard matters — Spark's
     # sequence(0, -1) defaults its step to -1 and would emit two bogus
-    # lines for a doc with < 8 words instead of zero.
-    lines = d.filter(F.size("ws") >= C4_LINE_WORDS).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.array_join(
-                    F.slice("ws", i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "
-                ),
-            )
-        ).alias("line_no", "base"),
+    # lines) and surface as one NULL-line row, so zero-line pages ride
+    # the same single scan instead of a second corpus scan + union.
+    arr = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice("ws", i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = d.select(
+        "doc_id", F.posexplode_outer(arr).alias("line_no", "base")
     )
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                        F.col("line_no").cast("string")))
@@ -2608,22 +2613,32 @@ def c4_clean_docs(spark, sf_dir):
         "doc_id", "line_no", line.alias("line")
     ).withColumn(
         "line_kept",
-        F.endswith("line", F.lit("."))
-        & (lw >= C4_MIN_LINE_WORDS)
-        & ~F.contains("line", F.lit("javascript")),
+        # coalesce: the NULL-line row of a zero-line doc fails every gate
+        F.coalesce(
+            F.endswith("line", F.lit("."))
+            & (lw >= C4_MIN_LINE_WORDS)
+            & ~F.contains("line", F.lit("javascript")),
+            F.lit(False),
+        ),
     )
     wd = Window.partitionBy("doc_id")
     lines = (
-        lines.withColumn("n_lines", F.count(F.lit(1)).over(wd))
+        lines.withColumn("n_lines", F.count("line").over(wd))
         .withColumn(
             "kept_lines", F.sum(F.col("line_kept").cast("long")).over(wd)
         )
         .withColumn(
             "page_kept",
-            ~F.bool_or(F.contains("line", F.lit("lorem ipsum"))).over(wd)
-            & ~F.bool_or(F.contains("line", F.lit("{"))).over(wd)
-            & (F.sum(F.col("line_kept").cast("long")).over(wd)
-               >= C4_MIN_LINES),
+            # coalesce: a zero-line doc's bool_or sees only NULLs
+            F.coalesce(
+                ~F.bool_or(
+                    F.contains("line", F.lit("lorem ipsum"))
+                ).over(wd)
+                & ~F.bool_or(F.contains("line", F.lit("{"))).over(wd)
+                & (F.sum(F.col("line_kept").cast("long")).over(wd)
+                   >= C4_MIN_LINES),
+                F.lit(False),
+            ),
         )
     )
     pages = lines.groupBy("doc_id").agg(
@@ -2646,7 +2661,7 @@ def c4_clean_docs(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("dup_removed"))
     )
-    out = pages.join(dups, "doc_id", "left").select(
+    return pages.join(dups, "doc_id", "left").select(
         "doc_id",
         "n_lines",
         "kept_lines",
@@ -2663,17 +2678,6 @@ def c4_clean_docs(spark, sf_dir):
         .alias("final_lines"),
         "page_kept",
     )
-    # Docs with < 8 words synthesize zero lines and never reach the
-    # exploded frame — re-attach them as empty failed pages.
-    empty = d.filter(F.size("ws") < C4_LINE_WORDS).select(
-        "doc_id",
-        F.lit(0).cast("long").alias("n_lines"),
-        F.lit(0).cast("long").alias("kept_lines"),
-        F.lit(0).cast("long").alias("dup_removed"),
-        F.lit(0).cast("long").alias("final_lines"),
-        F.lit(False).alias("page_kept"),
-    )
-    return out.unionByName(empty)
 
 
 # Deterministic training-order shuffle: shard count is the operator

@@ -163,6 +163,24 @@ def main() -> None:
     res["span_dedup_rows"] = spans.count()
     res["span_dedup_sec"] = round(time.time() - t0, 1)
 
+    # round-5 addition: the C4 cleaning pass (line synthesis + gates +
+    # corpus-level exact line dedup) over the same 10x corpus — its
+    # boilerplate/footer duplication is exactly the Zipf-hot-key shape
+    # the min-struct dedup join is built for
+    from query_cost_feature_engineering_spark.queries import c4_clean_docs
+
+    t0 = time.time()
+    c4 = c4_clean_docs(spark, d)
+    agg = c4.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("page_kept").cast("long")).alias("kept"),
+        F.sum("dup_removed").alias("dups"),
+    ).first()
+    res["c4_clean_rows"] = agg["rows"]
+    res["c4_clean_pages_kept"] = agg["kept"]
+    res["c4_clean_dup_lines_removed"] = agg["dups"]
+    res["c4_clean_sec"] = round(time.time() - t0, 1)
+
     res["jvm_peak_rss_gb"] = jvm_peak_rss_gb()
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2, 2
