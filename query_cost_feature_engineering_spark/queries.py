@@ -2566,11 +2566,14 @@ def c4_clean_docs(spark, sf_dir):
     groupBy(line) -> min(struct(doc_id, line_no)) with map-side
     combine + ONE equi-join back — the boilerplate lines are exactly
     the Zipf-hot keys real web footers produce; the min-struct
-    pre-aggregation shrinks hot groups map-side and AQE splits the
-    skewed probe, whereas a row_number window over the line key would
-    serialize each hot footer into one task. Oracle: identical
-    formulation in DuckDB (window row_number is safe at oracle
-    scale)."""
+    pre-aggregation shrinks hot groups map-side, whereas a row_number
+    window over the line key would serialize each hot footer into one
+    task. Observed at the 50k-doc soak volume: AQE re-plans the
+    join-back as a BroadcastHashJoin of the winners table (executed
+    plan checked); at corpus scale, where winners outgrow the
+    broadcast threshold, it degrades to a sort-merge join whose hot
+    probe keys AQE's skew split handles. Oracle: identical formulation
+    in DuckDB (window row_number is safe at oracle scale)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(
