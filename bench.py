@@ -114,6 +114,7 @@ HEADLINE = [
     "datacomp_filter_images",
     "video_frame_dedup",
     "shard_pack_images",
+    "jpeg_features_images",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -139,6 +139,12 @@ def encode_lossy(arr: np.ndarray, step: int = _QJPG_STEP) -> bytes:
 def decode_lossy(data: bytes) -> np.ndarray:
     if _HAS_PIL and data[:2] == b"\xff\xd8":  # pragma: no cover - real JPEG
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if data[:2] == b"\xff\xd8":
+        # REAL baseline JPEG via the pure-NumPy T.81 codec (jpeg.py) —
+        # no codec library needed for the baseline-sequential subset
+        from query_cost_feature_engineering_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:4] != QJPG_SIG:
         raise ValueError("not a QJPG payload")
     w, h, step = struct.unpack(">IIB", data[4:13])

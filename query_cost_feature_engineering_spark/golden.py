@@ -543,6 +543,57 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+def ensure_jpeg_features_fixture(n: int = 200, seed: int = 56) -> str:
+    """Expected rows for jpeg_features_images via the single-process
+    decode core (plumbing-pinning, the image_features idiom). Before
+    writing, ENFORCES the per-image PSNR >= 40 dB fidelity invariant
+    of the T.81 codec against the pre-encode pixel arrays — a codec
+    regression fails the oracle build loudly instead of silently
+    matching a degraded Spark side."""
+    from query_cost_feature_engineering_spark.jpeg import psnr
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_jpeg_images_pandas,
+    )
+
+    pdf = generate_jpeg_images_pandas(n, seed)
+    px = decode_stats_pandas(pdf["bytes"], pdf["fmt"])
+    from query_cost_feature_engineering_spark.codecs import decode_image
+
+    rows = []
+    for i in range(len(pdf)):
+        dec = decode_image(bytes(pdf["bytes"].iloc[i]), "jpeg")
+        p = psnr(pdf["arr_true"].iloc[i], dec)
+        assert p >= 40.0, (
+            f"JPEG fidelity regression: {pdf['image_id'].iloc[i]} "
+            f"PSNR {p:.2f} < 40 dB"
+        )
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                int(pdf["w"].iloc[i]),
+                int(pdf["h"].iloc[i]),
+                int(pdf["quality"].iloc[i]),
+                len(bytes(pdf["bytes"].iloc[i])),
+                float(px["px_mean"].iloc[i]),
+                int(px["px_min_r"].iloc[i]),
+                int(px["px_max_r"].iloc[i]),
+                int(px["hist_0"].iloc[i]),
+                int(px["hist_7"].iloc[i]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "w", "h", "quality", "n_bytes", "px_mean",
+            "px_min_r", "px_max_r", "hist_lo", "hist_hi",
+        ],
+    )
+    for c in ("w", "h", "quality", "n_bytes", "px_min_r", "px_max_r",
+              "hist_lo", "hist_hi"):
+        out[c] = out[c].astype("int64")
+    return _write_fixture("jpeg_features", out)
+
+
 def ensure_shard_pack_fixture(
     n: int = 400, n_entities: int = 30, seed: int = 42
 ) -> str:

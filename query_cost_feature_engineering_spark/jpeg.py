@@ -1,0 +1,514 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure NumPy + stdlib.
+
+Closes the "compressed media codecs are environmental" gap for JPEG:
+no codec library exists in this container, but baseline sequential
+JPEG is a published public specification (ITU-T Recommendation T.81,
+1992; tables below are Annex K's example tables, the de-facto
+standard ones every encoder ships). The encoder emits spec-conformant
+JFIF files — SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, 4:4:4 sampling,
+byte-stuffed entropy stream — that any external baseline decoder
+reads; the decoder parses the baseline-sequential subset (8-bit,
+non-progressive, no restart intervals) and raises NotImplementedError
+for the progressive/arithmetic/subsampled variants rather than
+guessing. An interop test against Pillow runs whenever PIL is present
+(import-probed; skipped in this container).
+
+Scale note: encode/decode are per-image kernels called inside
+Arrow-batched UDFs — the DCT/IDCT and color transforms are vectorized
+over all 8x8 blocks of an image at once (einsum), only the entropy
+coding loops per symbol, which is proportional to compressed size.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- DCT basis (orthonormal 8x8 DCT-II; JPEG's normalization) --------------
+
+_T8 = np.zeros((8, 8))
+_T8[0, :] = 1.0 / np.sqrt(8.0)
+for _u in range(1, 8):
+    for _x in range(8):
+        _T8[_u, _x] = 0.5 * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# --- Annex K example tables --------------------------------------------------
+
+_QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# Annex K.3-K.6 typical Huffman tables: (bits[1..16], huffval)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (public formula)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code generation."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG after 0xFF")
+            m = self.data[self.pos]
+            if m == 0x00:
+                self.pos += 1  # stuffed byte
+            elif m == 0xD9:  # EOI reached inside fill — treat as padding
+                b = 0xFF
+            elif 0xD0 <= m <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers (DRI > 0) not supported"
+                )
+            else:
+                raise ValueError(f"unexpected marker 0xFF{m:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size-category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _blockify(comp: np.ndarray) -> np.ndarray:
+    """(h, w) -> (n_blocks, 8, 8), edge-padded to multiples of 8."""
+    h, w = comp.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    comp = np.pad(comp, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = comp.shape[0] // 8, comp.shape[1] // 8
+    return (
+        comp.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        hb,
+        wb,
+    )
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K
+    quant tables at the given IJG quality, typical Huffman tables)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+
+    comps = []
+    for ci in range(3):
+        blocks, hb, wb = _blockify(ycc[..., ci])
+        f = np.einsum("ux,nxy,vy->nuv", _T8, blocks - 128.0, _T8)
+        qt = qt_l if ci == 0 else qt_c
+        comps.append(np.round(f / qt).astype(np.int32))
+    n_blocks = comps[0].shape[0]
+
+    enc_dc = [
+        _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            zz = comps[ci][bi].ravel()[_ZZ]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s, mbits = _magnitude(diff)
+            code, ln = enc_dc[t][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(mbits, s)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            end = (last_nz[-1] + 2) if len(last_nz) else 1
+            for k in range(1, end):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = enc_ac[t][0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s, mbits = _magnitude(v)
+                code, ln = enc_ac[t][run * 16 + s]
+                bw.put(code, ln)
+                bw.put(mbits, s)
+                run = 0
+            if end < 64:
+                code, ln = enc_ac[t][0x00]  # EOB
+                bw.put(code, ln)
+    scan = bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes(
+        [0, 0]
+    )
+    for tq, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt.ravel()[z]) for z in _ZZ)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])  # 1x1 sampling
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)
+        ) + bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tt])
+    out += bytes([0, 63, 0])  # Ss, Se, AhAl
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports the
+    baseline-sequential subset: 8-bit, SOF0, 1x1 sampling (4:4:4) or
+    single-component grayscale, no restart intervals. Progressive
+    (SOF2), arithmetic coding, subsampled chroma and DRI > 0 raise
+    NotImplementedError — explicitly unsupported, never guessed."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dcs: dict[int, dict] = {}
+    acs: dict[int, dict] = {}
+    sof = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + ln]
+        if m == 0xDB:
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZZ] = np.frombuffer(
+                    seg[s + 1:s + 65], dtype=np.uint8
+                ).astype(np.int32)
+                qts[tq] = tbl.reshape(8, 8)
+                s += 65
+        elif m == 0xC4:
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1:s + 17])
+                nv = sum(bits)
+                vals = list(seg[s + 17:s + 17 + nv])
+                (dcs if tc == 0 else acs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                s += 17 + nv
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (only 4:4:4 supported)"
+                    )
+                comps.append((cid, samp, tq))
+            sof = (h, w, nc)
+        elif m in (0xC1,):
+            raise NotImplementedError("extended sequential JPEG (SOF1)")
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{m:02X})"
+            )
+        elif m == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise NotImplementedError("restart intervals (DRI > 0)")
+        elif m == 0xDA:
+            ns = seg[0]
+            scan_tabs = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan_tabs.append((cid, tt >> 4, tt & 0xF))
+            pos += ln
+            return _decode_scan(
+                data, pos, sof, comps, scan_tabs, qts, dcs, acs
+            )
+        pos += ln
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
+    if sof is None:
+        raise ValueError("SOS before SOF0")
+    h, w, nc = sof
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    n_blocks = hb * wb
+    br = _BitReader(data[pos:])
+    coeff = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in range(nc)]
+    order = {cid: i for i, (cid, _, _) in enumerate(comps)}
+    prev_dc = [0] * nc
+    for bi in range(n_blocks):
+        for cid, dct, act in scan_tabs:
+            ci = order[cid]
+            dtab, atab = dcs[dct], acs[act]
+            s = _read_symbol(br, dtab)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            zz = np.zeros(64, dtype=np.int32)
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, atab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            qt = qts[comps[ci][2]]
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZZ] = zz * qt.ravel()[_ZZ]
+            coeff[ci][bi] = blk
+    planes = []
+    for ci in range(nc):
+        f = coeff[ci].reshape(-1, 8, 8)
+        px = np.einsum("xu,nuv,yv->nxy", _T8.T, f, _T8.T) + 128.0
+        plane = (
+            px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(hb * 8, wb * 8)[:h, :w]
+        )
+        planes.append(plane)
+    if nc == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

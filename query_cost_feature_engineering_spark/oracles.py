@@ -1579,6 +1579,16 @@ def _fixture_oracles() -> dict[str, str]:
         # with INDEPENDENT caption hashing + cosine (hashlib / Python
         # float loop vs F.md5+conv / JVM expression chain); the fixture
         # stores the raw score, quantized here with the _rq nudge.
+        # jpeg_features_images (round 5): single-process decode-core
+        # fixture (plumbing-pinning); the fixture BUILD enforces the
+        # per-image PSNR >= 40 dB codec invariant, so a codec
+        # regression fails here loudly.
+        "jpeg_features_images": f"""
+            SELECT image_id, w, h, quality, n_bytes,
+                   round(px_mean + 1e-9, 4) AS px_mean,
+                   px_min_r, px_max_r, hist_lo, hist_hi
+            FROM read_parquet('{G.ensure_jpeg_features_fixture()}')
+        """,
         # shard_pack_images (round 5): both-sides-synthesize fixture;
         # plain-Python cumsum vs the distributed range-bucket prefix
         # sum (exact integers, so the match is bit-exact).

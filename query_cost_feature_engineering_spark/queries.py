@@ -3090,6 +3090,49 @@ def video_frame_sample(spark, sf_dir):
     )
 
 
+def jpeg_features_images(spark, sf_dir):
+    """The image-feature pass over a corpus of REAL baseline JPEG
+    files, decoded by the pure-NumPy ITU-T T.81 codec (jpeg.py) inside
+    the standard Arrow UDF — upgrading the lossy path from the QJPG
+    stub to a spec-conformant compressed format with no codec library.
+    Emits ``(image_id, w, h, quality, n_bytes, px_mean, px_min_r,
+    px_max_r, hist_lo, hist_hi)``.
+
+    Plan shape: identical to the flagship decode stage — map-only, one
+    Arrow-batched UDF, bytes never shuffled. Oracle: fixture recompute
+    via the single-process decode core (the image_features plumbing-
+    pinning idiom — what the oracle proves is the distributed path);
+    the CODEC itself is pinned separately by hand-derived uniform-DC
+    tests, spec marker/refusal tests (tests/test_codecs.py), and the
+    fixture builder's enforced per-image PSNR >= 40 dB invariant
+    against the pre-encode pixel arrays."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_image_features,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_jpeg_images_pandas,
+    )
+
+    pdf = generate_jpeg_images_pandas(200, seed=56).drop(
+        columns=["arr_true"]
+    )
+    img = spark.createDataFrame(pdf)
+    img = img.withColumn("n_bytes", F.length("bytes").cast("long"))
+    out = with_image_features(img)
+    return out.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("quality").cast("long").alias("quality"),
+        "n_bytes",
+        _rq("px_mean", 4).alias("px_mean"),
+        F.col("px_min_r").cast("long").alias("px_min_r"),
+        F.col("px_max_r").cast("long").alias("px_max_r"),
+        F.col("hist_0").cast("long").alias("hist_lo"),
+        F.col("hist_7").cast("long").alias("hist_hi"),
+    )
+
+
 # WebDataset-style shard packing: shard size is the operator contract
 # (production tars target 100 MB-1 GB; scaled to the synthetic corpus).
 WEBDATASET_SHARD_BYTES = 65536
@@ -4013,6 +4056,7 @@ REGISTRY = {
     "video_frame_sample": video_frame_sample,
     "video_frame_dedup": video_frame_dedup,
     "shard_pack_images": shard_pack_images,
+    "jpeg_features_images": jpeg_features_images,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
@@ -4039,7 +4083,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "semdedup_embeddings",
     "dsir_weights_docs", "bpe_train_docs", "caption_align_images",
     "c4_clean_docs", "datacomp_filter_images", "video_frame_dedup",
-    "shard_pack_images",
+    "shard_pack_images", "jpeg_features_images",
     "mscn_serialize_plans", "approx_profile_orders",
     "plan_featurize_deep", "plan_featurize_job_vocab",
     "subplan_rollup_plans", "stream_image_features",

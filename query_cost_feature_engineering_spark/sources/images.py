@@ -52,6 +52,49 @@ def _pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
 
 
+def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
+    """Real-JPEG corpus for the T.81 codec query: smooth
+    photograph-like content (gradient + low-frequency sinusoid texture
+    — NOT white noise, which no lossy codec preserves at 40 dB), each
+    image encoded to baseline JFIF bytes by the pure-NumPy encoder.
+    Returns the ORIGINAL pixel arrays too (``arr_true``, object
+    column, dropped before Spark) so the golden can enforce the
+    per-image PSNR >= 40 dB fidelity invariant independently."""
+    from query_cost_feature_engineering_spark.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.choice(SIZES))
+        w = int(rng.choice(SIZES))
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        g = (yy * 255) // max(h - 1, 1)
+        g2 = (xx * 255) // max(w - 1, 1)
+        amp = float(rng.uniform(6.0, 16.0))
+        fy = float(rng.uniform(4.0, 9.0))
+        fx = float(rng.uniform(4.0, 9.0))
+        tex = amp * np.sin(yy / fy) * np.cos(xx / fx)
+        chans = [
+            (g + g2) // 2 + tex,
+            g + tex / 2.0,
+            255 - g2 + tex,
+        ]
+        arr = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+        q = int(rng.integers(85, 96))
+        rows.append(
+            {
+                "image_id": f"jpg{i:06d}",
+                "bytes": encode_jpeg(arr, quality=q),
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": "jpeg",
+                "quality": np.int32(q),
+                "arr_true": arr,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def generate_images_pandas(
     n: int, n_entities: int = 50, seed: int = 42
 ) -> pd.DataFrame:

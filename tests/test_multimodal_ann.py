@@ -554,3 +554,31 @@ def test_shard_pack_images_invariants(spark):
         out["shard_id"].values
         == out["prefix_bytes"].values // WEBDATASET_SHARD_BYTES
     ).all()
+
+
+def test_jpeg_features_matches_fixture(spark):
+    """Distributed real-JPEG decode (T.81 codec inside the Arrow UDF)
+    vs the golden's single-process recompute, exact on every row; the
+    fixture build itself enforces PSNR >= 40 dB per image."""
+    import duckdb
+
+    from query_cost_feature_engineering_spark import golden as G
+    from query_cost_feature_engineering_spark.queries import (
+        jpeg_features_images,
+    )
+
+    got = (
+        jpeg_features_images(spark, None).orderBy("image_id").toPandas()
+    )
+    exp = duckdb.sql(
+        f"SELECT * FROM read_parquet('{G.ensure_jpeg_features_fixture()}')"
+        " ORDER BY image_id"
+    ).df()
+    assert len(got) == len(exp) == 200
+    for c in ("w", "h", "quality", "n_bytes", "px_min_r", "px_max_r",
+              "hist_lo", "hist_hi"):
+        assert (got[c].values == exp[c].values).all(), c
+    assert np.allclose(got["px_mean"].values, exp["px_mean"].values)
+    # real compression: JFIF bytes are smaller than raw pixels
+    raw = 3 * got["w"].values * got["h"].values
+    assert (got["n_bytes"].values < raw).mean() > 0.95
