@@ -283,6 +283,59 @@ def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 10, quality: int = 90
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → Motion-JPEG AVI: the canonical
+    RIFF layout with biCompression='MJPG' and one REAL baseline JPEG
+    (jpeg.encode_jpeg, ITU-T T.81) per '00dc' chunk — a genuinely
+    compressed video format, no codec library needed."""
+    from query_cost_feature_engineering_spark.jpeg import encode_jpeg
+
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_avi_mjpeg expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    max_size = max(len(p) for p in payloads)
+
+    movi_items = b"".join(
+        b"00dc"
+        + struct.pack("<I", len(p))
+        + p
+        + (b"\x00" if len(p) % 2 else b"")
+        for p in payloads
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+
+    bmih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, max_size, 0, 0, 0, 0
+    )
+    strf = b"strf" + struct.pack("<I", len(bmih)) + bmih
+    strh_data = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_data)) + strh_data
+    strl_items = strh + strf
+    strl = b"LIST" + struct.pack("<I", 4 + len(strl_items)) + b"strl" + strl_items
+    avih_data = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, w, h, 0, 0, 0, 0,
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_data)) + avih_data
+    hdrl_items = avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _riff_chunks(data: bytes, pos: int, end: int):
     """Yield (tag, payload) walking a RIFF chunk run, honoring the
     odd-size pad byte."""
@@ -302,9 +355,11 @@ def decode_avi(data: bytes) -> np.ndarray:
     an UNRECOGNIZED list kind inside movi raises instead of silently
     truncating the frame array). Negative biHeight (a top-down DIB, the
     other valid real-file row order) is handled by skipping the
-    bottom-up flip. Only biCompression=0 at 24 bpp is supported —
-    compressed AVI (MJPG/H.264 fourccs) raises, it genuinely needs a
-    codec library."""
+    bottom-up flip. Supports biCompression=0 at 24 bpp (uncompressed
+    DIB) and — round 5, via the pure-NumPy T.81 codec —
+    biCompression='MJPG' (Motion-JPEG: one baseline JPEG per frame
+    chunk). Other fourccs (H.264/DivX...) raise: those genuinely need
+    a codec library."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = bitcount = compression = None
@@ -338,9 +393,22 @@ def decode_avi(data: bytes) -> np.ndarray:
             walk_movi(payload)
     if w is None or not frames_raw:
         raise ValueError("AVI missing strf/movi")
+    if compression == _MJPG_FOURCC:
+        from query_cost_feature_engineering_spark.jpeg import decode_jpeg
+
+        hh = abs(h)
+        out = np.empty((len(frames_raw), hh, w, 3), dtype=np.uint8)
+        for i, raw in enumerate(frames_raw):
+            f = decode_jpeg(bytes(raw))
+            if f.shape != (hh, w, 3):
+                raise ValueError(
+                    f"MJPG frame {i} is {f.shape}, header says {(hh, w, 3)}"
+                )
+            out[i] = f
+        return out
     if compression != 0 or bitcount != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bit DIB AVI is supported "
+            f"only uncompressed-DIB or MJPG AVI is supported "
             f"(compression={compression}, bpp={bitcount})"
         )
     top_down = h < 0

@@ -17,12 +17,18 @@ from query_cost_feature_engineering_spark.functions.multimodal import (
 
 
 def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
-    """Mixed-format clip table: even clips are REAL uncompressed-DIB AVI
-    (pure-stdlib codec, ``codecs.encode_avi_dib``; RGB frames), odd
-    clips the FVID luma stub — so the decode dispatch
-    (``functions.multimodal.decode_video``) exercises both paths in
-    every query run."""
-    from query_cost_feature_engineering_spark.codecs import encode_avi_dib
+    """Mixed-format clip table, three REAL dispatch paths per query
+    run: clips cycle uncompressed-DIB AVI (``codecs.encode_avi_dib``),
+    the FVID luma stub, and — round 5 — Motion-JPEG AVI
+    (``codecs.encode_avi_mjpeg``: genuinely compressed frames via the
+    pure-NumPy T.81 codec), all through one magic-byte + fourcc
+    dispatch (``functions.multimodal.decode_video``). MJPG frames use
+    smooth content (gradient + per-frame offset), not noise — lossy
+    codecs only owe fidelity on photograph-like signals."""
+    from query_cost_feature_engineering_spark.codecs import (
+        encode_avi_dib,
+        encode_avi_mjpeg,
+    )
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -30,10 +36,26 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
         nf = int(rng.integers(8, 40))
         h = int(rng.choice([16, 24, 32]))
         w = int(rng.choice([16, 24, 32]))
-        avi = i % 2 == 0
-        if avi:
+        kind = ("avi", "fvid", "mjpg")[i % 3]
+        if kind == "avi":
             frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
             data = encode_avi_dib(frames)
+        elif kind == "mjpg":
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            g = (yy * 255) // max(h - 1, 1)
+            g2 = (xx * 255) // max(w - 1, 1)
+            offs = rng.integers(0, 60, size=nf)
+            frames = np.stack(
+                [
+                    np.clip(
+                        np.stack([g + int(o), g2, (g + g2) // 2], axis=-1),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    for o in offs
+                ]
+            )
+            data = encode_avi_mjpeg(frames, quality=92)
         else:
             frames = rng.integers(0, 256, size=(nf, h, w)).astype(np.uint8)
             data = encode_fake_video(frames)
@@ -42,7 +64,7 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
                 "media_id": f"vid{i:06d}",
                 "bytes": data,
                 "n_frames_true": nf,
-                "fmt": "avi" if avi else "fvid",
+                "fmt": kind,
             }
         )
     return pd.DataFrame(rows)
