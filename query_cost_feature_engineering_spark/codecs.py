@@ -191,17 +191,138 @@ def encode_wav_pcm16(pcm: np.ndarray, rate: int = 16000) -> bytes:
     return WAV_RIFF + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM (WAV format tag 17) — a REAL compressed audio codec in
+# pure NumPy. The algorithm and tables are public (IMA Recommended
+# Practices for Enhancing Digital Audio Compatibility, 1992; RFC 3551
+# §4.5.1 DVI4): 4 bits/sample, ~4:1 compression, block-independent
+# decoding (each block header carries the predictor + step index).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state update (shared by encode and decode)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    pcm: np.ndarray, rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """(n,) int16 mono PCM → IMA ADPCM WAV (format tag 17, 4
+    bits/sample, `fact` chunk with the true sample count)."""
+    if pcm.dtype != np.int16 or pcm.ndim != 1:
+        raise ValueError("encode_wav_adpcm expects (n,) int16 mono")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    blocks = bytearray()
+    i = 0
+    n = len(pcm)
+    index = 0
+    while i < n:
+        chunk = pcm[i:i + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in chunk[1:].tolist():
+            step = int(_IMA_STEPS[index])
+            delta = s - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)  # pad nibble (decoder trims via fact count)
+        for a, b in zip(nibs[::2], nibs[1::2]):
+            blocks.append(a | (b << 4))  # low nibble first
+        pad = block_align - 4 - len(nibs) // 2
+        blocks += b"\x00" * pad  # last block zero-padded to block_align
+        i += spb
+    spb_out = spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, rate,
+        (rate * block_align) // spb_out, block_align, 4, 2, spb_out,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+        + (b"\x00" if len(blocks) % 2 else b"")
+    )
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm(
+    data: bytes, block_align: int, n_samples: int
+) -> np.ndarray:
+    spb = (block_align - 4) * 2 + 1
+    out = np.empty(n_samples, dtype=np.int16)
+    oi = 0
+    pos = 0
+    while pos + 4 <= len(data) and oi < n_samples:
+        pred, index, _ = struct.unpack("<hBB", data[pos:pos + 4])
+        index = max(0, min(88, index))
+        out[oi] = pred
+        oi += 1
+        body = data[pos + 4:pos + block_align]
+        for byte in body:
+            for nib in (byte & 0xF, byte >> 4):
+                if oi >= n_samples or oi % spb == 0:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out[oi] = pred
+                oi += 1
+            if oi >= n_samples or oi % spb == 0:
+                break
+        pos += block_align
+    return out[:oi]
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAVE uncompressed PCM16 → ((frames, channels) int16, rate).
 
-    A real chunk walk: unknown chunks (LIST, fact, cue, ...) are skipped
-    by their declared size (+ the RIFF odd-length pad byte), so WAVs with
-    metadata parse correctly. Only audio format 1 (PCM) at 16 bits is
-    supported — compressed WAV genuinely needs a codec library."""
+    A real chunk walk: unknown chunks (LIST, cue, ...) are skipped by
+    their declared size (+ the RIFF odd-length pad byte), so WAVs with
+    metadata parse correctly. Supports audio format 1 (PCM16) and —
+    round 5, via the pure-NumPy IMA codec above — format 17 (IMA/DVI
+    ADPCM mono, 4 bits/sample, sample count from the `fact` chunk).
+    Other compressed formats (MP3/AAC in WAV) genuinely need a codec
+    library and raise."""
     if data[:4] != WAV_RIFF or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     ch = rate = bits = audio_fmt = None
+    block_align = fact_samples = None
     pcm_bytes = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -209,16 +330,25 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         payload = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)  # odd chunks carry one pad byte
         if tag == b"fmt ":
-            audio_fmt, ch, rate, _, _, bits = struct.unpack(
+            audio_fmt, ch, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
+        elif tag == b"fact":
+            (fact_samples,) = struct.unpack("<I", payload[:4])
         elif tag == b"data":
             pcm_bytes = payload
     if pcm_bytes is None or audio_fmt is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt == 17 and bits == 4:
+        if ch != 1:
+            raise NotImplementedError("only mono IMA ADPCM is supported")
+        if fact_samples is None:
+            raise ValueError("IMA ADPCM WAV missing fact chunk")
+        pcm = _decode_adpcm(pcm_bytes, int(block_align), int(fact_samples))
+        return pcm[:, None], int(rate)
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
-            f"only uncompressed PCM16 WAV is supported "
+            f"only PCM16 or IMA-ADPCM WAV is supported "
             f"(format={audio_fmt}, bits={bits})"
         )
     n = len(pcm_bytes) // (2 * ch)

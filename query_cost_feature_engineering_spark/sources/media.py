@@ -121,27 +121,45 @@ def generate_static_videos_pandas(n: int, seed: int = 54) -> pd.DataFrame:
 
 
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
-    """Mixed-format clip table: even clips are REAL RIFF/PCM16 WAV
-    (pure-stdlib codec, ``codecs.encode_wav_pcm16``), odd clips the FAUD
-    stub container — the same PCM stream either way, so the decode
-    dispatch (``functions.multimodal.decode_audio``) is exercised on
-    both paths in every query run."""
-    from query_cost_feature_engineering_spark.codecs import encode_wav_pcm16
+    """Mixed-format clip table, three REAL dispatch paths per query
+    run: clips cycle RIFF/PCM16 WAV (``codecs.encode_wav_pcm16``), the
+    FAUD stub container, and — round 5 — IMA ADPCM WAV
+    (``codecs.encode_wav_adpcm``: genuinely compressed 4-bit audio,
+    format tag 17), all through one magic-byte + format-tag dispatch
+    (``functions.multimodal.decode_audio``). ADPCM clips carry smooth
+    band-limited content (summed sines), not white noise — a 4-bit
+    predictive codec only owes fidelity on audio-like signals."""
+    from query_cost_feature_engineering_spark.codecs import (
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         ns = int(rng.integers(1600, 48000))
-        pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
-        wav = i % 2 == 0
+        kind = ("wav", "faud", "adpcm")[i % 3]
+        if kind == "adpcm":
+            t = np.arange(ns) / 16000.0
+            f1, f2 = rng.uniform(80, 400), rng.uniform(400, 2000)
+            sig = 9000 * np.sin(2 * np.pi * f1 * t) + 3000 * np.sin(
+                2 * np.pi * f2 * t
+            )
+            pcm = sig.astype(np.int16)
+            data = encode_wav_adpcm(pcm, rate=16000)
+        else:
+            pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+            data = (
+                encode_wav_pcm16(pcm, rate=16000)
+                if kind == "wav"
+                else encode_fake_audio(pcm, rate=16000)
+            )
         rows.append(
             {
                 "clip_id": f"aud{i:06d}",
-                "bytes": encode_wav_pcm16(pcm, rate=16000)
-                if wav
-                else encode_fake_audio(pcm, rate=16000),
+                "bytes": data,
                 "n_samples_true": ns,
-                "fmt": "wav" if wav else "faud",
+                "fmt": kind,
             }
         )
     return pd.DataFrame(rows)

@@ -414,3 +414,46 @@ def test_mjpeg_avi_roundtrip_and_dispatch():
     h264[i:i + 4] = b"H264"
     with pytest.raises(NotImplementedError):
         decode_avi(bytes(h264))
+
+
+def test_ima_adpcm_roundtrip_and_refusals():
+    """IMA ADPCM WAV (format tag 17): length-exact decode via the fact
+    chunk, SNR >= 25 dB on band-limited audio, exact silence, ~4:1
+    compression, and loud refusals for stereo / missing fact."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+    )
+
+    t = np.arange(12345) / 16000.0
+    pcm = (
+        10000 * np.sin(2 * np.pi * 220 * t)
+        + 4000 * np.sin(2 * np.pi * 1100 * t)
+    ).astype(np.int16)
+    data = encode_wav_adpcm(pcm, rate=16000)
+    out, rate = decode_wav(data)
+    assert rate == 16000 and out.shape == (12345, 1)
+    sig = float((pcm.astype(np.float64) ** 2).mean())
+    err = float(((out[:, 0] - pcm).astype(np.float64) ** 2).mean())
+    assert 10 * np.log10(sig / err) >= 25.0
+    assert len(data) < 2 * len(pcm) / 3.5  # real compression
+    # silence decodes exactly
+    z, _ = decode_wav(encode_wav_adpcm(np.zeros(900, dtype=np.int16)))
+    assert int(np.abs(z).max()) == 0
+    # dispatch: the audio UDF path reads ADPCM through the same magic
+    got = decode_audio(data)
+    assert got[0].shape[0] == 12345
+    # stereo refusal: patch nChannels=2 in fmt
+    i = data.index(b"fmt ") + 8
+    st = bytearray(data)
+    struct.pack_into("<H", st, i + 2, 2)
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(bytes(st))

@@ -76,15 +76,15 @@ def test_video_decode_rejects_real_formats():
 
 
 def test_audio_features_match_golden(spark):
-    """The mixed corpus (even clips REAL WAV, odd clips FAUD stub) runs
-    through the same pandas UDF; the golden re-decodes each payload with
-    the matching codec."""
+    """The mixed corpus (REAL PCM16 WAV / FAUD stub / REAL IMA-ADPCM
+    WAV cycling) runs through the same pandas UDF; the golden
+    re-decodes each payload with the matching codec."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
         decode_audio,
     )
 
     clips = generate_audio_pandas(30, seed=53)
-    assert {"wav", "faud"} == set(clips["fmt"])
+    assert {"wav", "faud", "adpcm"} == set(clips["fmt"])
     out = (
         with_audio_features(spark.createDataFrame(clips))
         .select("clip_id", "n_samples", "sample_rate", "rms", "zero_crossings")
