@@ -22,6 +22,7 @@ coding loops per symbol, which is proportional to compressed size.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -139,7 +140,8 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
 
 
 def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
+    """(length, code) -> symbol (kept as the readable reference form;
+    the decoder uses the LUT below)."""
     out: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -149,6 +151,28 @@ def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int]
             k += 1
         code <<= 1
     return out
+
+
+@_lru_cache(maxsize=64)
+def _decode_lut(bits_b: bytes, vals_b: bytes) -> tuple:
+    """16-bit-peek lookup tables: index by the next 16 bits of the
+    stream, read (symbol, code length) in two array loads. Cached per
+    Huffman table (one build per distinct table, not per image)."""
+    sym = np.zeros(65536, dtype=np.int16)
+    ln = np.zeros(65536, dtype=np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits_b[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals_b[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    # plain lists: per-symbol indexing is the decode hot path, and
+    # Python-list loads are ~3x cheaper than numpy scalar extraction
+    return sym.tolist(), ln.tolist()
 
 
 class _BitWriter:
@@ -175,45 +199,60 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Entropy-segment reader with bulk peek/consume (the shape of the
+    T.81 Annex F fast DECODE): stuffed 0xFF00 handled inline, any real
+    marker ends the segment (subsequent peeks see virtual 1-padding —
+    the spec's fill-bit value — which the block loop never decodes past
+    the declared MCU count)."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.ended = False
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG after 0xFF")
-            m = self.data[self.pos]
-            if m == 0x00:
-                self.pos += 1  # stuffed byte
-            elif m == 0xD9:  # EOI reached inside fill — treat as padding
-                b = 0xFF
-            elif 0xD0 <= m <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers (DRI > 0) not supported"
+    def _fill_to(self, k: int) -> None:
+        while self.n < k:
+            if self.ended or self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
                 )
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "JPEG restart markers (DRI > 0) not supported"
+                    )
+                else:
+                    self.ended = True  # real marker: segment over
+                    continue
             else:
-                raise ValueError(f"unexpected marker 0xFF{m:02X} in scan")
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        self.acc &= (1 << self.n) - 1
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        self._fill_to(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.n -= k
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        if k == 0:
+            return 0
+        self._fill_to(k)
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -398,11 +437,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             s = 0
             while s < len(seg):
                 tc, th = seg[s] >> 4, seg[s] & 0xF
-                bits = list(seg[s + 1:s + 17])
+                bits = seg[s + 1:s + 17]
                 nv = sum(bits)
-                vals = list(seg[s + 17:s + 17 + nv])
-                (dcs if tc == 0 else acs)[th] = _huff_decode_table(
-                    bits, vals
+                vals = seg[s + 17:s + 17 + nv]
+                (dcs if tc == 0 else acs)[th] = _decode_lut(
+                    bytes(bits), bytes(vals)
                 )
                 s += 17 + nv
         elif m == 0xC0:
@@ -451,17 +490,17 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
     hb, wb = (h + 7) // 8, (w + 7) // 8
     n_blocks = hb * wb
     br = _BitReader(data[pos:])
-    coeff = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in range(nc)]
+    zz_rows: list[list[list[int]]] = [[] for _ in range(nc)]
     order = {cid: i for i, (cid, _, _) in enumerate(comps)}
     prev_dc = [0] * nc
-    for bi in range(n_blocks):
+    for _bi in range(n_blocks):
         for cid, dct, act in scan_tabs:
             ci = order[cid]
             dtab, atab = dcs[dct], acs[act]
             s = _read_symbol(br, dtab)
             diff = _extend(br.bits(s), s) if s else 0
             prev_dc[ci] += diff
-            zz = np.zeros(64, dtype=np.int32)
+            zz = [0] * 64
             zz[0] = prev_dc[ci]
             k = 1
             while k < 64:
@@ -477,13 +516,15 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
                     raise ValueError("AC run past block end")
                 zz[k] = _extend(br.bits(s), s)
                 k += 1
-            qt = qts[comps[ci][2]]
-            blk = np.zeros(64, dtype=np.float64)
-            blk[_ZZ] = zz * qt.ravel()[_ZZ]
-            coeff[ci][bi] = blk
+            zz_rows[ci].append(zz)
     planes = []
     for ci in range(nc):
-        f = coeff[ci].reshape(-1, 8, 8)
+        # vectorized dezigzag + dequant over ALL blocks of the component
+        zzv = np.asarray(zz_rows[ci], dtype=np.float64)
+        qzz = qts[comps[ci][2]].ravel()[_ZZ].astype(np.float64)
+        coeff = np.zeros((n_blocks, 64), dtype=np.float64)
+        coeff[:, _ZZ] = zzv * qzz[None, :]
+        f = coeff.reshape(-1, 8, 8)
         px = np.einsum("xu,nuv,yv->nxy", _T8.T, f, _T8.T) + 128.0
         plane = (
             px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3)
@@ -496,15 +537,16 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG scan")
+def _read_symbol(br: _BitReader, table: tuple) -> int:
+    sym_arr, ln_arr = table
+    if br.n < 16:
+        br._fill_to(16)
+    idx = (br.acc >> (br.n - 16)) & 0xFFFF
+    length = ln_arr[idx]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG scan")
+    br.n -= length
+    return sym_arr[idx]
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
