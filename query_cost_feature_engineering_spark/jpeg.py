@@ -304,22 +304,85 @@ def _blockify(comp: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K
-    quant tables at the given IJG quality, typical Huffman tables)."""
+def _encode_block(bw, zz, prev_dc, dc_tab, ac_tab) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC."""
+    dc = int(zz[0])
+    s, mbits = _magnitude(dc - prev_dc)
+    code, ln = dc_tab[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(mbits, s)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = (last_nz[-1] + 2) if len(last_nz) else 1
+    for k in range(1, end):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s, mbits = _magnitude(v)
+        code, ln = ac_tab[run * 16 + s]
+        bw.put(code, ln)
+        bw.put(mbits, s)
+        run = 0
+    if end < 64:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K quant
+    tables at the given IJG quality, typical Huffman tables).
+    ``subsampling``: '444' (full chroma, 1x1 sampling — the default)
+    or '420' (2x2 luma sampling with 2x2-box-averaged chroma, the
+    variant nearly all real-world JPEGs use)."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(arr)
+    samps = (
+        [(1, 1), (1, 1), (1, 1)]
+        if subsampling == "444"
+        else [(2, 2), (1, 1), (1, 1)]
+    )
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
-    comps = []
-    for ci in range(3):
-        blocks, hb, wb = _blockify(ycc[..., ci])
+    grids = []  # per component: (rows, cols, 8, 8) quantized blocks
+    for ci, (hs, vs) in enumerate(samps):
+        plane = ycc[..., ci]
+        if (hs, vs) != (hmax, vmax):
+            # box-average subsample to the component resolution
+            fy, fx = vmax // vs, hmax // hs
+            ph, pw = (-h) % fy, (-w) % fx
+            p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+            plane = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        rows, cols = mcus_y * vs, mcus_x * hs
+        ph, pw = rows * 8 - plane.shape[0], cols * 8 - plane.shape[1]
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks = (
+            plane.reshape(rows, 8, cols, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         f = np.einsum("ux,nxy,vy->nuv", _T8, blocks - 128.0, _T8)
         qt = qt_l if ci == 0 else qt_c
-        comps.append(np.round(f / qt).astype(np.int32))
-    n_blocks = comps[0].shape[0]
+        q = np.round(f / qt).astype(np.int32).reshape(rows, cols, 8, 8)
+        grids.append(q)
 
     enc_dc = [
         _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -332,37 +395,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for bi in range(n_blocks):
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            zz = comps[ci][bi].ravel()[_ZZ]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s, mbits = _magnitude(diff)
-            code, ln = enc_dc[t][s]
-            bw.put(code, ln)
-            if s:
-                bw.put(mbits, s)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            end = (last_nz[-1] + 2) if len(last_nz) else 1
-            for k in range(1, end):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = enc_ac[t][0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s, mbits = _magnitude(v)
-                code, ln = enc_ac[t][run * 16 + s]
-                bw.put(code, ln)
-                bw.put(mbits, s)
-                run = 0
-            if end < 64:
-                code, ln = enc_ac[t][0x00]  # EOB
-                bw.put(code, ln)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(samps):
+                t = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = grids[ci][my * vs + by, mx * hs + bx]
+                        zz = blk.ravel()[_ZZ]
+                        prev_dc[ci] = _encode_block(
+                            bw, zz, prev_dc[ci], enc_dc[t], enc_ac[t]
+                        )
     scan = bw.flush()
 
     out = bytearray()
@@ -376,8 +419,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(qt.ravel()[z]) for z in _ZZ)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])  # 1x1 sampling
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hs, vs = samps[ci]
+        out += bytes([cid, (hs << 4) | vs, tq])
     for tc_th, bits, vals in (
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -453,9 +497,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
-                        "subsampled chroma (only 4:4:4 supported)"
+                        f"sampling factors {hs}x{vs} (only 1-2 supported)"
                     )
                 comps.append((cid, samp, tq))
             sof = (h, w, nc)
@@ -487,50 +532,71 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
     if sof is None:
         raise ValueError("SOS before SOF0")
     h, w, nc = sof
-    hb, wb = (h + 7) // 8, (w + 7) // 8
-    n_blocks = hb * wb
+    samps = [(c[1] >> 4, c[1] & 0xF) for c in comps]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     br = _BitReader(data[pos:])
-    zz_rows: list[list[list[int]]] = [[] for _ in range(nc)]
+    # per component: block rows written in MCU order at grid coordinates
+    grid_dims = [
+        (mcus_y * vs, mcus_x * hs) for hs, vs in samps
+    ]
+    zz_rows: list[list] = [
+        [None] * (r * c) for r, c in grid_dims
+    ]
     order = {cid: i for i, (cid, _, _) in enumerate(comps)}
     prev_dc = [0] * nc
-    for _bi in range(n_blocks):
-        for cid, dct, act in scan_tabs:
-            ci = order[cid]
-            dtab, atab = dcs[dct], acs[act]
-            s = _read_symbol(br, dtab)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc[ci] += diff
-            zz = [0] * 64
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, atab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            zz_rows[ci].append(zz)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dct, act in scan_tabs:
+                ci = order[cid]
+                hs, vs = samps[ci]
+                dtab, atab = dcs[dct], acs[act]
+                for by in range(vs):
+                    for bx in range(hs):
+                        s = _read_symbol(br, dtab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, atab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        idx = (my * vs + by) * (mcus_x * hs) + (
+                            mx * hs + bx
+                        )
+                        zz_rows[ci][idx] = zz
     planes = []
     for ci in range(nc):
+        hs, vs = samps[ci]
+        rows, cols = grid_dims[ci]
         # vectorized dezigzag + dequant over ALL blocks of the component
         zzv = np.asarray(zz_rows[ci], dtype=np.float64)
         qzz = qts[comps[ci][2]].ravel()[_ZZ].astype(np.float64)
-        coeff = np.zeros((n_blocks, 64), dtype=np.float64)
+        coeff = np.zeros((rows * cols, 64), dtype=np.float64)
         coeff[:, _ZZ] = zzv * qzz[None, :]
         f = coeff.reshape(-1, 8, 8)
         px = np.einsum("xu,nuv,yv->nxy", _T8.T, f, _T8.T) + 128.0
         plane = (
-            px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(hb * 8, wb * 8)[:h, :w]
+            px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
         )
-        planes.append(plane)
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:  # box-replicate chroma back to full res
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=2)

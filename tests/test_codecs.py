@@ -310,9 +310,11 @@ def test_jpeg_structure_and_unsupported_paths():
     prog = d[:i] + b"\xff\xc2" + d[i + 2:]
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog)
-    # 4:2:0: patch the Y sampling byte (0x11 -> 0x22)
+    # sampling factor 3 (valid per spec, rare, unsupported here):
+    # patch the Y sampling byte (0x11 -> 0x31) — must refuse loudly
+    # (4:2:0/0x22 is a SUPPORTED path, covered by its own test)
     sub = bytearray(d)
-    sub[i + 11] = 0x22
+    sub[i + 11] = 0x31
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
 
@@ -457,3 +459,40 @@ def test_ima_adpcm_roundtrip_and_refusals():
     struct.pack_into("<H", st, i + 2, 2)
     with pytest.raises(NotImplementedError, match="mono"):
         decode_wav(bytes(st))
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the variant nearly all real-world JPEGs use: decoder
+    handles 2x2 luma sampling with box-replicated chroma upsample;
+    PSNR >= 40 dB on smooth content, smaller files than 4:4:4,
+    uniform images still exact, odd (non-MCU-multiple) dims crop
+    correctly."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        psnr,
+    )
+
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    g = ((yy * 255) // 47 + (xx * 255) // 63) // 2
+    tex = (12.0 * np.sin(yy / 6.0) * np.cos(xx / 7.0)).astype(np.int32)
+    arr = np.clip(
+        np.stack([g + tex, g, 255 - g + tex], axis=-1), 0, 255
+    ).astype(np.uint8)
+    d420 = encode_jpeg(arr, quality=90, subsampling="420")
+    out = decode_jpeg(d420)
+    assert out.shape == arr.shape
+    assert psnr(arr, out) >= 40.0
+    assert len(d420) < len(encode_jpeg(arr, quality=90))
+    # odd dims (not multiples of the 16px MCU)
+    odd = arr[:45, :53]
+    oo = decode_jpeg(encode_jpeg(odd, quality=92, subsampling="420"))
+    assert oo.shape == (45, 53, 3) and psnr(odd, oo) >= 40.0
+    # uniform stays exact through the subsampled path
+    u = np.full((20, 28, 3), 90, dtype=np.uint8)
+    got = sorted(set(decode_jpeg(
+        encode_jpeg(u, quality=90, subsampling="420")
+    ).ravel().tolist()))
+    assert got == [90]
