@@ -3095,8 +3095,9 @@ def jpeg_features_images(spark, sf_dir):
     files, decoded by the pure-NumPy ITU-T T.81 codec (jpeg.py) inside
     the standard Arrow UDF — upgrading the lossy path from the QJPG
     stub to a spec-conformant compressed format with no codec library.
-    Emits ``(image_id, w, h, quality, n_bytes, px_mean, px_min_r,
-    px_max_r, hist_lo, hist_hi)``.
+    ~35% of the corpus is 4:2:0-subsampled (the real-world common
+    case), the rest 4:4:4. Emits ``(image_id, w, h, quality, subsamp,
+    n_bytes, px_mean, px_min_r, px_max_r, hist_lo, hist_hi)``.
 
     Plan shape: identical to the flagship decode stage — map-only, one
     Arrow-batched UDF, bytes never shuffled. Oracle: fixture recompute
@@ -3124,6 +3125,7 @@ def jpeg_features_images(spark, sf_dir):
         F.col("w").cast("long").alias("w"),
         F.col("h").cast("long").alias("h"),
         F.col("quality").cast("long").alias("quality"),
+        "subsamp",
         "n_bytes",
         _rq("px_mean", 4).alias("px_mean"),
         F.col("px_min_r").cast("long").alias("px_min_r"),

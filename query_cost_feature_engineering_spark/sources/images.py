@@ -57,6 +57,12 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
     photograph-like content (gradient + low-frequency sinusoid texture
     — NOT white noise, which no lossy codec preserves at 40 dB), each
     image encoded to baseline JFIF bytes by the pure-NumPy encoder.
+    ~35% of the corpus is encoded 4:2:0 (the sampling nearly all
+    real-world JPEGs use); those images get chroma-smooth content
+    (shared luma texture, low-frequency tints) because 2x2 chroma
+    decimation inherently discards high-frequency chroma — the same
+    reason real photographs survive 4:2:0, and opposing R/B gradients
+    would not clear 40 dB under ANY conforming 4:2:0 codec.
     Returns the ORIGINAL pixel arrays too (``arr_true``, object
     column, dropped before Spark) so the golden can enforce the
     per-image PSNR >= 40 dB fidelity invariant independently."""
@@ -74,21 +80,31 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
         fy = float(rng.uniform(4.0, 9.0))
         fx = float(rng.uniform(4.0, 9.0))
         tex = amp * np.sin(yy / fy) * np.cos(xx / fx)
-        chans = [
-            (g + g2) // 2 + tex,
-            g + tex / 2.0,
-            255 - g2 + tex,
-        ]
+        sub = "420" if rng.random() < 0.35 else "444"
+        if sub == "420":
+            luma = (g + g2) // 2 + tex
+            chans = [
+                luma + 20.0 * np.sin(yy / max(h, 16)),
+                luma,
+                luma + 20.0 * np.cos(xx / max(w, 16)),
+            ]
+        else:
+            chans = [
+                (g + g2) // 2 + tex,
+                g + tex / 2.0,
+                255 - g2 + tex,
+            ]
         arr = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
         q = int(rng.integers(85, 96))
         rows.append(
             {
                 "image_id": f"jpg{i:06d}",
-                "bytes": encode_jpeg(arr, quality=q),
+                "bytes": encode_jpeg(arr, quality=q, subsampling=sub),
                 "w": np.int32(w),
                 "h": np.int32(h),
                 "fmt": "jpeg",
                 "quality": np.int32(q),
+                "subsamp": sub,
                 "arr_true": arr,
             }
         )
