@@ -197,6 +197,16 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart_marker(self, k: int) -> None:
+        """Byte-align with 1-fill bits, then emit RSTn (T.81 B.2.1.2,
+        E.1.4). The fill may complete a 0xFF byte, which ``put``
+        stuffs as FF 00 — decodable as a stuffed data byte; the
+        marker itself is emitted raw (markers are never stuffed)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (k & 7)])
+
 
 class _BitReader:
     """Entropy-segment reader with bulk peek/consume (the shape of the
@@ -227,12 +237,10 @@ class _BitReader:
                 )
                 if nxt == 0x00:
                     self.pos += 2  # stuffed data byte
-                elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError(
-                        "JPEG restart markers (DRI > 0) not supported"
-                    )
                 else:
-                    self.ended = True  # real marker: segment over
+                    # real marker (incl. RSTn): segment over; restart()
+                    # consumes the marker and re-arms the reader
+                    self.ended = True
                     continue
             else:
                 self.pos += 1
@@ -253,6 +261,25 @@ class _BitReader:
         self._fill_to(k)
         self.n -= k
         return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def restart(self, k: int) -> None:
+        """Consume the byte-aligned RSTk marker at a restart boundary
+        (T.81 E.2.4): discard fill bits (everything after the last
+        decoded bit is 1-fill), skip stuffed-fill FF00 pairs and bare
+        FF fill bytes, verify the modulo-8 marker sequence number,
+        re-arm the reader past the marker."""
+        self.acc = 0
+        self.n = 0
+        self.ended = False
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] in (0x00, 0xFF):
+            p += 2 if d[p + 1] == 0x00 else 1
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (k & 7):
+            got = d[p:p + 2].hex() if p + 1 < len(d) else "EOF"
+            raise ValueError(
+                f"expected RST{k & 7} at restart boundary, got {got}"
+            )
+        self.pos = p + 2
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -336,17 +363,25 @@ def _encode_block(bw, zz, prev_dc, dc_tab, ac_tab) -> int:
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K quant
     tables at the given IJG quality, typical Huffman tables).
     ``subsampling``: '444' (full chroma, 1x1 sampling — the default)
     or '420' (2x2 luma sampling with 2x2-box-averaged chroma, the
-    variant nearly all real-world JPEGs use)."""
+    variant nearly all real-world JPEGs use). ``restart_interval``:
+    MCUs between RSTn markers (0 = none); restart markers make the
+    entropy stream independently decodable per interval — what camera
+    firmware emits for error resilience."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError("restart_interval must fit in uint16")
     h, w = arr.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(arr)
@@ -395,6 +430,8 @@ def encode_jpeg(
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    n_mcus = mcus_y * mcus_x
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, (hs, vs) in enumerate(samps):
@@ -406,6 +443,11 @@ def encode_jpeg(
                         prev_dc[ci] = _encode_block(
                             bw, zz, prev_dc[ci], enc_dc[t], enc_ac[t]
                         )
+            m = my * mcus_x + mx + 1
+            if restart_interval and m % restart_interval == 0 and m < n_mcus:
+                bw.restart_marker(rst)
+                rst = (rst + 1) & 7
+                prev_dc = [0, 0, 0]  # DC predictors reset per E.2.4
     scan = bw.flush()
 
     out = bytearray()
@@ -431,6 +473,8 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(
             ">H", 19 + len(vals)
         ) + bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tt])
@@ -442,9 +486,10 @@ def encode_jpeg(
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports the
-    baseline-sequential subset: 8-bit, SOF0, 1x1 sampling (4:4:4) or
-    single-component grayscale, no restart intervals. Progressive
-    (SOF2), arithmetic coding, subsampled chroma and DRI > 0 raise
+    baseline-sequential subset: 8-bit, SOF0, 1x1/2x2 sampling (4:4:4,
+    4:2:0 and the rectangular 4:2:2/4:4:0 variants), single-component
+    grayscale, and restart intervals (DRI/RSTn). Progressive (SOF2),
+    arithmetic coding, and sampling factors > 2 raise
     NotImplementedError — explicitly unsupported, never guessed."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -453,6 +498,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     acs: dict[int, dict] = {}
     sof = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    ri = 0  # restart interval in MCUs (DRI; 0 = none)
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -512,8 +558,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"non-baseline JPEG (SOF marker 0xFF{m:02X})"
             )
         elif m == 0xDD:
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("restart intervals (DRI > 0)")
+            ri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:
             ns = seg[0]
             scan_tabs = []
@@ -522,13 +567,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_tabs.append((cid, tt >> 4, tt & 0xF))
             pos += ln
             return _decode_scan(
-                data, pos, sof, comps, scan_tabs, qts, dcs, acs
+                data, pos, sof, comps, scan_tabs, qts, dcs, acs, ri
             )
         pos += ln
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
+def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs, ri=0):
     if sof is None:
         raise ValueError("SOS before SOF0")
     h, w, nc = sof
@@ -578,6 +623,10 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs):
                             mx * hs + bx
                         )
                         zz_rows[ci][idx] = zz
+            m = my * mcus_x + mx + 1
+            if ri and m % ri == 0 and m < mcus_y * mcus_x:
+                br.restart((m // ri - 1) & 7)
+                prev_dc = [0] * nc  # DC predictors reset per E.2.4
     planes = []
     for ci in range(nc):
         hs, vs = samps[ci]

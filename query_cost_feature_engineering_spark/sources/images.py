@@ -96,10 +96,15 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
             ]
         arr = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
         q = int(rng.integers(85, 96))
+        # ~25% restart-encoded (DRI/RSTn, the camera-firmware shape);
+        # restarts are lossless, so this varies only the byte stream
+        ri = int(rng.integers(1, 5)) if rng.random() < 0.25 else 0
         rows.append(
             {
                 "image_id": f"jpg{i:06d}",
-                "bytes": encode_jpeg(arr, quality=q, subsampling=sub),
+                "bytes": encode_jpeg(
+                    arr, quality=q, subsampling=sub, restart_interval=ri
+                ),
                 "w": np.int32(w),
                 "h": np.int32(h),
                 "fmt": "jpeg",

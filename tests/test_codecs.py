@@ -496,3 +496,43 @@ def test_jpeg_420_subsampling_roundtrip():
         encode_jpeg(u, quality=90, subsampling="420")
     ).ravel().tolist()))
     assert got == [90]
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn (what camera firmware emits): restart-encoded streams
+    decode bit-identically to the no-restart encoding of the same
+    quantized coefficients, across 4:4:4/4:2:0 and odd dims; a
+    wrong-sequence RST marker errors loudly."""
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.meshgrid(np.arange(45), np.arange(53), indexing="ij")
+    g = ((yy * 255) // 44 + (xx * 255) // 52) // 2
+    tex = (10 * np.sin(yy / 5.0) * np.cos(xx / 6.0)).astype(np.int32)
+    arr = np.clip(
+        np.stack([g + tex, g, 255 - g + tex], axis=-1), 0, 255
+    ).astype(np.uint8)
+    for sub, ri in (("444", 1), ("444", 3), ("420", 1), ("420", 2)):
+        base = decode_jpeg(encode_jpeg(arr, quality=90, subsampling=sub))
+        d = encode_jpeg(
+            arr, quality=90, subsampling=sub, restart_interval=ri
+        )
+        assert any(
+            d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7
+            for i in range(2, len(d) - 1)
+        )
+        assert np.array_equal(decode_jpeg(d), base)
+    # wrong RST sequence number must raise, not desync silently
+    d = encode_jpeg(
+        np.full((32, 32, 3), 100, np.uint8), restart_interval=1
+    )
+    b = bytearray(d)
+    i = b.find(b"\xff\xd0")
+    b[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart boundary"):
+        decode_jpeg(bytes(b))
