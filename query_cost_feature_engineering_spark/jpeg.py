@@ -370,26 +370,28 @@ def encode_jpeg(
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K quant
     tables at the given IJG quality, typical Huffman tables).
-    ``subsampling``: '444' (full chroma, 1x1 sampling — the default)
-    or '420' (2x2 luma sampling with 2x2-box-averaged chroma, the
-    variant nearly all real-world JPEGs use). ``restart_interval``:
+    ``subsampling``: '444' (full chroma, 1x1 sampling — the default),
+    '420' (2x2 luma sampling with 2x2-box-averaged chroma, the
+    variant nearly all real-world JPEGs use), or '422' (2x1 —
+    horizontal-only chroma decimation, the broadcast/video-frame
+    convention). ``restart_interval``:
     MCUs between RSTn markers (0 = none); restart markers make the
     entropy stream independently decodable per interval — what camera
     firmware emits for error resilience."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     if not (0 <= restart_interval <= 0xFFFF):
         raise ValueError("restart_interval must fit in uint16")
     h, w = arr.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(arr)
-    samps = (
-        [(1, 1), (1, 1), (1, 1)]
-        if subsampling == "444"
-        else [(2, 2), (1, 1), (1, 1)]
-    )
+    samps = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }[subsampling]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcus_x = -(-w // (8 * hmax))

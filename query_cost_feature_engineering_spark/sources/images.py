@@ -58,7 +58,8 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
     — NOT white noise, which no lossy codec preserves at 40 dB), each
     image encoded to baseline JFIF bytes by the pure-NumPy encoder.
     ~35% of the corpus is encoded 4:2:0 (the sampling nearly all
-    real-world JPEGs use); those images get chroma-smooth content
+    real-world JPEGs use) and ~10% 4:2:2 (the broadcast/video-frame
+    convention); subsampled images get chroma-smooth content
     (shared luma texture, low-frequency tints) because 2x2 chroma
     decimation inherently discards high-frequency chroma — the same
     reason real photographs survive 4:2:0, and opposing R/B gradients
@@ -80,8 +81,9 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
         fy = float(rng.uniform(4.0, 9.0))
         fx = float(rng.uniform(4.0, 9.0))
         tex = amp * np.sin(yy / fy) * np.cos(xx / fx)
-        sub = "420" if rng.random() < 0.35 else "444"
-        if sub == "420":
+        u = rng.random()
+        sub = "420" if u < 0.35 else ("422" if u < 0.45 else "444")
+        if sub != "444":
             luma = (g + g2) // 2 + tex
             chans = [
                 luma + 20.0 * np.sin(yy / max(h, 16)),

@@ -536,3 +536,36 @@ def test_jpeg_restart_markers_roundtrip():
     b[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart boundary"):
         decode_jpeg(bytes(b))
+
+
+def test_jpeg_422_subsampling_roundtrip():
+    """4:2:2 (horizontal-only chroma decimation, the broadcast/video
+    convention): 2x1 sampling roundtrips at PSNR >= 40 dB on
+    chroma-smooth content, odd dims crop exactly."""
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        psnr,
+    )
+
+    yy, xx = np.meshgrid(np.arange(45), np.arange(53), indexing="ij")
+    g = ((yy * 255) // 44 + (xx * 255) // 52) // 2
+    tex = (10 * np.sin(yy / 5.0) * np.cos(xx / 6.0)).astype(np.int32)
+    luma = g + tex
+    arr = np.clip(
+        np.stack(
+            [
+                luma + 15.0 * np.sin(yy / 45.0),
+                luma,
+                luma + 15.0 * np.cos(xx / 53.0),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="422"))
+    assert out.shape == (45, 53, 3)
+    assert psnr(arr, out) >= 40.0
