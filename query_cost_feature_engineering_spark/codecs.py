@@ -556,6 +556,284 @@ def decode_avi(data: bytes) -> np.ndarray:
     return out
 
 
+# --- MP4 / ISO base media file format (ISO/IEC 14496-12) ------------------
+#
+# A real BMFF writer/reader for the one video codec this repo can decode
+# without a codec library: Motion-JPEG ('jpeg' VisualSampleEntry — the
+# QuickTime photo-JPEG convention, each sample a complete baseline JPEG).
+# The reader walks ftyp/moov/trak/mdia/minf/stbl and reconstructs sample
+# file offsets from the real stsc/stsz/stco (or co64) tables, so any
+# conforming muxer layout decodes, not just this writer's. AVC/HEVC/VP9/
+# AV1 sample entries raise NotImplementedError by codec name.
+
+
+def _bmff_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _bmff_full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _bmff_box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_BMFF_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_mjpeg(
+    frames: np.ndarray, fps: int = 10, quality: int = 90
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → ISO BMFF .mp4 with a 'jpeg'
+    video track (one REAL baseline JPEG per sample, T.81 via
+    jpeg.encode_jpeg). Layout: ftyp | mdat | moov, one sample per
+    chunk, explicit stts/stsc/stsz/stco."""
+    from query_cost_feature_engineering_spark.jpeg import encode_jpeg
+
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_mp4_mjpeg expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    ftyp = _bmff_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41"
+    )
+    mdat_payload = b"".join(payloads)
+    # sample offsets are absolute file offsets: ftyp | mdat header | data
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for p in payloads:
+        offsets.append(off)
+        off += len(p)
+
+    timescale, duration = max(fps, 1), n
+
+    # stbl ---------------------------------------------------------------
+    compressor = b"\x0bphoto JPEG" + b"\x00" * 21  # 32-byte Pascal string
+    sample_entry = _bmff_box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)       # reserved + dref index
+        + b"\x00" * 16                            # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">IH", 0, 1)                # reserved + frame_count
+        + compressor
+        + struct.pack(">Hh", 24, -1),             # depth + pre_defined
+    )
+    stsd = _bmff_full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _bmff_full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _bmff_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _bmff_full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = _bmff_full(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _bmff_box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    # minf/mdia/trak/moov ------------------------------------------------
+    vmhd = _bmff_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _bmff_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _bmff_full(b"url ", 0, 1, b"")
+    )
+    dinf = _bmff_box(b"dinf", dref)
+    minf = _bmff_box(b"minf", vmhd + dinf + stbl)
+    mdhd = _bmff_full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _bmff_full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _bmff_full(
+        b"tkhd",
+        0,
+        3,  # enabled | in_movie
+        struct.pack(">IIII", 0, 0, 1, 0)          # times, track_ID, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)        # layer/group/volume
+        + _BMFF_UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),   # 16.16 fixed
+    )
+    trak = _bmff_box(b"trak", tkhd + mdia)
+    mvhd = _bmff_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate/volume
+        + b"\x00" * 8
+        + _BMFF_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),                   # next_track_ID
+    )
+    moov = _bmff_box(b"moov", mvhd + trak)
+    return ftyp + _bmff_box(b"mdat", mdat_payload) + moov
+
+
+def _bmff_walk(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) over a run of boxes,
+    honoring 64-bit largesize and size==0 (extends to end)."""
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed BMFF box {tag!r} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _bmff_find(data: bytes, pos: int, end: int, tag: bytes):
+    for t, b, e in _bmff_walk(data, pos, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+_BMFF_KNOWN_CODECS = {
+    b"avc1": "H.264/AVC",
+    b"avc3": "H.264/AVC",
+    b"hvc1": "H.265/HEVC",
+    b"hev1": "H.265/HEVC",
+    b"mp4v": "MPEG-4 Part 2",
+    b"vp09": "VP9",
+    b"av01": "AV1",
+}
+
+
+def decode_mp4(data: bytes) -> np.ndarray:
+    """ISO BMFF .mp4 → (n, h, w, 3) uint8 RGB frames for 'jpeg'
+    (Motion-JPEG / photo-JPEG) video tracks. Real container walk:
+    moov → trak (hdlr='vide') → stbl, samples located through the
+    actual stsc chunk-run mapping + stsz sizes + stco/co64 offsets —
+    any conforming muxer layout decodes. AVC/HEVC/VP9/AV1 and other
+    codec fourccs raise NotImplementedError by name; files with no
+    video track raise ValueError."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF/mp4 payload (no ftyp)")
+    moov = _bmff_find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4 missing moov")
+    seen_codecs: list[bytes] = []
+    for t, b, e in _bmff_walk(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _bmff_find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _bmff_find(data, mdia[0], mdia[1], b"minf")
+        stbl = minf and _bmff_find(data, minf[0], minf[1], b"stbl")
+        if not stbl:
+            continue
+        sb, se = stbl
+        stsd = _bmff_find(data, sb, se, b"stsd")
+        if stsd is None:
+            continue
+        # first sample entry: [full-box header(4)][count(4)][entry box]
+        entry_pos = stsd[0] + 8
+        fourcc = data[entry_pos + 4:entry_pos + 8]
+        if fourcc != b"jpeg":
+            seen_codecs.append(fourcc)
+            continue
+        return _bmff_jpeg_samples(data, sb, se)
+    if seen_codecs:
+        names = ", ".join(
+            _BMFF_KNOWN_CODECS.get(c, repr(c)) for c in seen_codecs
+        )
+        raise NotImplementedError(
+            f"mp4 video codec(s) {names} need a codec library "
+            "(only 'jpeg'/Motion-JPEG tracks decode here)"
+        )
+    raise ValueError("mp4 has no video track")
+
+
+def _bmff_jpeg_samples(data: bytes, sb: int, se: int) -> np.ndarray:
+    """Reconstruct per-sample file offsets from stsc/stsz/stco|co64
+    and decode each sample as a baseline JPEG."""
+    from query_cost_feature_engineering_spark.jpeg import decode_jpeg
+
+    stsz = _bmff_find(data, sb, se, b"stsz")
+    stsc = _bmff_find(data, sb, se, b"stsc")
+    stco = _bmff_find(data, sb, se, b"stco")
+    longco = False
+    if stco is None:
+        stco = _bmff_find(data, sb, se, b"co64")
+        longco = True
+    if stsz is None or stsc is None or stco is None:
+        raise ValueError("mp4 stbl missing stsz/stsc/stco")
+
+    uniform, count = struct.unpack(">II", data[stsz[0] + 4:stsz[0] + 12])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(
+            struct.unpack(
+                f">{count}I", data[stsz[0] + 12:stsz[0] + 12 + 4 * count]
+            )
+        )
+    n_chunks = struct.unpack(">I", data[stco[0] + 4:stco[0] + 8])[0]
+    fmt, step = (">Q", 8) if longco else (">I", 4)
+    chunk_offs = [
+        struct.unpack(
+            fmt, data[stco[0] + 8 + i * step:stco[0] + 8 + (i + 1) * step]
+        )[0]
+        for i in range(n_chunks)
+    ]
+    n_runs = struct.unpack(">I", data[stsc[0] + 4:stsc[0] + 8])[0]
+    runs = [
+        struct.unpack(
+            ">III", data[stsc[0] + 8 + i * 12:stsc[0] + 20 + i * 12]
+        )
+        for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_index)
+
+    frames = []
+    si = 0
+    for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for ci in range(first - 1, last):
+            off = chunk_offs[ci]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                frames.append(
+                    decode_jpeg(bytes(data[off:off + sizes[si]]))
+                )
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"mp4 chunk map covers {si} samples, stsz declares {len(sizes)}"
+        )
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"mp4 jpeg samples disagree on shape: {shapes}")
+    return np.stack(frames)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:

@@ -85,15 +85,22 @@ def _decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_video(data: bytes) -> np.ndarray:
     """(n, h, w, 3) uint8 RGB frames from any supported video payload:
-    REAL uncompressed-DIB AVI (pure-stdlib RIFF parser,
-    ``codecs.decode_avi``) or the FVID luma stub (expanded to 3
-    channels, so downstream means/encodes are format-independent).
-    Compressed video (H.264/MJPEG/mp4) still raises — that genuinely
-    needs a codec library, probed via the PyAV import above."""
-    from query_cost_feature_engineering_spark.codecs import decode_avi
+    REAL AVI (uncompressed-DIB or Motion-JPEG, pure-stdlib RIFF parser
+    ``codecs.decode_avi``), REAL ISO-BMFF .mp4 with a 'jpeg' video
+    track (``codecs.decode_mp4``), or the FVID luma stub (expanded to
+    3 channels, so downstream means/encodes are format-independent).
+    H.264/HEVC/VP9/AV1 payloads raise NotImplementedError by codec
+    name — those genuinely need a codec library, probed via the PyAV
+    import above."""
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_avi,
+        decode_mp4,
+    )
 
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi(bytes(data))
+    if data[4:8] == b"ftyp":
+        return decode_mp4(bytes(data))
     luma = _decode_fake_video(data)
     return np.repeat(luma[..., None], 3, axis=3)
 
@@ -129,10 +136,13 @@ _MAGIC = [
 
 def _sniff_head(head: bytes) -> str:
     """Format from the first 12 payload bytes (RIFF needs the form type
-    at offset 8 to split wav vs avi)."""
+    at offset 8 to split wav vs avi; ISO BMFF is recognized by 'ftyp'
+    at offset 4 — the box TYPE, not a file prefix)."""
     if head.startswith(b"RIFF"):
         form = head[8:12]
         return {b"WAVE": "wav", b"AVI ": "avi"}.get(form, "riff")
+    if head[4:8] == b"ftyp":
+        return "mp4"
     for sig, name in _MAGIC:
         if head.startswith(sig):
             return name

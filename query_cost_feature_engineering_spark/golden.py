@@ -282,6 +282,8 @@ _SNIFF_ORACLE_MAGIC = [
 def _sniff_oracle(head: bytes) -> str:
     if head[:4] == b"RIFF":
         return {b"WAVE": "wav", b"AVI ": "avi"}.get(head[8:12], "riff")
+    if head[4:8] == b"ftyp":  # ISO BMFF: box type at offset 4, per spec
+        return "mp4"
     for sig, name in _SNIFF_ORACLE_MAGIC:
         if head[: len(sig)] == sig:
             return name

@@ -17,17 +17,19 @@ from query_cost_feature_engineering_spark.functions.multimodal import (
 
 
 def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
-    """Mixed-format clip table, three REAL dispatch paths per query
+    """Mixed-format clip table, four REAL dispatch paths per query
     run: clips cycle uncompressed-DIB AVI (``codecs.encode_avi_dib``),
-    the FVID luma stub, and — round 5 — Motion-JPEG AVI
-    (``codecs.encode_avi_mjpeg``: genuinely compressed frames via the
-    pure-NumPy T.81 codec), all through one magic-byte + fourcc
-    dispatch (``functions.multimodal.decode_video``). MJPG frames use
-    smooth content (gradient + per-frame offset), not noise — lossy
-    codecs only owe fidelity on photograph-like signals."""
+    the FVID luma stub, Motion-JPEG AVI (``codecs.encode_avi_mjpeg``:
+    genuinely compressed frames via the pure-NumPy T.81 codec), and —
+    round 5 — ISO-BMFF .mp4 with a 'jpeg' video track
+    (``codecs.encode_mp4_mjpeg``), all through one magic-byte + fourcc
+    dispatch (``functions.multimodal.decode_video``). MJPG/mp4 frames
+    use smooth content (gradient + per-frame offset), not noise —
+    lossy codecs only owe fidelity on photograph-like signals."""
     from query_cost_feature_engineering_spark.codecs import (
         encode_avi_dib,
         encode_avi_mjpeg,
+        encode_mp4_mjpeg,
     )
 
     rng = np.random.default_rng(seed)
@@ -36,11 +38,11 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
         nf = int(rng.integers(8, 40))
         h = int(rng.choice([16, 24, 32]))
         w = int(rng.choice([16, 24, 32]))
-        kind = ("avi", "fvid", "mjpg")[i % 3]
+        kind = ("avi", "fvid", "mjpg", "mp4")[i % 4]
         if kind == "avi":
             frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
             data = encode_avi_dib(frames)
-        elif kind == "mjpg":
+        elif kind in ("mjpg", "mp4"):
             yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
             g = (yy * 255) // max(h - 1, 1)
             g2 = (xx * 255) // max(w - 1, 1)
@@ -55,7 +57,10 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
                     for o in offs
                 ]
             )
-            data = encode_avi_mjpeg(frames, quality=92)
+            if kind == "mjpg":
+                data = encode_avi_mjpeg(frames, quality=92)
+            else:
+                data = encode_mp4_mjpeg(frames, quality=92)
         else:
             frames = rng.integers(0, 256, size=(nf, h, w)).astype(np.uint8)
             data = encode_fake_video(frames)

@@ -569,3 +569,82 @@ def test_jpeg_422_subsampling_roundtrip():
     out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="422"))
     assert out.shape == (45, 53, 3)
     assert psnr(arr, out) >= 40.0
+
+
+def test_mp4_mjpeg_roundtrip_and_stsc_layouts():
+    """ISO-BMFF mp4 with a 'jpeg' video track: encode/decode
+    roundtrip at PSNR >= 40 dB; the decoder reconstructs sample
+    offsets from the REAL stsc/stsz/stco tables, proven by re-muxing
+    the same mdat into a 2-samples-per-chunk layout (fewer chunks,
+    same bytes) and getting identical frames; AVC tracks and
+    non-BMFF payloads refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_mp4,
+        encode_mp4_mjpeg,
+        psnr,
+    )
+
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    g = (yy * 255) // 23
+    g2 = (xx * 255) // 31
+    frames = np.stack(
+        [
+            np.clip(
+                np.stack([g + o, g2, (g + g2) // 2], axis=-1), 0, 255
+            ).astype(np.uint8)
+            for o in (0, 15, 30, 45, 60, 75)
+        ]
+    )
+    d = encode_mp4_mjpeg(frames, fps=10, quality=92)
+    out = decode_mp4(d)
+    assert out.shape == frames.shape
+    assert min(psnr(frames[i], out[i]) for i in range(len(frames))) >= 40.0
+
+    # --- re-mux: 2 samples per chunk, mdat untouched -------------------
+    def patch_box(buf, tag, new_payload):
+        i = buf.find(tag)
+        assert i >= 4
+        old_len = struct.unpack(">I", buf[i - 4:i])[0]
+        start, end = i - 4, i - 4 + old_len
+        rebuilt = struct.pack(">I", 8 + len(new_payload)) + tag + new_payload
+        return buf[:start] + rebuilt + buf[end:], old_len - len(rebuilt)
+
+    b = bytes(d)
+    i = b.find(b"stsz")
+    n = struct.unpack(">I", b[i + 12:i + 16])[0]
+    sizes = struct.unpack(f">{n}I", b[i + 16:i + 16 + 4 * n])
+    i = b.find(b"stco")
+    offs = struct.unpack(f">{n}I", b[i + 12:i + 12 + 4 * n])
+    # chunk offsets = every other sample offset (samples are contiguous)
+    pair_offs = [offs[k] for k in range(0, n, 2)]
+    new_stco = struct.pack(">II", 0, len(pair_offs)) + b"".join(
+        struct.pack(">I", o) for o in pair_offs
+    )
+    new_stsc = struct.pack(">II", 0, 1) + struct.pack(">III", 1, 2, 1)
+    b, _ = patch_box(b, b"stco", new_stco)
+    b, _ = patch_box(b, b"stsc", new_stsc)
+    # moov sits after mdat, so shrinking it leaves sample offsets valid;
+    # fix the enclosing box lengths (moov/trak/mdia/minf/stbl)
+    for outer in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = b.find(outer)
+        inner_end = len(b)
+        b = (
+            b[: j - 4]
+            + struct.pack(">I", inner_end - (j - 4))
+            + b[j:]
+        )
+    np.testing.assert_array_equal(decode_mp4(b), out)
+
+    # --- refusals ------------------------------------------------------
+    raw = bytearray(d)
+    k = raw.find(b"jpeg", raw.find(b"stsd"))
+    raw[k:k + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="H.264"):
+        decode_mp4(bytes(raw))
+    with pytest.raises(ValueError, match="ftyp"):
+        decode_mp4(b"\x00\x00\x00\x08free")
