@@ -308,14 +308,105 @@ def _decode_adpcm(
     return out[:oi]
 
 
+# G.711 μ-law / A-law (WAV format tags 7 / 6) — the REAL telephony
+# companding codecs, in pure NumPy. The formulas are public (ITU-T
+# Rec. G.711; the segmented 16-bit approximation follows the classic
+# public-domain Sun Microsystems g711.c, which is also the code
+# CPython's `audioop` module ships — the conformance tests sweep all
+# 65,536 encoder inputs and all 256 decoder bytes against it).
+# 8 bits/sample → exactly 2:1 over PCM16, memoryless (no inter-sample
+# state), so decode is a pure 256-entry table lookup.
+_G711_SEG_U = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int32
+)
+_G711_SEG_A = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 array → μ-law uint8 array (vectorized; Sun-g711 14-bit
+    pipeline: arithmetic >>2 BEFORE taking the magnitude, clip 8159,
+    bias 33, 8 segments, complemented output)."""
+    x = pcm.astype(np.int32) >> 2
+    neg = x < 0
+    x = np.minimum(np.where(neg, -x, x), 8159) + (0x84 >> 2)
+    seg = np.searchsorted(_G711_SEG_U, x).astype(np.int32)
+    u = np.where(seg >= 8, 0x7F, (seg << 4) | ((x >> (seg + 1)) & 0xF))
+    return ((u ^ np.where(neg, 0x7F, 0xFF)) & 0xFF).astype(np.uint8)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 array → A-law uint8 array (vectorized; input pre-shifted
+    right 3 bits per the reference, even-bit 0x55 inversion)."""
+    x = pcm.astype(np.int32) >> 3
+    neg = x < 0
+    x = np.where(neg, -x - 1, x)
+    seg = np.searchsorted(_G711_SEG_A, x).astype(np.int32)
+    mant = np.where(seg < 2, x >> 1, x >> np.minimum(seg, 7)) & 0xF
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | mant)
+    return ((aval ^ np.where(neg, 0x55, 0xD5)) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_decode_scalar(u: int) -> int:
+    u = ~u & 0xFF
+    t = (((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_decode_scalar(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0xF) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_LUT = np.array([_ulaw_decode_scalar(i) for i in range(256)], dtype=np.int16)
+_ALAW_LUT = np.array([_alaw_decode_scalar(i) for i in range(256)], dtype=np.int16)
+
+
+def encode_wav_g711(
+    pcm: np.ndarray, rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """(n,) or (n, ch) int16 PCM → G.711 WAV (format tag 7 = μ-law,
+    6 = A-law; 8 bits/sample; 18-byte fmt with cbSize=0 and a `fact`
+    chunk, as WAVEFORMATEX requires for non-PCM formats)."""
+    if pcm.dtype != np.int16:
+        raise ValueError("encode_wav_g711 expects int16 samples")
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    enc = ulaw_encode if law == "ulaw" else alaw_encode
+    data = enc(pcm).tobytes()  # row-major = interleaved channels
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, ch, rate, rate * ch, ch, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAVE uncompressed PCM16 → ((frames, channels) int16, rate).
 
     A real chunk walk: unknown chunks (LIST, cue, ...) are skipped by
     their declared size (+ the RIFF odd-length pad byte), so WAVs with
     metadata parse correctly. Supports audio format 1 (PCM16) and —
-    round 5, via the pure-NumPy IMA codec above — format 17 (IMA/DVI
-    ADPCM mono, 4 bits/sample, sample count from the `fact` chunk).
+    round 5, via the pure-NumPy codecs above — format 17 (IMA/DVI
+    ADPCM mono, 4 bits/sample, sample count from the `fact` chunk) and
+    formats 7/6 (G.711 μ-law/A-law, 8 bits/sample, table decode).
     Other compressed formats (MP3/AAC in WAV) genuinely need a codec
     library and raise."""
     if data[:4] != WAV_RIFF or data[8:12] != b"WAVE":
@@ -346,9 +437,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("IMA ADPCM WAV missing fact chunk")
         pcm = _decode_adpcm(pcm_bytes, int(block_align), int(fact_samples))
         return pcm[:, None], int(rate)
+    if audio_fmt in (6, 7) and bits == 8:
+        lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+        raw = np.frombuffer(pcm_bytes, dtype=np.uint8)
+        if fact_samples is not None:
+            raw = raw[: fact_samples * ch]
+        n = len(raw) // ch
+        return lut[raw[: n * ch]].reshape(n, ch), int(rate)
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM16 or IMA-ADPCM WAV is supported "
+            f"only PCM16, IMA-ADPCM, or G.711 WAV is supported "
             f"(format={audio_fmt}, bits={bits})"
         )
     n = len(pcm_bytes) // (2 * ch)

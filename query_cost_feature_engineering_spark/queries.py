@@ -3220,10 +3220,12 @@ def video_frame_dedup(spark, sf_dir):
 
 
 def audio_features_clips(spark, sf_dir):
-    """PCM stats per clip over a MIXED corpus: even clips are real
-    RIFF/PCM16 WAV decoded by the pure-stdlib codec (codecs.decode_wav —
-    no external library), odd clips the FAUD stub container; one pandas
-    UDF dispatches on magic bytes (functions/multimodal.decode_audio)."""
+    """PCM stats per clip over a MIXED corpus cycling five formats —
+    real RIFF/PCM16 WAV, the FAUD stub container, IMA ADPCM (4-bit
+    compressed), and G.711 μ-law/A-law (8-bit companded telephony) —
+    all decoded by the pure-NumPy codecs (codecs.decode_wav, no
+    external library); one pandas UDF dispatches on magic bytes +
+    WAV format tag (functions/multimodal.decode_audio)."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
         with_audio_features,
     )

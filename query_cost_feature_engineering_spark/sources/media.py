@@ -126,16 +126,21 @@ def generate_static_videos_pandas(n: int, seed: int = 54) -> pd.DataFrame:
 
 
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
-    """Mixed-format clip table, three REAL dispatch paths per query
+    """Mixed-format clip table, five REAL dispatch paths per query
     run: clips cycle RIFF/PCM16 WAV (``codecs.encode_wav_pcm16``), the
-    FAUD stub container, and — round 5 — IMA ADPCM WAV
-    (``codecs.encode_wav_adpcm``: genuinely compressed 4-bit audio,
-    format tag 17), all through one magic-byte + format-tag dispatch
+    FAUD stub container, IMA ADPCM WAV (``codecs.encode_wav_adpcm``:
+    genuinely compressed 4-bit audio, format tag 17), and — round 5 —
+    G.711 μ-law and A-law WAV (``codecs.encode_wav_g711``: the real
+    telephony companding codecs, tags 7/6, audioop-conformance-swept),
+    all through one magic-byte + format-tag dispatch
     (``functions.multimodal.decode_audio``). ADPCM clips carry smooth
     band-limited content (summed sines), not white noise — a 4-bit
-    predictive codec only owes fidelity on audio-like signals."""
+    predictive codec only owes fidelity on audio-like signals; G.711
+    is memoryless so its clips keep the noise content (8 kHz rate,
+    per telephony convention)."""
     from query_cost_feature_engineering_spark.codecs import (
         encode_wav_adpcm,
+        encode_wav_g711,
         encode_wav_pcm16,
     )
 
@@ -143,7 +148,7 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
     rows = []
     for i in range(n):
         ns = int(rng.integers(1600, 48000))
-        kind = ("wav", "faud", "adpcm")[i % 3]
+        kind = ("wav", "faud", "adpcm", "ulaw", "alaw")[i % 5]
         if kind == "adpcm":
             t = np.arange(ns) / 16000.0
             f1, f2 = rng.uniform(80, 400), rng.uniform(400, 2000)
@@ -152,6 +157,9 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
             )
             pcm = sig.astype(np.int16)
             data = encode_wav_adpcm(pcm, rate=16000)
+        elif kind in ("ulaw", "alaw"):
+            pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+            data = encode_wav_g711(pcm, rate=8000, law=kind)
         else:
             pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
             data = (

@@ -648,3 +648,120 @@ def test_mp4_mjpeg_roundtrip_and_stsc_layouts():
         decode_mp4(bytes(raw))
     with pytest.raises(ValueError, match="ftyp"):
         decode_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_g711_audioop_conformance_and_roundtrip():
+    """G.711 μ-law/A-law (WAV tags 7/6): encoder swept over ALL 65,536
+    int16 inputs and decoder over all 256 bytes against CPython's
+    audioop (an independent build of the public Sun g711.c reference);
+    pinned literal vectors keep the check alive if audioop disappears
+    (removed in Python 3.13); WAV roundtrip SNR >= 30 dB, stereo
+    interleave, dispatch via decode_audio, 2:1 size."""
+    import numpy as np
+    import pytest
+
+    from query_cost_feature_engineering_spark.codecs import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        alaw_encode,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_encode,
+    )
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+    )
+
+    # audioop-independent pinned vectors (generated once FROM audioop)
+    vecs = [  # (pcm, ulaw_byte, alaw_byte, ulaw_dec, alaw_dec)
+        (-32768, 0x00, 0x2A, -32124, -32256),
+        (-12345, 0x17, 0x3D, -12412, -12544),
+        (-1, 0x7E, 0x55, -8, -8),
+        (0, 0xFF, 0xD5, 0, 8),
+        (77, 0xF5, 0xD1, 80, 72),
+        (500, 0xDC, 0xCA, 492, 504),
+        (8159, 0x9F, 0x8A, 8316, 8064),
+        (32767, 0x80, 0xAA, 32124, 32256),
+    ]
+    for v, ub, ab, ud, ad in vecs:
+        a = np.array([v], dtype=np.int16)
+        assert int(ulaw_encode(a)[0]) == ub and int(alaw_encode(a)[0]) == ab
+        assert int(_ULAW_LUT[ub]) == ud and int(_ALAW_LUT[ab]) == ad
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:  # exhaustive independent conformance
+        all16 = np.arange(-32768, 32768, dtype=np.int16)
+        assert np.array_equal(
+            ulaw_encode(all16),
+            np.frombuffer(audioop.lin2ulaw(all16.tobytes(), 2), np.uint8),
+        )
+        assert np.array_equal(
+            alaw_encode(all16),
+            np.frombuffer(audioop.lin2alaw(all16.tobytes(), 2), np.uint8),
+        )
+        allb = bytes(range(256))
+        assert np.array_equal(
+            _ULAW_LUT, np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+        )
+        assert np.array_equal(
+            _ALAW_LUT, np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+        )
+
+    t = np.arange(16000) / 8000.0
+    sig = (20000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        data = encode_wav_g711(sig, rate=8000, law=law)
+        dec, rate = decode_wav(data)
+        assert rate == 8000 and dec.shape == (16000, 1)
+        err = (dec[:, 0].astype(np.float64) - sig).astype(np.float64)
+        snr = 10 * np.log10(
+            float((sig.astype(np.float64) ** 2).mean()) / float((err**2).mean())
+        )
+        assert snr >= 30.0
+        assert len(data) < len(sig) * 2 * 0.55  # real 2:1 compression
+        got, _ = decode_audio(data)  # magic-byte dispatch path
+        assert got.shape[0] == 16000
+    # stereo interleave roundtrips per channel
+    st = np.stack([sig[:257], (-sig[:257]).astype(np.int16)], axis=1)
+    d2, _ = decode_wav(encode_wav_g711(st.astype(np.int16), 8000, "alaw"))
+    assert d2.shape == (257, 2)
+    exp = _ALAW_LUT[alaw_encode(st.astype(np.int16))]
+    assert np.array_equal(d2, exp)
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(sig, 8000, law="mp3")
+
+
+def test_audio_corpus_cycles_five_formats():
+    """generate_audio_pandas cycles wav/faud/adpcm/ulaw/alaw; every
+    clip decodes through the single dispatch with the declared sample
+    count, and each WAV variant carries its distinct format tag."""
+    import struct
+
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        decode_audio,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_pandas,
+    )
+
+    df = generate_audio_pandas(20, seed=53)
+    assert sorted(df["fmt"].unique()) == ["adpcm", "alaw", "faud", "ulaw", "wav"]
+    tags = {"wav": 1, "adpcm": 17, "ulaw": 7, "alaw": 6}
+    for _, r in df.iterrows():
+        pcm, rate = decode_audio(bytes(r["bytes"]))
+        assert pcm.shape[0] == r["n_samples_true"]
+        assert rate == (8000 if r["fmt"] in ("ulaw", "alaw") else 16000)
+        if r["fmt"] in tags:
+            b = bytes(r["bytes"])
+            i = b.index(b"fmt ") + 8
+            (tag,) = struct.unpack_from("<H", b, i)
+            assert tag == tags[r["fmt"]]
