@@ -107,18 +107,27 @@ def decode_video(data: bytes) -> np.ndarray:
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Mono (n,) int16 PCM + rate from any supported audio payload:
-    REAL RIFF/PCM16 WAV (pure-stdlib parser, ``codecs.decode_wav``) or
-    the FAUD stub container. Multichannel WAV yields channel 0 (features
-    are per-clip scalars; channel choice is deterministic). Compressed
-    formats (mp3/ogg/m4a) still raise — those genuinely need a codec
-    library, probed via the soundfile import above."""
+    REAL RIFF/WAVE (pure-NumPy codecs for PCM16 / IMA ADPCM / G.711,
+    ``codecs.decode_wav``), REAL FLAC (lossless Rice-coded frames,
+    ``flac.decode_flac``), or the FAUD stub container. Multichannel
+    payloads yield channel 0 (features are per-clip scalars; channel
+    choice is deterministic). Remaining compressed formats (mp3/ogg/
+    m4a) still raise — those genuinely need a codec library, probed
+    via the soundfile import above."""
     from query_cost_feature_engineering_spark.codecs import (
         WAV_RIFF,
         decode_wav,
     )
+    from query_cost_feature_engineering_spark.flac import (
+        FLAC_MAGIC,
+        decode_flac,
+    )
 
     if data[:4] == WAV_RIFF:
         pcm, rate = decode_wav(bytes(data))
+        return pcm[:, 0], rate
+    if data[:4] == FLAC_MAGIC:
+        pcm, rate = decode_flac(bytes(data))
         return pcm[:, 0], rate
     return _decode_fake_audio(data)
 
@@ -131,6 +140,7 @@ _MAGIC = [
     (b"QJPG", "jpeg"),  # our deterministic lossy stub container
     (FVID_SIG, "fvid"),
     (FAUD_SIG, "faud"),
+    (b"fLaC", "flac"),
 ]
 
 

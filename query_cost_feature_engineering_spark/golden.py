@@ -276,6 +276,7 @@ _SNIFF_ORACLE_MAGIC = [
     (b"QJPG", "jpeg"),
     (b"FVID", "fvid"),
     (b"FAUD", "faud"),
+    (b"fLaC", "flac"),
 ]
 
 

@@ -126,37 +126,46 @@ def generate_static_videos_pandas(n: int, seed: int = 54) -> pd.DataFrame:
 
 
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
-    """Mixed-format clip table, five REAL dispatch paths per query
+    """Mixed-format clip table, six REAL dispatch paths per query
     run: clips cycle RIFF/PCM16 WAV (``codecs.encode_wav_pcm16``), the
     FAUD stub container, IMA ADPCM WAV (``codecs.encode_wav_adpcm``:
     genuinely compressed 4-bit audio, format tag 17), and — round 5 —
     G.711 μ-law and A-law WAV (``codecs.encode_wav_g711``: the real
-    telephony companding codecs, tags 7/6, audioop-conformance-swept),
-    all through one magic-byte + format-tag dispatch
-    (``functions.multimodal.decode_audio``). ADPCM clips carry smooth
-    band-limited content (summed sines), not white noise — a 4-bit
-    predictive codec only owes fidelity on audio-like signals; G.711
-    is memoryless so its clips keep the noise content (8 kHz rate,
-    per telephony convention)."""
+    telephony companding codecs, tags 7/6, audioop-conformance-swept)
+    plus FLAC (``flac.encode_flac``: real lossless Rice-coded frames,
+    CRC-8/CRC-16/MD5-verified), all through one magic-byte +
+    format-tag dispatch (``functions.multimodal.decode_audio``).
+    ADPCM and FLAC clips carry smooth band-limited content (summed
+    sines) — a predictive codec only owes fidelity (ADPCM) or
+    compression (FLAC) on audio-like signals; G.711 is memoryless so
+    its clips keep the noise content (8 kHz rate, per telephony
+    convention)."""
     from query_cost_feature_engineering_spark.codecs import (
         encode_wav_adpcm,
         encode_wav_g711,
         encode_wav_pcm16,
     )
+    from query_cost_feature_engineering_spark.flac import encode_flac
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         ns = int(rng.integers(1600, 48000))
-        kind = ("wav", "faud", "adpcm", "ulaw", "alaw")[i % 5]
-        if kind == "adpcm":
+        kind = ("wav", "faud", "adpcm", "ulaw", "alaw", "flac")[i % 6]
+        if kind in ("adpcm", "flac"):
             t = np.arange(ns) / 16000.0
             f1, f2 = rng.uniform(80, 400), rng.uniform(400, 2000)
             sig = 9000 * np.sin(2 * np.pi * f1 * t) + 3000 * np.sin(
                 2 * np.pi * f2 * t
             )
             pcm = sig.astype(np.int16)
-            data = encode_wav_adpcm(pcm, rate=16000)
+            if kind == "flac":
+                # stereo: slightly decorrelated channels exercise the
+                # auto mid-side decision + stereo decode in the UDF path
+                st = np.stack([pcm, (pcm // 2)], axis=1).astype(np.int16)
+                data = encode_flac(st, rate=16000, stereo_mode="auto")
+            else:
+                data = encode_wav_adpcm(pcm, rate=16000)
         elif kind in ("ulaw", "alaw"):
             pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
             data = encode_wav_g711(pcm, rate=8000, law=kind)

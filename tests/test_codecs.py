@@ -738,10 +738,11 @@ def test_g711_audioop_conformance_and_roundtrip():
         encode_wav_g711(sig, 8000, law="mp3")
 
 
-def test_audio_corpus_cycles_five_formats():
-    """generate_audio_pandas cycles wav/faud/adpcm/ulaw/alaw; every
-    clip decodes through the single dispatch with the declared sample
-    count, and each WAV variant carries its distinct format tag."""
+def test_audio_corpus_cycles_six_formats():
+    """generate_audio_pandas cycles wav/faud/adpcm/ulaw/alaw/flac;
+    every clip decodes through the single dispatch with the declared
+    sample count, each WAV variant carries its distinct format tag,
+    and the FLAC clips really are fLaC streams."""
     import struct
 
     import numpy as np
@@ -753,15 +754,19 @@ def test_audio_corpus_cycles_five_formats():
         generate_audio_pandas,
     )
 
-    df = generate_audio_pandas(20, seed=53)
-    assert sorted(df["fmt"].unique()) == ["adpcm", "alaw", "faud", "ulaw", "wav"]
+    df = generate_audio_pandas(24, seed=53)
+    assert sorted(df["fmt"].unique()) == [
+        "adpcm", "alaw", "faud", "flac", "ulaw", "wav",
+    ]
     tags = {"wav": 1, "adpcm": 17, "ulaw": 7, "alaw": 6}
     for _, r in df.iterrows():
-        pcm, rate = decode_audio(bytes(r["bytes"]))
+        b = bytes(r["bytes"])
+        pcm, rate = decode_audio(b)
         assert pcm.shape[0] == r["n_samples_true"]
         assert rate == (8000 if r["fmt"] in ("ulaw", "alaw") else 16000)
         if r["fmt"] in tags:
-            b = bytes(r["bytes"])
             i = b.index(b"fmt ") + 8
             (tag,) = struct.unpack_from("<H", b, i)
             assert tag == tags[r["fmt"]]
+        elif r["fmt"] == "flac":
+            assert b[:4] == b"fLaC"
