@@ -70,57 +70,161 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor PNG (filters 0-4) to an (h, w, 3) uint8 array."""
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, w = 8, 0
-    h = bitdepth = colortype = 0
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    if bitdepth != 8 or colortype != 2:
-        raise ValueError("only 8-bit truecolor PNG supported")
-    bpp = 3
-    stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + stride)
-    filters = raw[:, 0]
+# channels per PNG color type (0 grey, 2 RGB, 3 palette, 4 grey+alpha,
+# 6 RGBA) — the decoder accepts all five, per the spec's valid set
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters 0-4 over `h` lines of `stride` bytes
+    (each prefixed by its filter byte); `bpp` is the byte distance to
+    the left neighbor (max(1, channels * bytes-per-sample))."""
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG pixel data truncated")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    filters = arr[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
-        line = raw[y, 1:].copy()
+        line = arr[y, 1:].copy()
         f = filters[y]
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if f == 0:
             out[y] = line
         elif f == 2:  # Up
             out[y] = line + prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor recurrence
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left recurrence
             cur = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else np.uint8(0)
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else np.uint8(0)
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if f == 1:
-                    cur[x] = line[x] + a
+                    cur[x] = (int(line[x]) + a) & 0xFF
                 elif f == 3:
-                    cur[x] = line[x] + np.uint8((int(a) + int(b)) // 2)
-                else:
-                    cur[x] = line[x] + _paeth(
-                        np.asarray(a), np.asarray(b), np.asarray(c)
-                    )
+                    cur[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                else:  # Paeth (modular add per spec)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
             out[y] = cur
         else:
             raise ValueError(f"bad PNG filter {f}")
-    return out.reshape(h, w, 3)
+    return out
+
+
+def _png_lines_to_pixels(
+    lines: np.ndarray, w: int, depth: int, nch: int
+) -> np.ndarray:
+    """(h, stride) unfiltered bytes → (h, w, nch) uint8 samples.
+    Depth 16 keeps the high byte (the standard 8-bit reduction);
+    depths 1/2/4 unpack big-endian-within-byte and are scaled to
+    8 bits for grey (palette indices are left as raw values)."""
+    h = lines.shape[0]
+    if depth == 8:
+        return lines.reshape(h, -1)[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return lines.reshape(h, -1, 2)[:, : w * nch, 0].reshape(h, w, nch)
+    # sub-byte: only single-channel types (grey / palette) are legal
+    bits = np.unpackbits(lines, axis=1)
+    vals = np.zeros((h, lines.shape[1] * 8 // depth), dtype=np.uint8)
+    for b in range(depth):
+        vals |= bits[:, b::depth] << (depth - 1 - b)
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, 3) uint8 RGB array.
+
+    Real-shape coverage (PNG spec, RFC 2083 / ISO 15948): color types
+    0 (grey), 2 (RGB), 3 (palette via PLTE), 4 (grey+alpha) and
+    6 (RGBA); bit depths 8 and 16 (16 reduced to the high byte) for
+    sample types, 1/2/4/8 for grey and palette; scanline filters 0-4;
+    both interlace methods (none and Adam7 — each of the 7 passes is
+    unfiltered independently then scattered by its (start, step)
+    grid). Alpha is dropped, grey replicated to 3 channels. Unknown
+    ancillary chunks are skipped by length, per the chunk contract."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = bitdepth = colortype = interlace = 0
+    idat = b""
+    plte = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {colortype}")
+    nch = _PNG_CHANNELS[colortype]
+    if bitdepth in (1, 2, 4):
+        if colortype not in (0, 3):
+            raise ValueError(f"depth {bitdepth} invalid for type {colortype}")
+    elif bitdepth == 16:
+        if colortype == 3:
+            raise ValueError("depth 16 invalid for palette")
+    elif bitdepth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bitdepth}")
+    if colortype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    bpp = max(1, nch * (2 if bitdepth == 16 else 1))
+
+    def stride_of(width: int) -> int:
+        return (width * nch * bitdepth + 7) // 8
+
+    raw = zlib.decompress(idat)
+    samples = np.zeros((h, w, nch), dtype=np.uint8)
+    if interlace == 0:
+        lines = _png_unfilter(raw, h, stride_of(w), bpp)
+        samples = _png_lines_to_pixels(lines, w, bitdepth, nch)
+    elif interlace == 1:  # Adam7
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no bytes at all
+            st = stride_of(pw)
+            lines = _png_unfilter(raw[off:], ph, st, bpp)
+            off += ph * (1 + st)
+            samples[y0::ys, x0::xs] = _png_lines_to_pixels(
+                lines, pw, bitdepth, nch
+            )
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if colortype == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if colortype == 2:
+        return samples
+    if colortype == 6:
+        return samples[:, :, :3]
+    grey = samples[:, :, 0]
+    if bitdepth in (1, 2, 4):  # scale sub-byte grey to full 8-bit range
+        grey = (grey.astype(np.uint16) * 255 // ((1 << bitdepth) - 1)).astype(
+            np.uint8
+        )
+    return np.repeat(grey[:, :, None], 3, axis=2)
 
 
 def encode_lossy(arr: np.ndarray, step: int = _QJPG_STEP) -> bytes:

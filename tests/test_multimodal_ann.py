@@ -77,15 +77,15 @@ def test_video_decode_rejects_real_formats():
 
 
 def test_audio_features_match_golden(spark):
-    """The mixed corpus (REAL PCM16 WAV / FAUD stub / REAL IMA-ADPCM
-    WAV cycling) runs through the same pandas UDF; the golden
-    re-decodes each payload with the matching codec."""
+    """The mixed corpus (REAL PCM16 / IMA-ADPCM / G.711 WAV, FLAC and
+    the FAUD stub cycling) runs through the same pandas UDF; the
+    golden re-decodes each payload with the matching codec."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
         decode_audio,
     )
 
     clips = generate_audio_pandas(30, seed=53)
-    assert {"wav", "faud", "adpcm"} == set(clips["fmt"])
+    assert {"wav", "faud", "adpcm", "ulaw", "alaw", "flac"} == set(clips["fmt"])
     out = (
         with_audio_features(spark.createDataFrame(clips))
         .select("clip_id", "n_samples", "sample_rate", "rms", "zero_crossings")
