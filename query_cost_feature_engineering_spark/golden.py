@@ -577,6 +577,7 @@ def ensure_jpeg_features_fixture(n: int = 200, seed: int = 56) -> str:
                 int(pdf["h"].iloc[i]),
                 int(pdf["quality"].iloc[i]),
                 str(pdf["subsamp"].iloc[i]),
+                str(pdf["coding"].iloc[i]),
                 len(bytes(pdf["bytes"].iloc[i])),
                 float(px["px_mean"].iloc[i]),
                 int(px["px_min_r"].iloc[i]),
@@ -588,8 +589,9 @@ def ensure_jpeg_features_fixture(n: int = 200, seed: int = 56) -> str:
     out = pd.DataFrame(
         rows,
         columns=[
-            "image_id", "w", "h", "quality", "subsamp", "n_bytes",
-            "px_mean", "px_min_r", "px_max_r", "hist_lo", "hist_hi",
+            "image_id", "w", "h", "quality", "subsamp", "coding",
+            "n_bytes", "px_mean", "px_min_r", "px_max_r", "hist_lo",
+            "hist_hi",
         ],
     )
     for c in ("w", "h", "quality", "n_bytes", "px_min_r", "px_max_r",

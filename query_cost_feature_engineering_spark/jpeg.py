@@ -7,9 +7,10 @@ JPEG is a published public specification (ITU-T Recommendation T.81,
 standard ones every encoder ships). The encoder emits spec-conformant
 JFIF files — SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, 4:4:4 sampling,
 byte-stuffed entropy stream — that any external baseline decoder
-reads; the decoder parses the baseline-sequential subset (8-bit,
-non-progressive, no restart intervals) and raises NotImplementedError
-for the progressive/arithmetic/subsampled variants rather than
+reads; the decoder parses baseline-sequential streams (8-bit, 4:4:4 /
+4:2:0 / 4:2:2, restart intervals) and dispatches SOF2 to the full
+progressive decoder in jpeg_progressive.py; arithmetic coding and
+hierarchical/lossless modes raise NotImplementedError rather than
 guessing. An interop test against Pillow runs whenever PIL is present
 (import-probed; skipped in this container).
 
@@ -331,6 +332,53 @@ def _blockify(comp: np.ndarray) -> np.ndarray:
     )
 
 
+def _quantized_grids(arr, quality, subsampling):
+    """RGB array → per-component (rows, cols, 8, 8) int32 quantized
+    DCT grids at the MCU-padded dims, plus sampling/table context —
+    the front half shared by the baseline and progressive encoders."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    h, w = arr.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    samps = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }[subsampling]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    grids = []  # per component: (rows, cols, 8, 8) quantized blocks
+    for ci, (hs, vs) in enumerate(samps):
+        plane = ycc[..., ci]
+        if (hs, vs) != (hmax, vmax):
+            # box-average subsample to the component resolution
+            fy, fx = vmax // vs, hmax // hs
+            ph, pw = (-h) % fy, (-w) % fx
+            p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+            plane = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        rows, cols = mcus_y * vs, mcus_x * hs
+        ph, pw = rows * 8 - plane.shape[0], cols * 8 - plane.shape[1]
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks = (
+            plane.reshape(rows, 8, cols, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        f = np.einsum("ux,nxy,vy->nuv", _T8, blocks - 128.0, _T8)
+        qt = qt_l if ci == 0 else qt_c
+        q = np.round(f / qt).astype(np.int32).reshape(rows, cols, 8, 8)
+        grids.append(q)
+    return grids, samps, qt_l, qt_c, mcus_x, mcus_y
+
+
 def _encode_block(bw, zz, prev_dc, dc_tab, ac_tab) -> int:
     """Entropy-encode one zigzagged quantized block; returns its DC."""
     dc = int(zz[0])
@@ -378,49 +426,12 @@ def encode_jpeg(
     MCUs between RSTn markers (0 = none); restart markers make the
     entropy stream independently decodable per interval — what camera
     firmware emits for error resilience."""
-    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
-    if subsampling not in ("444", "422", "420"):
-        raise ValueError("subsampling must be '444', '422' or '420'")
+    grids, samps, qt_l, qt_c, mcus_x, mcus_y = _quantized_grids(
+        arr, quality, subsampling
+    )
     if not (0 <= restart_interval <= 0xFFFF):
         raise ValueError("restart_interval must fit in uint16")
     h, w = arr.shape[:2]
-    qt_l, qt_c = _quality_tables(quality)
-    ycc = _rgb_to_ycbcr(arr)
-    samps = {
-        "444": [(1, 1), (1, 1), (1, 1)],
-        "422": [(2, 1), (1, 1), (1, 1)],
-        "420": [(2, 2), (1, 1), (1, 1)],
-    }[subsampling]
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    grids = []  # per component: (rows, cols, 8, 8) quantized blocks
-    for ci, (hs, vs) in enumerate(samps):
-        plane = ycc[..., ci]
-        if (hs, vs) != (hmax, vmax):
-            # box-average subsample to the component resolution
-            fy, fx = vmax // vs, hmax // hs
-            ph, pw = (-h) % fy, (-w) % fx
-            p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-            plane = p.reshape(
-                p.shape[0] // fy, fy, p.shape[1] // fx, fx
-            ).mean(axis=(1, 3))
-        rows, cols = mcus_y * vs, mcus_x * hs
-        ph, pw = rows * 8 - plane.shape[0], cols * 8 - plane.shape[1]
-        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-        blocks = (
-            plane.reshape(rows, 8, cols, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        )
-        f = np.einsum("ux,nxy,vy->nuv", _T8, blocks - 128.0, _T8)
-        qt = qt_l if ci == 0 else qt_c
-        q = np.round(f / qt).astype(np.int32).reshape(rows, cols, 8, 8)
-        grids.append(q)
-
     enc_dc = [
         _huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
         _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
@@ -487,11 +498,12 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports the
-    baseline-sequential subset: 8-bit, SOF0, 1x1/2x2 sampling (4:4:4,
-    4:2:0 and the rectangular 4:2:2/4:4:0 variants), single-component
-    grayscale, and restart intervals (DRI/RSTn). Progressive (SOF2),
-    arithmetic coding, and sampling factors > 2 raise
+    """JFIF bytes -> (h, w, 3) uint8 RGB. Supports baseline sequential
+    (SOF0): 8-bit, 1x1/2x2 sampling (4:4:4, 4:2:0 and the rectangular
+    4:2:2/4:4:0 variants), single-component grayscale, and restart
+    intervals (DRI/RSTn) — and PROGRESSIVE (SOF2) streams, dispatched
+    to jpeg_progressive.decode_jpeg_progressive. Arithmetic coding,
+    hierarchical/lossless SOFs, and sampling factors > 2 raise
     NotImplementedError — explicitly unsupported, never guessed."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -554,7 +566,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             sof = (h, w, nc)
         elif m in (0xC1,):
             raise NotImplementedError("extended sequential JPEG (SOF1)")
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif m == 0xC2:  # progressive DCT: full Annex G support
+            from query_cost_feature_engineering_spark.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{m:02X})"
@@ -629,12 +647,23 @@ def _decode_scan(data, pos, sof, comps, scan_tabs, qts, dcs, acs, ri=0):
             if ri and m % ri == 0 and m < mcus_y * mcus_x:
                 br.restart((m // ri - 1) & 7)
                 prev_dc = [0] * nc  # DC predictors reset per E.2.4
+    return _reconstruct_planes(zz_rows, comps, samps, grid_dims, qts, h, w, nc)
+
+
+def _reconstruct_planes(zz_arrays, comps, samps, grid_dims, qts, h, w, nc):
+    """Dezigzag + dequant + IDCT + chroma upsample + crop — the shared
+    reconstruction tail for the baseline and progressive decoders.
+    ``zz_arrays[ci]`` is an (n_blocks, 64) array (or list of lists) of
+    quantizer-domain coefficients in zigzag order, blocks in row-major
+    grid order over ``grid_dims[ci]``."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     planes = []
     for ci in range(nc):
         hs, vs = samps[ci]
         rows, cols = grid_dims[ci]
         # vectorized dezigzag + dequant over ALL blocks of the component
-        zzv = np.asarray(zz_rows[ci], dtype=np.float64)
+        zzv = np.asarray(zz_arrays[ci], dtype=np.float64)
         qzz = qts[comps[ci][2]].ravel()[_ZZ].astype(np.float64)
         coeff = np.zeros((rows * cols, 64), dtype=np.float64)
         coeff[:, _ZZ] = zzv * qzz[None, :]

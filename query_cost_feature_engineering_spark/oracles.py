@@ -1584,7 +1584,7 @@ def _fixture_oracles() -> dict[str, str]:
         # per-image PSNR >= 40 dB codec invariant, so a codec
         # regression fails here loudly.
         "jpeg_features_images": f"""
-            SELECT image_id, w, h, quality, subsamp, n_bytes,
+            SELECT image_id, w, h, quality, subsamp, coding, n_bytes,
                    round(px_mean + 1e-9, 4) AS px_mean,
                    px_min_r, px_max_r, hist_lo, hist_hi
             FROM read_parquet('{G.ensure_jpeg_features_fixture()}')

@@ -3096,9 +3096,11 @@ def jpeg_features_images(spark, sf_dir):
     the standard Arrow UDF — upgrading the lossy path from the QJPG
     stub to a spec-conformant compressed format with no codec library.
     ~35% of the corpus is 4:2:0-subsampled (the real-world common
-    case), ~10% 4:2:2, the rest 4:4:4; ~25% carries restart markers.
-    Emits ``(image_id, w, h, quality, subsamp, n_bytes, px_mean,
-    px_min_r, px_max_r, hist_lo, hist_hi)``.
+    case), ~10% 4:2:2, the rest 4:4:4; ~25% carries restart markers;
+    ~25% is PROGRESSIVE (SOF2 — spectral selection + successive
+    approximation, decoded via the same entry point).
+    Emits ``(image_id, w, h, quality, subsamp, coding, n_bytes,
+    px_mean, px_min_r, px_max_r, hist_lo, hist_hi)``.
 
     Plan shape: identical to the flagship decode stage — map-only, one
     Arrow-batched UDF, bytes never shuffled. Oracle: fixture recompute
@@ -3127,6 +3129,7 @@ def jpeg_features_images(spark, sf_dir):
         F.col("h").cast("long").alias("h"),
         F.col("quality").cast("long").alias("quality"),
         "subsamp",
+        "coding",
         "n_bytes",
         _rq("px_mean", 4).alias("px_mean"),
         F.col("px_min_r").cast("long").alias("px_min_r"),

@@ -64,10 +64,17 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
     decimation inherently discards high-frequency chroma — the same
     reason real photographs survive 4:2:0, and opposing R/B gradients
     would not clear 40 dB under ANY conforming 4:2:0 codec.
+    ~25% of the corpus is PROGRESSIVE (SOF2, the spectral-selection +
+    successive-approximation script with per-scan optimal Huffman
+    tables — the common web-image shape), decoded by the same public
+    entry point via SOF2 dispatch.
     Returns the ORIGINAL pixel arrays too (``arr_true``, object
     column, dropped before Spark) so the golden can enforce the
     per-image PSNR >= 40 dB fidelity invariant independently."""
     from query_cost_feature_engineering_spark.jpeg import encode_jpeg
+    from query_cost_feature_engineering_spark.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -101,10 +108,15 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
         # ~25% restart-encoded (DRI/RSTn, the camera-firmware shape);
         # restarts are lossless, so this varies only the byte stream
         ri = int(rng.integers(1, 5)) if rng.random() < 0.25 else 0
+        # ~25% progressive (SOF2) — entropy structure only, the
+        # quantized coefficients (and so the decoded pixels) are
+        # IDENTICAL to the baseline encoding by construction
+        coding = "progressive" if rng.random() < 0.25 else "baseline"
+        enc = encode_jpeg_progressive if coding == "progressive" else encode_jpeg
         rows.append(
             {
                 "image_id": f"jpg{i:06d}",
-                "bytes": encode_jpeg(
+                "bytes": enc(
                     arr, quality=q, subsampling=sub, restart_interval=ri
                 ),
                 "w": np.int32(w),
@@ -112,6 +124,7 @@ def generate_jpeg_images_pandas(n: int, seed: int = 56) -> pd.DataFrame:
                 "fmt": "jpeg",
                 "quality": np.int32(q),
                 "subsamp": sub,
+                "coding": coding,
                 "arr_true": arr,
             }
         )

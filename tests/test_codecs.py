@@ -306,9 +306,11 @@ def test_jpeg_structure_and_unsupported_paths():
     _, _, h, w, nc = struct.unpack(">HBHHB", d[i + 2:i + 10])
     assert (h, w, nc) == (19, 30, 3)
     assert decode_jpeg(d).shape == (19, 30, 3)
-    # progressive: flip SOF0 -> SOF2
+    # progressive (SOF2) is now SUPPORTED (test_jpeg_progressive.py);
+    # a baseline stream merely RELABELED SOF2 is corrupt — its scan
+    # header (Ss=0, Se=63) is illegal for progressive and must raise
     prog = d[:i] + b"\xff\xc2" + d[i + 2:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(prog)
     # sampling factor 3 (valid per spec, rare, unsupported here):
     # patch the Y sampling byte (0x11 -> 0x31) — must refuse loudly
