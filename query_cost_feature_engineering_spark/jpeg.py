@@ -700,3 +700,105 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (tag 0x0112) — the metadata every real ingestion
+# pipeline must honor: cameras store sensor-native pixels and record
+# the display transform in APP1/TIFF. Parsing is a plain TIFF IFD0
+# walk (CIPA DC-008 / TIFF 6.0, both public); applying it is one of
+# eight flip/rotate compositions. The JPEG decoders deliberately do
+# NOT auto-rotate (matching libjpeg/Pillow) — orientation is surfaced
+# and applied explicitly.
+# ---------------------------------------------------------------------------
+
+
+def parse_exif_orientation(data: bytes) -> int | None:
+    """EXIF orientation value 1-8 from a JFIF/EXIF stream's APP1
+    segment, or None when absent/unparseable (never raises on a
+    malformed APP1 — metadata must not break decode)."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m in (0xD9, 0xDA):  # EOI / SOS: no APP1 before image data
+            return None
+        pos += 2
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            continue
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + ln]
+        pos += ln
+        if m != 0xE1 or seg[:6] != b"Exif\x00\x00":
+            continue
+        t = seg[6:]  # TIFF stream
+        try:
+            if t[:2] == b"II":
+                endian = "<"
+            elif t[:2] == b"MM":
+                endian = ">"
+            else:
+                return None
+            (magic,) = struct.unpack(endian + "H", t[2:4])
+            if magic != 42:
+                return None
+            (ifd0,) = struct.unpack(endian + "I", t[4:8])
+            (n,) = struct.unpack(endian + "H", t[ifd0 : ifd0 + 2])
+            for i in range(n):
+                e = ifd0 + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(
+                    endian + "HHI", t[e : e + 8]
+                )
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (val,) = struct.unpack(endian + "H", t[e + 8 : e + 10])
+                    return val if 1 <= val <= 8 else None
+        except (struct.error, IndexError):
+            return None
+        return None
+    return None
+
+
+def insert_exif_orientation(data: bytes, orientation: int) -> bytes:
+    """Insert a minimal APP1/EXIF segment carrying the orientation tag
+    right after SOI — works on baseline and progressive streams alike
+    (markers before SOF are application-order-free per JFIF)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    tiff = (
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+        + struct.pack(">H", 1)  # one IFD0 entry
+        + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">HH", orientation, 0)
+        + struct.pack(">I", 0)  # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    return data[:2] + app1 + data[2:]
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Display-orient a decoded (h, w, c) array per EXIF 1-8:
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 270 CW."""
+    if orientation in (1, None):
+        return arr
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return arr.transpose(1, 0, 2)[::-1, :]
+    raise ValueError("orientation must be 1..8")

@@ -3248,6 +3248,40 @@ def audio_features_clips(spark, sf_dir):
     )
 
 
+def exif_orient_images(spark, sf_dir):
+    """EXIF-orientation normalization over the JPEG corpus — the first
+    metadata step of any real image-ingestion pipeline: cameras store
+    sensor-native pixels and record the display transform in APP1
+    (CIPA DC-008 tag 0x0112). ~70% of the corpus carries an inserted
+    orientation 1-8 (on baseline AND progressive members), the rest no
+    EXIF (defaulted to 1 per spec). The UDF parses the TIFF IFD0 walk,
+    decodes, applies the one-of-eight flip/rotate composition, and
+    emits display dims + an orientation-sensitive corner probe; the
+    oracle pins parse == inserted value, the dim swap for
+    orientations 5-8, and the transformed pixels via the corner mean.
+
+    Plan shape: map-only, one Arrow-batched UDF, bytes never shuffled
+    (identical to the flagship decode stage)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_exif_display_meta,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_exif_images_pandas,
+    )
+
+    pdf = generate_exif_images_pandas(160, seed=57)
+    img = spark.createDataFrame(pdf)
+    out = with_exif_display_meta(img)
+    return out.select(
+        "image_id",
+        F.col("orientation_true").cast("long").alias("orientation_true"),
+        F.col("orientation").cast("long").alias("orientation"),
+        F.col("disp_w").cast("long").alias("disp_w"),
+        F.col("disp_h").cast("long").alias("disp_h"),
+        _rq("corner_mean", 4).alias("corner_mean"),
+    )
+
+
 def format_sniff_images(spark, sf_dir):
     """mapInArrow data-quality pass: magic-byte format sniffing vs the
     declared fmt column (rows-only; golden-tested with mislabeled rows)."""
@@ -4065,6 +4099,7 @@ REGISTRY = {
     "video_frame_dedup": video_frame_dedup,
     "shard_pack_images": shard_pack_images,
     "jpeg_features_images": jpeg_features_images,
+    "exif_orient_images": exif_orient_images,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
@@ -4085,6 +4120,7 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "exif_orient_images",
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
     "gopher_quality_docs", "c4_clean_docs", "shard_shuffle_docs",

@@ -289,3 +289,34 @@ def write_images_table(
         .partitionBy("entity_bucket")
         .parquet(path)
     )
+
+
+def generate_exif_images_pandas(n: int, seed: int = 57) -> pd.DataFrame:
+    """EXIF-orientation corpus: the JPEG corpus (baseline AND
+    progressive members) re-tagged — ~70% of clips get an APP1/TIFF
+    orientation 1-8 inserted after SOI (``jpeg.insert_exif_
+    orientation``), the rest carry no EXIF at all (the
+    missing-metadata case every real pipeline must default to 1).
+    ``orientation_true`` records what was inserted (0 = absent) so
+    the oracle can pin parse correctness independently of the
+    parser."""
+    from query_cost_feature_engineering_spark.jpeg import (
+        insert_exif_orientation,
+    )
+
+    pdf = generate_jpeg_images_pandas(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    blobs, orients = [], []
+    for i in range(len(pdf)):
+        b = bytes(pdf["bytes"].iloc[i])
+        if rng.random() < 0.7:
+            o = int(rng.integers(1, 9))
+            b = insert_exif_orientation(b, o)
+        else:
+            o = 0
+        blobs.append(b)
+        orients.append(np.int32(o))
+    pdf = pdf.drop(columns=["arr_true"]).copy()
+    pdf["bytes"] = blobs
+    pdf["orientation_true"] = orients
+    return pdf
