@@ -115,6 +115,7 @@ HEADLINE = [
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",
+    "exif_orient_images",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))
