@@ -262,6 +262,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt in ("jpeg", "jpg"):
         return decode_lossy(data)
+    if fmt == "gif":  # static decode: first composited frame
+        from query_cost_feature_engineering_spark.gif import decode_gif
+
+        return decode_gif(bytes(data))[0][0]
+    if fmt == "bmp":
+        return decode_bmp(bytes(data))
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
@@ -756,6 +762,74 @@ def decode_avi(data: bytes) -> np.ndarray:
         bgr = rows[:, : w * 3].reshape(h, w, 3)
         out[i] = bgr[:, :, ::-1]
     return out
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap) — the standalone-file twin of the AVI DIB frame
+# format above: BITMAPFILEHEADER + BITMAPINFOHEADER + optional palette
+# + bottom-up (or top-down) BGR rows padded to 4-byte strides. Pure
+# stdlib; a genuinely common real-world interchange format (scanned
+# datasets, Windows exports).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return head + info + pix
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8 RGB.
+
+    Real-shape coverage: 24-bit BGR and 32-bit BGRA/BGRX (alpha
+    dropped) uncompressed, 8-bit palettized (BGRX palette), bottom-up
+    AND top-down (negative biHeight) row orders, BITMAPINFOHEADER or
+    larger (V4/V5 headers are a superset — read by declared size).
+    RLE compression, bitfields, and sub-byte palette depths raise."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off_bits,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError(f"BITMAPCOREHEADER (size {hdr_size})")
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (biCompression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        (clr_used,) = struct.unpack("<I", data[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=h * stride, offset=off_bits
+        ).reshape(h, stride)[:, :w]
+        idx = rows if top_down else rows[::-1]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP")
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=h * stride, offset=off_bits
+    ).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]  # BGR(A) → RGB
+    return np.ascontiguousarray(px if top_down else px[::-1])
 
 
 # --- MP4 / ISO base media file format (ISO/IEC 14496-12) ------------------

@@ -101,6 +101,10 @@ def decode_video(data: bytes) -> np.ndarray:
         return decode_avi(bytes(data))
     if data[4:8] == b"ftyp":
         return decode_mp4(bytes(data))
+    if data[:4] == b"GIF8":  # animated GIF as a video source
+        from query_cost_feature_engineering_spark.gif import decode_gif
+
+        return decode_gif(bytes(data))[0]
     luma = _decode_fake_video(data)
     return np.repeat(luma[..., None], 3, axis=3)
 
@@ -192,6 +196,8 @@ _MAGIC = [
     (FVID_SIG, "fvid"),
     (FAUD_SIG, "faud"),
     (b"fLaC", "flac"),
+    (b"GIF8", "gif"),
+    (b"BM", "bmp"),
 ]
 
 

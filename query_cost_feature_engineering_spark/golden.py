@@ -331,6 +331,8 @@ _SNIFF_ORACLE_MAGIC = [
     (b"FVID", "fvid"),
     (b"FAUD", "faud"),
     (b"fLaC", "flac"),
+    (b"GIF8", "gif"),
+    (b"BM", "bmp"),
 ]
 
 

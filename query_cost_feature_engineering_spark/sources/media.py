@@ -17,20 +17,25 @@ from query_cost_feature_engineering_spark.functions.multimodal import (
 
 
 def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
-    """Mixed-format clip table, four REAL dispatch paths per query
+    """Mixed-format clip table, five REAL dispatch paths per query
     run: clips cycle uncompressed-DIB AVI (``codecs.encode_avi_dib``),
     the FVID luma stub, Motion-JPEG AVI (``codecs.encode_avi_mjpeg``:
-    genuinely compressed frames via the pure-NumPy T.81 codec), and —
-    round 5 — ISO-BMFF .mp4 with a 'jpeg' video track
-    (``codecs.encode_mp4_mjpeg``), all through one magic-byte + fourcc
-    dispatch (``functions.multimodal.decode_video``). MJPG/mp4 frames
-    use smooth content (gradient + per-frame offset), not noise —
-    lossy codecs only owe fidelity on photograph-like signals."""
+    genuinely compressed frames via the pure-NumPy T.81 codec),
+    ISO-BMFF .mp4 with a 'jpeg' video track
+    (``codecs.encode_mp4_mjpeg``), and — round 5 — animated GIF89a
+    (``gif.encode_gif``: real LZW-compressed paletted frames,
+    lossless), all through one magic-byte + fourcc dispatch
+    (``functions.multimodal.decode_video``). MJPG/mp4 frames use
+    smooth content (gradient + per-frame offset), not noise — lossy
+    codecs only owe fidelity on photograph-like signals; GIF clips
+    use paletted content (a ≤256-color format is lossless only on
+    paletted frames)."""
     from query_cost_feature_engineering_spark.codecs import (
         encode_avi_dib,
         encode_avi_mjpeg,
         encode_mp4_mjpeg,
     )
+    from query_cost_feature_engineering_spark.gif import encode_gif
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -38,10 +43,15 @@ def generate_videos_pandas(n: int, seed: int = 52) -> pd.DataFrame:
         nf = int(rng.integers(8, 40))
         h = int(rng.choice([16, 24, 32]))
         w = int(rng.choice([16, 24, 32]))
-        kind = ("avi", "fvid", "mjpg", "mp4")[i % 4]
+        kind = ("avi", "fvid", "mjpg", "mp4", "gif")[i % 5]
         if kind == "avi":
             frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
             data = encode_avi_dib(frames)
+        elif kind == "gif":
+            pal = rng.integers(0, 256, size=(32, 3)).astype(np.uint8)
+            idx = rng.integers(0, 32, size=(nf, h, w))
+            frames = pal[idx]
+            data = encode_gif(frames, delays_cs=[10] * nf)
         elif kind in ("mjpg", "mp4"):
             yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
             g = (yy * 255) // max(h - 1, 1)

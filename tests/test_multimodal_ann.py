@@ -42,16 +42,16 @@ def test_resize_images_matches_golden(spark, images_pdf):
 
 def test_video_frame_sample_matches_golden(spark):
     """Mixed corpus cycling REAL uncompressed-DIB AVI, the FVID luma
-    stub, REAL Motion-JPEG AVI (T.81 frames), and REAL ISO-BMFF .mp4
-    with a 'jpeg' track — all through one decode dispatch; the golden
-    re-decodes with the same dispatch and the PNG round-trips pixels
-    exactly."""
+    stub, REAL Motion-JPEG AVI (T.81 frames), REAL ISO-BMFF .mp4 with
+    a 'jpeg' track, and REAL animated GIF89a (LZW paletted frames) —
+    all through one decode dispatch; the golden re-decodes with the
+    same dispatch and the PNG round-trips pixels exactly."""
     from query_cost_feature_engineering_spark.functions.multimodal import (
         decode_video,
     )
 
     vids = generate_videos_pandas(25, seed=52)
-    assert {"avi", "fvid", "mjpg", "mp4"} == set(vids["fmt"])
+    assert {"avi", "fvid", "mjpg", "mp4", "gif"} == set(vids["fmt"])
     out = (
         sample_video_frames(spark.createDataFrame(vids), every_k=EVERY_K)
         .toPandas()
