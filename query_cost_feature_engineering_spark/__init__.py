@@ -13,6 +13,9 @@ A brand-new engine with the feature-vector semantics of QCFE
 - leakage-free deterministic splits + train-only normalization
   (ref: tpch_utils_knob.py:300-402)
 - dedup / similarity / text-analysis operators for training-data pipelines
+- pure-NumPy media codecs (JPEG baseline+progressive, PNG all shapes, GIF,
+  BMP, WAV PCM/ADPCM/G.711, FLAC, AVI/MP4 containers, EXIF orientation) so
+  the multimodal surface needs no external codec library
 
 Everything here is built from public knowledge only: the Apache Spark API,
 the reference repo's observable behavior, and published papers.
