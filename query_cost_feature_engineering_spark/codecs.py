@@ -1,20 +1,27 @@
-"""Pure-NumPy image codecs used by the engine's decode UDFs.
+"""Pure-NumPy media codecs used by the engine's decode UDFs.
 
-The container has no image libraries (no Pillow / libjpeg), so:
+The container has no media libraries (no Pillow / libjpeg / libsndfile /
+ffmpeg), so every format here is implemented from its public spec:
 
-- ``png``  — a real, spec-compliant PNG codec (RFC 2083): 8-bit truecolor,
-  zlib-deflated filter-0 scanlines on encode; all five standard scanline
-  filters supported on decode. Round-trips exactly (lossless).
-- ``jpeg`` — a clearly-marked deterministic LOSSY STUB codec ("QJPG").
-  Real JPEG needs libjpeg, which is absent; the stub reproduces the
-  *contract* the engine must honor for lossy formats (decode ≠ original,
-  PSNR ≥ 40 dB) with uniform quantization (step=4 → ≈46 dB) + zlib.
-  If Pillow is importable (real deployments), real JPEG is used instead.
+- ``png``  — real PNG codec (RFC 2083/ISO 15948): truecolor filter-0
+  encode; decode covers all color types (grey/RGB/palette/grey-alpha/
+  RGBA), bit depths 1-16 where legal, filters 0-4, Adam7 interlace.
+- ``jpeg`` — dispatched to the real T.81 codec in ``jpeg.py``
+  (baseline + progressive, see also ``jpeg_progressive.py``); the
+  deterministic QJPG lossy stub remains for the flagship hot path.
+- ``bmp`` / ``ico`` — uncompressed DIB interchange (24/32-bit, 8-bit
+  palettized, both row orders) and the favicon container over
+  PNG/DIB members.  ``gif.py`` and ``tiff.py`` carry GIF89a (LZW) and
+  baseline TIFF (none/PackBits/LZW + predictor).
+- audio — real RIFF/WAVE (PCM16, IMA ADPCM, G.711 μ-law/A-law) here;
+  lossless FLAC in ``flac.py``.
+- video — AVI (uncompressed DIB + Motion-JPEG) and ISO-BMFF MP4 with
+  'jpeg' tracks; animated GIF rides ``gif.py``.
 
 The Spark-side plumbing (binary column in, Arrow batch decode, feature
-extraction) is identical either way — only the byte format differs.
+extraction) is identical for every format — only the byte layer differs.
 
-Ref parity note: the reference never decodes images (its payload is
+Ref parity note: the reference never decodes media (its payload is
 PostgreSQL plan JSON); decode fidelity here is governed by BASELINE.json
 ``input_hint`` (PSNR≥40dB for lossy formats, exact round-trip otherwise).
 """
@@ -268,6 +275,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_gif(bytes(data))[0][0]
     if fmt == "bmp":
         return decode_bmp(bytes(data))
+    if fmt in ("tiff", "tif"):
+        from query_cost_feature_engineering_spark.tiff import decode_tiff
+
+        return decode_tiff(bytes(data))
+    if fmt == "ico":
+        return decode_ico(bytes(data))
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
@@ -830,6 +843,78 @@ def decode_bmp(data: bytes) -> np.ndarray:
     ).reshape(h, stride)
     px = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]  # BGR(A) → RGB
     return np.ascontiguousarray(px if top_down else px[::-1])
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon) — the favicon container every web crawl surfaces:
+# a directory of images, each either a PNG or a headerless DIB whose
+# biHeight covers the XOR image plus the AND mask. Decode picks the
+# largest member and reuses the PNG/DIB decoders above.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB (≤256 px sides) → single-image PNG-member ICO."""
+    h, w = arr.shape[:2]
+    if h > 256 or w > 256:
+        raise ValueError("ICO members are at most 256x256")
+    png = encode_png(arr)
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(png), 22
+    )
+    return struct.pack("<HHH", 0, 1, 1) + entry + png
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO bytes → (h, w, 3) uint8 RGB of the LARGEST directory member
+    (PNG members via decode_png; DIB members via the BMP row logic —
+    biHeight spans the XOR image + AND mask, which is skipped)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0:
+        raise ValueError("empty ICO directory")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        bw, bh = data[e], data[e + 1]
+        size, off = struct.unpack("<II", data[e + 8 : e + 16])
+        area = (bw or 256) * (bh or 256)
+        if best is None or area > best[0]:
+            best = (area, off, size)
+    _, off, size = best
+    payload = data[off : off + size]
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    (hdr_size, w, h2, _, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 0
+    )
+    if comp != 0:
+        raise NotImplementedError(f"compressed ICO DIB (comp={comp})")
+    h = h2 // 2  # biHeight covers XOR image + AND mask
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 32)
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=hdr_size
+        ).reshape(n_pal, 4)[:, :3][:, ::-1]
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride,
+            offset=hdr_size + n_pal * 4,
+        ).reshape(h, stride)[:, :w]
+        if int(rows.max(initial=0)) >= n_pal:
+            raise ValueError("ICO palette index out of range")
+        return pal[rows[::-1]]
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp ICO DIB")
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=hdr_size
+    ).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]
+    return np.ascontiguousarray(px[::-1])
 
 
 # --- MP4 / ISO base media file format (ISO/IEC 14496-12) ------------------

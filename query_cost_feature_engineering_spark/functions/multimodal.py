@@ -197,6 +197,9 @@ _MAGIC = [
     (FAUD_SIG, "faud"),
     (b"fLaC", "flac"),
     (b"GIF8", "gif"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+    (b"\x00\x00\x01\x00", "ico"),
     (b"BM", "bmp"),
 ]
 
