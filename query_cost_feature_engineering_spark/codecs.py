@@ -281,6 +281,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_tiff(bytes(data))
     if fmt == "ico":
         return decode_ico(bytes(data))
+    if fmt in ("pnm", "ppm", "pgm"):
+        return decode_pnm(bytes(data))
+    if fmt == "tga":  # no magic bytes: TGA dispatches by declared fmt only
+        return decode_tga(bytes(data))
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
@@ -578,6 +582,140 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# AIFF (Apple IFF / big-endian PCM16) — WAV's big-endian twin: FORM
+# container, COMM chunk whose sample rate is an 80-bit IEEE-754
+# extended float (the format's one genuinely tricky field), SSND data.
+# ---------------------------------------------------------------------------
+
+
+def _ext80_pack(x: float) -> bytes:
+    """Float → 80-bit extended (sign/15-bit exp/explicit-1 64-bit mant)."""
+    if x <= 0:
+        raise ValueError("extended-float pack expects positive rate")
+    import math
+
+    m, e = math.frexp(x)  # x = m * 2^e, m in [0.5, 1)
+    exp = e - 1 + 16383
+    mant = int(m * (1 << 64))
+    return struct.pack(">HQ", exp, mant)
+
+
+def _ext80_unpack(b: bytes) -> float:
+    exp, mant = struct.unpack(">HQ", b[:10])
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def encode_aiff(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) int16 PCM → AIFF bytes (big-endian PCM16)."""
+    if pcm.dtype != np.int16:
+        raise ValueError("encode_aiff expects int16 samples")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    comm = struct.pack(">hIh", ch, n, 16) + _ext80_pack(float(rate))
+    data = pcm.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) % 2 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes → ((frames, channels) int16, rate). A real IFF chunk
+    walk (unknown chunks skipped by size + pad byte); only 16-bit PCM
+    ('AIFF' form) is supported — AIFC compressed variants raise."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    if data[8:12] == b"AIFC":
+        raise NotImplementedError("AIFC compressed AIFF")
+    pos = 12
+    ch = rate = bits = nframes = None
+    pcm_bytes = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+        if tag == b"COMM":
+            ch, nframes, bits = struct.unpack(">hIh", payload[:8])
+            rate = int(round(_ext80_unpack(payload[8:18])))
+        elif tag == b"SSND":
+            (off, _) = struct.unpack(">II", payload[:8])
+            pcm_bytes = payload[8 + off :]
+    if ch is None or pcm_bytes is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit AIFF (bits={bits})")
+    n = min(nframes, len(pcm_bytes) // (2 * ch))
+    pcm = np.frombuffer(pcm_bytes[: n * 2 * ch], dtype=">i2").reshape(n, ch)
+    return pcm.astype(np.int16), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU (.snd) — the classic Unix audio format: 24-byte big-endian
+# header + raw samples. Encoding 1 is G.711 μ-law, which reuses the
+# conformance-swept LUT above — a second real container over the same
+# companding codec.
+# ---------------------------------------------------------------------------
+
+AU_MAGIC = b".snd"
+
+
+def encode_au(
+    pcm: np.ndarray, rate: int = 8000, encoding: str = "ulaw"
+) -> bytes:
+    """(n,) or (n, ch) int16 PCM → Sun AU bytes; ``encoding``: 'ulaw'
+    (8-bit G.711, the classic .au payload) or 'pcm16' (big-endian)."""
+    if pcm.dtype != np.int16:
+        raise ValueError("encode_au expects int16 samples")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if encoding == "ulaw":
+        data = ulaw_encode(pcm).tobytes()
+        enc = 1
+    elif encoding == "pcm16":
+        data = pcm.astype(">i2").tobytes()
+        enc = 3
+    else:
+        raise ValueError(f"encoding must be 'ulaw' or 'pcm16', got {encoding!r}")
+    head = struct.pack(">4sIIIII", AU_MAGIC, 24, len(data), enc, rate, ch)
+    return head + data
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU bytes → ((frames, channels) int16, rate). Encodings 1
+    (G.711 μ-law via the swept LUT), 2 (8-bit linear) and 3 (16-bit
+    big-endian PCM); ADPCM/float encodings raise."""
+    if data[:4] != AU_MAGIC:
+        raise ValueError("not a Sun AU payload")
+    _, off, size, enc, rate, ch = struct.unpack(">4sIIIII", data[:24])
+    if size == 0xFFFFFFFF:  # unknown length, per spec: rest of file
+        size = len(data) - off
+    raw = data[off : off + size]
+    if enc == 1:
+        samples = _ULAW_LUT[np.frombuffer(raw, dtype=np.uint8)]
+    elif enc == 2:
+        samples = (
+            np.frombuffer(raw, dtype=np.int8).astype(np.int16) << 8
+        )
+    elif enc == 3:
+        samples = np.frombuffer(raw, dtype=">i2").astype(np.int16)
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    n = len(samples) // ch
+    return samples[: n * ch].reshape(n, ch), int(rate)
+
+
+# ---------------------------------------------------------------------------
 # AVI (RIFF / uncompressed DIB RGB24) — a REAL video container codec in
 # pure stdlib, the video twin of the WAV codec above: AVI is RIFF, and
 # the uncompressed-DIB form needs no codec library (H.264/MJPEG etc.
@@ -842,6 +980,175 @@ def decode_bmp(data: bytes) -> np.ndarray:
         data, dtype=np.uint8, count=h * stride, offset=off_bits
     ).reshape(h, stride)
     px = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]  # BGR(A) → RGB
+    return np.ascontiguousarray(px if top_down else px[::-1])
+
+
+# ---------------------------------------------------------------------------
+# PNM (Netpbm PGM/PPM, binary P5/P6 and ASCII P2/P3) — the simplest
+# real interchange family, still common in ML datasets and scientific
+# tooling. Pure stdlib: a whitespace/comment-tolerant header parse +
+# a raw (or ASCII) sample buffer.
+# ---------------------------------------------------------------------------
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6, maxval 255)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_pnm expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _pnm_tokens(data: bytes, start: int, n: int):
+    """Yield `n` whitespace-separated tokens (comments to EOL skipped),
+    then the offset just past the single whitespace after the last."""
+    toks = []
+    i = start
+    while len(toks) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i] == 0x23:  # '#' comment
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("PNM header truncated")
+        toks.append(int(data[i:j]))
+        i = j
+    return toks, i + 1  # exactly ONE whitespace byte after maxval
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PGM/PPM bytes → (h, w, 3) uint8 RGB. Binary P5/P6 (maxval up to
+    65535, 16-bit big-endian reduced to 8) and ASCII P2/P3; grey
+    replicated to 3 channels; values scaled by maxval to 0..255."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a PGM/PPM payload")
+    grey = magic in (b"P2", b"P5")
+    ascii_ = magic in (b"P2", b"P3")
+    nch = 1 if grey else 3
+    (w, h, maxval), pos = _pnm_tokens(data, 2, 3)
+    if not (0 < maxval < 65536):
+        raise ValueError(f"bad PNM maxval {maxval}")
+    n = w * h * nch
+    if ascii_:
+        vals, _ = _pnm_tokens(data, pos - 1, n)
+        samples = np.asarray(vals, dtype=np.uint32)
+    elif maxval > 255:
+        samples = np.frombuffer(data, dtype=">u2", count=n, offset=pos).astype(
+            np.uint32
+        )
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).astype(
+            np.uint32
+        )
+    if int(samples.max(initial=0)) > maxval:
+        raise ValueError("PNM sample exceeds maxval")
+    px = ((samples * 255 + maxval // 2) // maxval).astype(np.uint8)
+    px = px.reshape(h, w, nch)
+    return np.repeat(px, 3, axis=2) if grey else px
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision Targa) — the graphics/game-asset interchange format:
+# 18-byte header, BGR(A) pixels, bottom-up by default (descriptor bit 5
+# flips), optional RLE packets.
+# ---------------------------------------------------------------------------
+
+
+def encode_tga(arr: np.ndarray, rle: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit TGA (type 2, or type 10 with RLE)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_tga expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    bgr = arr[::-1, :, ::-1]  # bottom-up BGR
+    head = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24, 0
+    )
+    if not rle:
+        return head + bgr.tobytes()
+    out = bytearray(head)
+    flat = bgr.reshape(h, w, 3)
+    for y in range(h):
+        row = flat[y]
+        x = 0
+        while x < w:
+            j = x + 1
+            while j < w and j - x < 128 and np.array_equal(row[j], row[x]):
+                j += 1
+            run = j - x
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += row[x].tobytes()
+                x = j
+                continue
+            j = x
+            while j < w and j - x < 128:
+                if (
+                    j + 2 < w
+                    and np.array_equal(row[j], row[j + 1])
+                    and np.array_equal(row[j + 1], row[j + 2])
+                ):
+                    break
+                j += 1
+            out.append(j - x - 1)
+            out += row[x:j].tobytes()
+            x = j
+    return bytes(out)
+
+
+def decode_tga(data: bytes) -> np.ndarray:
+    """TGA bytes → (h, w, 3) uint8 RGB. Types 2 (truecolor), 3 (grey)
+    and 10 (RLE truecolor); 24/32-bit (alpha dropped) or 8-bit grey;
+    both row orders via descriptor bit 5. Color-mapped types raise."""
+    if len(data) < 18:
+        raise ValueError("not a TGA payload")
+    (idlen, cmap_type, imgtype, _, _, _, _, _, w, h, bpp, desc) = struct.unpack(
+        "<BBBHHBHHHHBB", data[:18]
+    )
+    if cmap_type != 0 or imgtype in (1, 9):
+        raise NotImplementedError("color-mapped TGA")
+    if imgtype not in (2, 3, 10):
+        raise ValueError(f"unsupported TGA image type {imgtype}")
+    if imgtype == 3:
+        if bpp != 8:
+            raise NotImplementedError(f"{bpp}-bpp grey TGA")
+        nb = 1
+    elif bpp in (24, 32):
+        nb = bpp // 8
+    else:
+        raise NotImplementedError(f"{bpp}-bpp TGA")
+    pos = 18 + idlen
+    n = w * h
+    if imgtype == 10:
+        out = bytearray()
+        while len(out) < n * nb:
+            if pos >= len(data):
+                raise ValueError("TGA RLE stream truncated")
+            c = data[pos]
+            pos += 1
+            cnt = (c & 0x7F) + 1
+            if c & 0x80:
+                out += data[pos : pos + nb] * cnt
+                pos += nb
+            else:
+                out += data[pos : pos + nb * cnt]
+                pos += nb * cnt
+        raw = bytes(out[: n * nb])
+    else:
+        raw = data[pos : pos + n * nb]
+        if len(raw) < n * nb:
+            raise ValueError("TGA pixel data truncated")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nb)
+    if nb == 1:
+        px = np.repeat(px, 3, axis=2)
+    else:
+        px = px[:, :, 2::-1]  # BGR(A) → RGB
+    top_down = bool(desc & 0x20)
     return np.ascontiguousarray(px if top_down else px[::-1])
 
 

@@ -133,6 +133,16 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == FLAC_MAGIC:
         pcm, rate = decode_flac(bytes(data))
         return pcm[:, 0], rate
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        from query_cost_feature_engineering_spark.codecs import decode_aiff
+
+        pcm, rate = decode_aiff(bytes(data))
+        return pcm[:, 0], rate
+    if data[:4] == b".snd":
+        from query_cost_feature_engineering_spark.codecs import decode_au
+
+        pcm, rate = decode_au(bytes(data))
+        return pcm[:, 0], rate
     return _decode_fake_audio(data)
 
 
@@ -200,6 +210,11 @@ _MAGIC = [
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
     (b"\x00\x00\x01\x00", "ico"),
+    (b".snd", "au"),
+    (b"P5", "pgm"),
+    (b"P6", "ppm"),
+    (b"P2", "pgm"),
+    (b"P3", "ppm"),
     (b"BM", "bmp"),
 ]
 
@@ -213,6 +228,8 @@ def _sniff_head(head: bytes) -> str:
         return {b"WAVE": "wav", b"AVI ": "avi"}.get(form, "riff")
     if head[4:8] == b"ftyp":
         return "mp4"
+    if head[:4] == b"FORM":
+        return "aiff" if head[8:12] in (b"AIFF", b"AIFC") else "iff"
     for sig, name in _MAGIC:
         if head.startswith(sig):
             return name

@@ -335,6 +335,11 @@ _SNIFF_ORACLE_MAGIC = [
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
     (b"\x00\x00\x01\x00", "ico"),
+    (b".snd", "au"),
+    (b"P5", "pgm"),
+    (b"P6", "ppm"),
+    (b"P2", "pgm"),
+    (b"P3", "ppm"),
     (b"BM", "bmp"),
 ]
 
@@ -342,6 +347,8 @@ _SNIFF_ORACLE_MAGIC = [
 def _sniff_oracle(head: bytes) -> str:
     if head[:4] == b"RIFF":
         return {b"WAVE": "wav", b"AVI ": "avi"}.get(head[8:12], "riff")
+    if head[:4] == b"FORM":
+        return "aiff" if head[8:12] in (b"AIFF", b"AIFC") else "iff"
     if head[4:8] == b"ftyp":  # ISO BMFF: box type at offset 4, per spec
         return "mp4"
     for sig, name in _SNIFF_ORACLE_MAGIC:

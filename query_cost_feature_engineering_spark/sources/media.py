@@ -136,14 +136,17 @@ def generate_static_videos_pandas(n: int, seed: int = 54) -> pd.DataFrame:
 
 
 def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
-    """Mixed-format clip table, six REAL dispatch paths per query
+    """Mixed-format clip table, eight REAL dispatch paths per query
     run: clips cycle RIFF/PCM16 WAV (``codecs.encode_wav_pcm16``), the
     FAUD stub container, IMA ADPCM WAV (``codecs.encode_wav_adpcm``:
     genuinely compressed 4-bit audio, format tag 17), and — round 5 —
     G.711 μ-law and A-law WAV (``codecs.encode_wav_g711``: the real
-    telephony companding codecs, tags 7/6, audioop-conformance-swept)
-    plus FLAC (``flac.encode_flac``: real lossless Rice-coded frames,
-    CRC-8/CRC-16/MD5-verified), all through one magic-byte +
+    telephony companding codecs, tags 7/6, audioop-conformance-swept),
+    FLAC (``flac.encode_flac``: real lossless Rice-coded frames,
+    CRC-8/CRC-16/MD5-verified), big-endian AIFF
+    (``codecs.encode_aiff``: IFF container, 80-bit extended-float
+    sample rate) and Sun AU (``codecs.encode_au``: μ-law payload over
+    the same swept G.711 LUT), all through one magic-byte +
     format-tag dispatch (``functions.multimodal.decode_audio``).
     ADPCM and FLAC clips carry smooth band-limited content (summed
     sines) — a predictive codec only owes fidelity (ADPCM) or
@@ -151,6 +154,8 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
     its clips keep the noise content (8 kHz rate, per telephony
     convention)."""
     from query_cost_feature_engineering_spark.codecs import (
+        encode_aiff,
+        encode_au,
         encode_wav_adpcm,
         encode_wav_g711,
         encode_wav_pcm16,
@@ -161,7 +166,9 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
     rows = []
     for i in range(n):
         ns = int(rng.integers(1600, 48000))
-        kind = ("wav", "faud", "adpcm", "ulaw", "alaw", "flac")[i % 6]
+        kind = (
+            "wav", "faud", "adpcm", "ulaw", "alaw", "flac", "aiff", "au"
+        )[i % 8]
         if kind in ("adpcm", "flac"):
             t = np.arange(ns) / 16000.0
             f1, f2 = rng.uniform(80, 400), rng.uniform(400, 2000)
@@ -179,6 +186,12 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
         elif kind in ("ulaw", "alaw"):
             pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
             data = encode_wav_g711(pcm, rate=8000, law=kind)
+        elif kind == "aiff":
+            pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+            data = encode_aiff(pcm, rate=16000)
+        elif kind == "au":
+            pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+            data = encode_au(pcm, rate=8000, encoding="ulaw")
         else:
             pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
             data = (

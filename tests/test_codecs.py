@@ -740,11 +740,11 @@ def test_g711_audioop_conformance_and_roundtrip():
         encode_wav_g711(sig, 8000, law="mp3")
 
 
-def test_audio_corpus_cycles_six_formats():
-    """generate_audio_pandas cycles wav/faud/adpcm/ulaw/alaw/flac;
-    every clip decodes through the single dispatch with the declared
-    sample count, each WAV variant carries its distinct format tag,
-    and the FLAC clips really are fLaC streams."""
+def test_audio_corpus_cycles_eight_formats():
+    """generate_audio_pandas cycles wav/faud/adpcm/ulaw/alaw/flac/
+    aiff/au; every clip decodes through the single dispatch with the
+    declared sample count, each WAV variant carries its distinct
+    format tag, and the container magics line up."""
     import struct
 
     import numpy as np
@@ -758,17 +758,20 @@ def test_audio_corpus_cycles_six_formats():
 
     df = generate_audio_pandas(24, seed=53)
     assert sorted(df["fmt"].unique()) == [
-        "adpcm", "alaw", "faud", "flac", "ulaw", "wav",
+        "adpcm", "aiff", "alaw", "au", "faud", "flac", "ulaw", "wav",
     ]
     tags = {"wav": 1, "adpcm": 17, "ulaw": 7, "alaw": 6}
+    magics = {"flac": b"fLaC", "aiff": b"FORM", "au": b".snd"}
     for _, r in df.iterrows():
         b = bytes(r["bytes"])
         pcm, rate = decode_audio(b)
         assert pcm.shape[0] == r["n_samples_true"]
-        assert rate == (8000 if r["fmt"] in ("ulaw", "alaw") else 16000)
+        assert rate == (
+            8000 if r["fmt"] in ("ulaw", "alaw", "au") else 16000
+        )
         if r["fmt"] in tags:
             i = b.index(b"fmt ") + 8
             (tag,) = struct.unpack_from("<H", b, i)
             assert tag == tags[r["fmt"]]
-        elif r["fmt"] == "flac":
-            assert b[:4] == b"fLaC"
+        elif r["fmt"] in magics:
+            assert b[:4] == magics[r["fmt"]]

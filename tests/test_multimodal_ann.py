@@ -85,7 +85,9 @@ def test_audio_features_match_golden(spark):
     )
 
     clips = generate_audio_pandas(30, seed=53)
-    assert {"wav", "faud", "adpcm", "ulaw", "alaw", "flac"} == set(clips["fmt"])
+    assert {
+        "wav", "faud", "adpcm", "ulaw", "alaw", "flac", "aiff", "au"
+    } == set(clips["fmt"])
     out = (
         with_audio_features(spark.createDataFrame(clips))
         .select("clip_id", "n_samples", "sample_rate", "rms", "zero_crossings")
