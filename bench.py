@@ -116,6 +116,7 @@ HEADLINE = [
     "shard_pack_images",
     "jpeg_features_images",
     "exif_orient_images",
+    "mixed_format_features",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

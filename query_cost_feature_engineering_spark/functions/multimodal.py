@@ -197,6 +197,50 @@ def with_exif_display_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return r.withColumns({c: F.col(f"_e.{c}") for c in out_cols}).drop("_e")
 
 
+# --- mixed-format decode metadata (scalar struct pandas UDF) ----------------
+
+_DECODE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("corner_mean", T.DoubleType()),
+    ]
+)
+
+
+def with_decoded_meta(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Decode EVERY supported still-image format through the one
+    ``codecs.decode_image`` dispatch and emit decoded dims + global
+    and corner pixel means — the capstone pass proving the whole
+    codec surface behind a single map-only Arrow UDF (fmt variants
+    like 'jpeg_prog' normalize to their dispatch family)."""
+
+    @F.pandas_udf(_DECODE_META_SCHEMA)
+    def _meta(data: pd.Series, fmts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, fmt in zip(data, fmts):
+            f = "jpeg" if str(fmt).startswith("jpeg") else str(fmt)
+            arr = decode_image(bytes(b), f)
+            rows.append(
+                {
+                    "dec_w": arr.shape[1],
+                    "dec_h": arr.shape[0],
+                    "px_mean": float(arr.astype(np.float64).mean()),
+                    "corner_mean": float(
+                        arr[:4, :4].astype(np.float64).mean()
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    r = df.withColumn("_m", _meta(F.col(bytes_col), F.col(fmt_col)))
+    out_cols = [f.name for f in _DECODE_META_SCHEMA.fields]
+    return r.withColumns({c: F.col(f"_m.{c}") for c in out_cols}).drop("_m")
+
+
 # --- format sniffing (mapInArrow, zero-copy) --------------------------------
 
 _MAGIC = [

@@ -318,6 +318,48 @@ def ensure_exif_fixture(n: int = 160, seed: int = 57) -> str:
     return _write_fixture("exif_orient", out)
 
 
+def ensure_mixed_format_fixture(n: int = 180, seed: int = 58) -> str:
+    """Expected rows for mixed_format_features via the single-process
+    decode core. Before writing, independently ENFORCES each format's
+    fidelity class against the pre-encode arrays: bit-exact for the
+    lossless seven (png/gif/bmp/tiff/ico/ppm/tga) and PSNR >= 40 dB
+    for the two JPEG codings — a codec regression fails the oracle
+    build loudly."""
+    from query_cost_feature_engineering_spark.codecs import decode_image
+    from query_cost_feature_engineering_spark.jpeg import psnr
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_mixed_images_pandas,
+    )
+
+    pdf = generate_mixed_images_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        fmt = str(pdf["fmt"].iloc[i])
+        f = "jpeg" if fmt.startswith("jpeg") else fmt
+        arr = decode_image(bytes(pdf["bytes"].iloc[i]), f)
+        true = pdf["arr_true"].iloc[i]
+        if fmt.startswith("jpeg"):
+            p = psnr(true, arr)
+            assert p >= 40.0, f"{fmt} fidelity regression: {p:.2f} dB"
+        else:
+            assert np.array_equal(arr, true), f"{fmt} must be lossless"
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                fmt,
+                arr.shape[1],
+                arr.shape[0],
+                float(arr.astype(np.float64).mean()),
+                float(arr[:4, :4].astype(np.float64).mean()),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["image_id", "fmt", "dec_w", "dec_h", "px_mean", "corner_mean"],
+    )
+    return _write_fixture("mixed_format", out)
+
+
 # INDEPENDENT magic-byte table for the sniff oracle — written from the
 # published file-format specs (PNG \x89PNG, JPEG SOI \xff\xd8\xff, RIFF
 # form types) and the repo's stub container signatures spelled out as

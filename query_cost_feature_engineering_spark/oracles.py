@@ -1583,6 +1583,12 @@ def _fixture_oracles() -> dict[str, str]:
         # fixture (plumbing-pinning); the fixture BUILD enforces the
         # per-image PSNR >= 40 dB codec invariant, so a codec
         # regression fails here loudly.
+        "mixed_format_features": f"""
+            SELECT image_id, fmt, dec_w, dec_h,
+                   round(px_mean + 1e-9, 4) AS px_mean,
+                   round(corner_mean + 1e-9, 4) AS corner_mean
+            FROM read_parquet('{G.ensure_mixed_format_fixture()}')
+        """,
         "exif_orient_images": f"""
             SELECT image_id, orientation_true, orientation,
                    disp_w, disp_h,

@@ -3282,6 +3282,39 @@ def exif_orient_images(spark, sf_dir):
     )
 
 
+def mixed_format_features(spark, sf_dir):
+    """The capstone decode pass: a NINE-format corpus (png / baseline
+    jpeg / progressive jpeg / gif / bmp / tiff-LZW / ico / ppm / tga)
+    through the single ``decode_image`` dispatch in one map-only
+    Arrow UDF — decoded dims + global/corner pixel means per image.
+    Every format's decode is independently pinned by its own codec
+    tests; this query proves the engine-side story — one UDF, one
+    fmt-normalizing dispatch, bytes never shuffled — is
+    format-uniform, oracle-checked against a single-process recompute
+    of the same corpus.
+
+    Plan shape: identical to the flagship decode stage (map-only,
+    zero exchanges — plan-audited)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_decoded_meta,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_mixed_images_pandas,
+    )
+
+    pdf = generate_mixed_images_pandas(180, seed=58).drop(columns=["arr_true"])
+    img = spark.createDataFrame(pdf)
+    out = with_decoded_meta(img)
+    return out.select(
+        "image_id",
+        "fmt",
+        F.col("dec_w").cast("long").alias("dec_w"),
+        F.col("dec_h").cast("long").alias("dec_h"),
+        _rq("px_mean", 4).alias("px_mean"),
+        _rq("corner_mean", 4).alias("corner_mean"),
+    )
+
+
 def format_sniff_images(spark, sf_dir):
     """mapInArrow data-quality pass: magic-byte format sniffing vs the
     declared fmt column (rows-only; golden-tested with mislabeled rows)."""
@@ -4100,6 +4133,7 @@ REGISTRY = {
     "shard_pack_images": shard_pack_images,
     "jpeg_features_images": jpeg_features_images,
     "exif_orient_images": exif_orient_images,
+    "mixed_format_features": mixed_format_features,
     "audio_features_clips": audio_features_clips,
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
@@ -4121,6 +4155,7 @@ _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
     "exif_orient_images",
+    "mixed_format_features",
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
     "token_stats_docs",
     "gopher_quality_docs", "c4_clean_docs", "shard_shuffle_docs",

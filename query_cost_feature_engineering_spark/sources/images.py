@@ -320,3 +320,89 @@ def generate_exif_images_pandas(n: int, seed: int = 57) -> pd.DataFrame:
     pdf["bytes"] = blobs
     pdf["orientation_true"] = orients
     return pdf
+
+
+def generate_mixed_images_pandas(n: int, seed: int = 58) -> pd.DataFrame:
+    """Nine-format image corpus — the full decode surface in one
+    table: png, jpeg (baseline), jpeg (progressive), gif, bmp, tiff
+    (LZW), ico, ppm, tga cycle per row through the ONE dispatch
+    (``codecs.decode_image``). Content is palette-limited for the
+    paletted format (GIF needs ≤256 distinct colors) and smooth for
+    the lossy ones (the 40 dB contract's precondition); every row
+    carries the pre-encode array (``arr_true``, dropped before Spark)
+    so fixtures can pin lossless formats exactly and lossy ones by
+    decode-recompute."""
+    from query_cost_feature_engineering_spark.codecs import (
+        encode_bmp,
+        encode_ico,
+        encode_pnm,
+        encode_tga,
+    )
+    from query_cost_feature_engineering_spark.gif import encode_gif
+    from query_cost_feature_engineering_spark.jpeg import encode_jpeg
+    from query_cost_feature_engineering_spark.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+    from query_cost_feature_engineering_spark.tiff import encode_tiff
+
+    fmts = [
+        "png", "jpeg", "jpeg_prog", "gif", "bmp", "tiff", "ico", "ppm",
+        "tga",
+    ]
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.choice(SIZES))
+        w = int(rng.choice(SIZES))
+        fmt = fmts[i % len(fmts)]
+        if fmt == "gif":  # paletted content: lossless under GIF
+            pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+            arr = pal[rng.integers(0, 32, (h, w))]
+        elif fmt in ("jpeg", "jpeg_prog"):  # smooth content for lossy:
+            # the same gradient + low-frequency sinusoid recipe the
+            # jpeg corpus uses (white noise cannot clear 40 dB under
+            # ANY conforming lossy codec)
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            g = (yy * 255) // max(h - 1, 1)
+            g2 = (xx * 255) // max(w - 1, 1)
+            tex = float(rng.uniform(6.0, 16.0)) * np.sin(
+                yy / float(rng.uniform(4.0, 9.0))
+            ) * np.cos(xx / float(rng.uniform(4.0, 9.0)))
+            arr = np.clip(
+                np.stack(
+                    [(g + g2) // 2 + tex, g + tex / 2.0, 255 - g2 + tex],
+                    axis=-1,
+                ),
+                0, 255,
+            ).astype(np.uint8)
+        else:
+            arr = _pixels(rng, h, w)
+        if fmt == "ico":  # ICO members are <=256px; SIZES qualify
+            data = encode_ico(arr)
+        elif fmt == "png":
+            data = encode_png(arr)
+        elif fmt == "jpeg":
+            data = encode_jpeg(arr, quality=92)
+        elif fmt == "jpeg_prog":
+            data = encode_jpeg_progressive(arr, quality=92)
+        elif fmt == "gif":
+            data = encode_gif(arr)
+        elif fmt == "bmp":
+            data = encode_bmp(arr)
+        elif fmt == "tiff":
+            data = encode_tiff(arr, compression="lzw")
+        elif fmt == "ppm":
+            data = encode_pnm(arr)
+        else:
+            data = encode_tga(arr, rle=bool(i % 2))
+        rows.append(
+            {
+                "image_id": f"mix{i:06d}",
+                "bytes": data,
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": fmt,
+                "arr_true": arr,
+            }
+        )
+    return pd.DataFrame(rows)
