@@ -2480,3 +2480,33 @@ def _bpe_train_sql() -> str:
 
 
 ORACLES["bpe_train_docs"] = _bpe_train_sql()
+
+
+# merge_upsert_orders: the snapshot-table MERGE result is expressible as
+# src UNION ALL (base anti-join src); time-traveled v1 is just `base`.
+# Rounding mirrors queries._rq (+1e-9 nudge, 4 dp) on both sides.
+ORACLES["merge_upsert_orders"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+),
+base AS (
+  SELECT * FROM o WHERE o_orderkey % 32 <> 0
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM o WHERE o_orderkey % 32 = 1
+  UNION ALL
+  SELECT * FROM o WHERE o_orderkey % 32 = 0
+),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+)
+SELECT CAST(m.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(m.o_custkey AS BIGINT) AS o_custkey,
+       round(m.o_totalprice + 1e-9, 4) AS total,
+       round(b.o_totalprice + 1e-9, 4) AS total_v1
+FROM merged m LEFT JOIN base b ON m.o_orderkey = b.o_orderkey
+"""

@@ -4028,7 +4028,63 @@ def stream_image_features(spark, sf_dir):
     )
 
 
+def merge_upsert_orders(spark, sf_dir):
+    """Snapshot-table MERGE upsert + time travel, end to end on disk.
+
+    The north-rule input is an Iceberg table; `runtime/snapshots.py` is
+    the raw-parquet substitute (COVERAGE.md), and this query drives its
+    full copy-on-write commit path the way an incremental ingest would:
+    (1) commit a base snapshot of orders missing every 32nd key and with
+    keys ≡1 (mod 32) at their original price; (2) MERGE a source batch
+    that doubles the price of the ≡1 keys (update) and restores the ≡0
+    keys (insert); (3) read the CURRENT version and LEFT-join the
+    time-traveled base version to emit old-vs-new prices per key.
+
+    Plan shape (10^12-row safe): the merge's affected-file discovery is
+    one key-column semi-join grouped by input_file_name (payload columns
+    pruned from the scan); only files containing matched keys are
+    rewritten — the base is range-partitioned on the key so the ~1/31
+    matched keys touch every file here, but the carried/rewritten split
+    is exactly Iceberg's copy-on-write contract (pinned byte-identical in
+    tests/test_snapshots.py). The final old-vs-new join is a plain
+    shuffle join on the key. Oracle: the merge result is SQL-expressible
+    as src ∪ (base ⋉̸ src) — see oracles.py."""
+    import tempfile
+
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 32 != 0).repartitionByRange(
+        8, "o_orderkey"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 32 == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(orders.filter(F.col("o_orderkey") % 32 == 0))
+    )
+    d = tempfile.mkdtemp(prefix="snaptbl_", dir=_workdir())
+    v1 = S.write_snapshot(base, d, mode="overwrite")["version"]
+    S.merge_into(spark, d, src, on=["o_orderkey"])
+    cur = S.read_table(spark, d)
+    old = S.read_table(spark, d, version=v1).select(
+        "o_orderkey", F.col("o_totalprice").alias("_old")
+    )
+    return cur.join(old, "o_orderkey", "left").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        _rq("o_totalprice").alias("total"),
+        _rq("_old").alias("total_v1"),
+    )
+
+
 REGISTRY = {
+    "merge_upsert_orders": merge_upsert_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4154,6 +4210,7 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "merge_upsert_orders",
     "exif_orient_images",
     "mixed_format_features",
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",

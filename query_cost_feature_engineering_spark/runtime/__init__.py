@@ -7,6 +7,15 @@ from query_cost_feature_engineering_spark.runtime.layout import (
     pruning_ratio,
     read_pruned,
     write_range_layout,
+    write_zorder_layout,
+)
+from query_cost_feature_engineering_spark.runtime.snapshots import (
+    delete_where,
+    expire_snapshots,
+    merge_into,
+    read_table,
+    snapshot_log,
+    write_snapshot,
 )
 
 __all__ = [
@@ -16,4 +25,11 @@ __all__ = [
     "pruning_ratio",
     "read_pruned",
     "write_range_layout",
+    "write_zorder_layout",
+    "delete_where",
+    "expire_snapshots",
+    "merge_into",
+    "read_table",
+    "snapshot_log",
+    "write_snapshot",
 ]

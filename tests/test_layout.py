@@ -89,3 +89,53 @@ def test_observe_counts_piggybacks_on_the_action(spark, tmp_path):
     assert m["rows"] == e.count()
     assert m["n_click"] == e.filter(F.col("event_type") == "click").count()
     assert abs(m["sum_value"] - e.agg(F.sum("value")).first()[0]) < 1e-6
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order on (x, y): a narrow filter on EITHER column skips most
+    row groups; a range layout on x alone skips nothing for y filters."""
+    from query_cost_feature_engineering_spark.runtime.layout import (
+        write_zorder_layout,
+    )
+
+    n = 200_000
+    grid = spark.range(n).select(
+        (F.col("id") % 447).cast("long").alias("x"),
+        ((F.col("id") * 7919) % 449).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir = str(tmp_path / "z")
+    xdir = str(tmp_path / "xr")
+    write_zorder_layout(grid, zdir, ["x", "y"], bits=9, n_files=32)
+    write_range_layout(grid, xdir, ["x"], n_files=32)
+
+    fx_z, _, nz = pruning_ratio(zdir, "x", 10, 30)
+    fy_z, _, _ = pruning_ratio(zdir, "y", 10, 30)
+    fy_x, _, nx = pruning_ratio(xdir, "y", 10, 30)
+    fx_x, _, _ = pruning_ratio(xdir, "x", 10, 30)
+    assert nz >= 32 and nx >= 32
+    # x-range layout: perfect on x, useless on y
+    assert fx_x >= 0.9 and fy_x == 0.0, (fx_x, fy_x)
+    # z-order: substantial skipping on BOTH axes (~5% windows)
+    assert fx_z >= 0.5 and fy_z >= 0.5, (fx_z, fy_z)
+
+
+def test_zorder_scan_is_lossless(spark, tmp_path):
+    from query_cost_feature_engineering_spark.runtime.layout import (
+        write_zorder_layout,
+    )
+
+    grid = spark.range(50_000).select(
+        (F.col("id") % 223).cast("long").alias("x"),
+        ((F.col("id") * 31) % 227).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    d = str(tmp_path / "z2")
+    write_zorder_layout(grid, d, ["x", "y"], bits=8, n_files=8)
+    want = sorted(
+        r.payload for r in grid.filter("y between 40 and 60").collect()
+    )
+    got = sorted(
+        r.payload for r in read_pruned(spark, d, "y", 40, 60).collect()
+    )
+    assert got == want and len(want) > 0
