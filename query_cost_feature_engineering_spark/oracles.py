@@ -2510,3 +2510,15 @@ SELECT CAST(m.o_orderkey AS BIGINT) AS o_orderkey,
        round(b.o_totalprice + 1e-9, 4) AS total_v1
 FROM merged m LEFT JOIN base b ON m.o_orderkey = b.o_orderkey
 """
+
+
+# stream_upsert_events: CDC convergence is order-independent — the table
+# ends at the max-event_id row per user whatever the micro-batching.
+ORACLES["stream_upsert_events"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       round(value + 1e-9, 4) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""

@@ -4028,6 +4028,55 @@ def stream_image_features(spark, sf_dir):
     )
 
 
+def stream_upsert_events(spark, sf_dir):
+    """Streaming CDC upsert: the events table split into three change
+    files, drained one per micro-batch through `streaming/upsert` into a
+    snapshot table — per-batch copy-on-write MERGE with the Delta
+    txnAppId/txnVersion idempotence stamp, so a crash-replayed batch is
+    skipped (pinned in tests/test_streaming.py). The converged table is
+    "latest event per user" (seq = the unique event_id), which is the
+    batch-SQL answer regardless of micro-batch boundaries — the oracle
+    is one QUALIFY row_number() = 1 per user."""
+    import os
+    import tempfile
+
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.streaming.upsert import (
+        stream_upsert_to_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_", dir=_workdir())
+    src = os.path.join(root, "src")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    changes = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    table = os.path.join(root, "tbl")
+    stream_upsert_to_table(
+        changes,
+        table,
+        os.path.join(root, "ck"),
+        on=["user_id"],
+        seq_col="event_id",
+    )
+    return S.read_table(spark, table).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        _rq("value").alias("value"),
+    )
+
+
 def merge_upsert_orders(spark, sf_dir):
     """Snapshot-table MERGE upsert + time travel, end to end on disk.
 
@@ -4085,6 +4134,7 @@ def merge_upsert_orders(spark, sf_dir):
 
 REGISTRY = {
     "merge_upsert_orders": merge_upsert_orders,
+    "stream_upsert_events": stream_upsert_events,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4211,6 +4261,7 @@ _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
     "merge_upsert_orders",
+    "stream_upsert_events",
     "exif_orient_images",
     "mixed_format_features",
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",

@@ -147,12 +147,33 @@ def _write_data(df: DataFrame, table_dir: str, version: int) -> list[str]:
     )
 
 
+def _txn_map(table_dir: str, parent: int) -> dict:
+    if not parent:
+        return {}
+    return dict(snapshot_meta(table_dir, parent).get("stream_txn", {}))
+
+
+def txn_version(table_dir: str, app_id: str) -> int:
+    """Last transaction id committed for ``app_id``, -1 if none — the
+    Delta ``txnAppId``/``txnVersion`` idempotence handle: a streaming
+    writer replaying micro-batch b after a crash checks
+    ``b <= txn_version(...)`` and skips the duplicate commit."""
+    if current_version(table_dir) == 0:
+        return -1
+    return int(_txn_map(table_dir, current_version(table_dir)).get(app_id, -1))
+
+
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Commit ``df`` as a new snapshot. ``mode='append'`` keeps the
     parent's files and adds new ones; ``'overwrite'`` starts the file
-    list fresh (parent data stays readable via time travel)."""
+    list fresh (parent data stays readable via time travel). ``txn=
+    (app_id, version)`` stamps a writer transaction for idempotent
+    streaming commits (see ``txn_version``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = current_version(table_dir)
@@ -167,6 +188,8 @@ def write_snapshot(
         "files": sorted(files),
         "schema": df.schema.json(),
         "summary": {"files_added": len(new_files)},
+        "stream_txn": _txn_map(table_dir, parent)
+        | (dict([txn]) if txn else {}),
     }
     _commit(table_dir, rec)
     return rec
@@ -243,6 +266,9 @@ def delete_where(
             "rows_deleted": int(n_before - n_after),
             "predicate": predicate,
         },
+        # carry writer-txn state so a maintenance delete between stream
+        # batches doesn't reset streaming idempotence
+        "stream_txn": _txn_map(table_dir, parent),
     }
     _commit(table_dir, rec)
     return rec["summary"] | {"version": version}
@@ -265,6 +291,7 @@ def merge_into(
     source: DataFrame,
     on: list[str],
     validate_source_keys: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Copy-on-write MERGE INTO (upsert): WHEN MATCHED update all
     columns from source, WHEN NOT MATCHED insert the source row.
@@ -336,6 +363,8 @@ def merge_into(
             "files_rewritten": len(affected_rel),
             "files_carried": len(keep_files),
         },
+        "stream_txn": _txn_map(table_dir, parent)
+        | (dict([txn]) if txn else {}),
     }
     _commit(table_dir, rec)
     return rec["summary"] | {"version": version}

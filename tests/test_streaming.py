@@ -403,3 +403,129 @@ def test_feature_store_additive_schema_evolution(spark, tmp_path):
     assert "quality" in merged.columns
     assert merged.count() == 120
     assert merged.filter(F.col("quality").isNull()).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# CDC stream -> snapshot-table upsert (streaming/upsert.py)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_batch(spark, rows):
+    return spark.createDataFrame(rows, ["k", "seq", "val"])
+
+
+def test_stream_upsert_converges_to_latest_per_key(spark, tmp_path):
+    """Three CDC files drained one per micro-batch must leave the table
+    at exactly the highest-seq row per key, equal to the batch answer."""
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.streaming.upsert import (
+        latest_per_key,
+        stream_upsert_to_table,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    batches = [
+        [(1, 1, "a1"), (2, 2, "b1"), (2, 1, "stale")],  # intra-batch dup key
+        [(1, 3, "a2"), (3, 4, "c1")],
+        [(2, 5, "b2")],
+    ]
+    for i, rows in enumerate(batches):
+        _cdc_batch(spark, rows).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    table = str(tmp_path / "tbl")
+    changes = (
+        spark.readStream.schema("k bigint, seq bigint, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    stream_upsert_to_table(
+        changes, table, str(tmp_path / "ck"), on=["k"], seq_col="seq"
+    )
+    got = {r.k: (r.seq, r.val) for r in S.read_table(spark, table).collect()}
+    all_rows = _cdc_batch(spark, [r for b in batches for r in b])
+    want = {
+        r.k: (r.seq, r.val)
+        for r in latest_per_key(all_rows, ["k"], "seq").collect()
+    }
+    assert got == want == {1: (3, "a2"), 2: (5, "b2"), 3: (4, "c1")}
+    # multiple snapshots committed (one per non-empty micro-batch)
+    assert S.current_version(table) >= 2
+
+
+def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch (same batch_id) must be skipped: the
+    table version and contents do not change."""
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.streaming.upsert import (
+        apply_cdc_batch,
+    )
+
+    table = str(tmp_path / "tbl")
+    b0 = _cdc_batch(spark, [(1, 1, "a"), (2, 1, "b")])
+    b1 = _cdc_batch(spark, [(1, 2, "a2")])
+    assert apply_cdc_batch(spark, b0, 0, table, ["k"], "seq", "app") == "bootstrap"
+    assert apply_cdc_batch(spark, b1, 1, table, ["k"], "seq", "app") == "merged"
+    v = S.current_version(table)
+    # replay both batches, as a restarted stream would after a lost sink ack
+    assert apply_cdc_batch(spark, b0, 0, table, ["k"], "seq", "app") == "skipped"
+    assert apply_cdc_batch(spark, b1, 1, table, ["k"], "seq", "app") == "skipped"
+    assert S.current_version(table) == v
+    got = {r.k: r.val for r in S.read_table(spark, table).collect()}
+    assert got == {1: "a2", 2: "b"}
+    # a DIFFERENT writer app is not blocked by this app's txn watermark
+    b2 = _cdc_batch(spark, [(3, 1, "c")])
+    assert apply_cdc_batch(spark, b2, 0, table, ["k"], "seq", "other") == "merged"
+
+
+def test_stream_upsert_resume_continues_not_reapplies(spark, tmp_path):
+    """Restarting the drained stream with the same checkpoint is a no-op;
+    adding a new source file processes ONLY that file."""
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.streaming.upsert import (
+        stream_upsert_to_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _cdc_batch(spark, [(1, 1, "a")]).coalesce(1).write.parquet(str(src / "f0"))
+
+    table = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        changes = (
+            spark.readStream.schema("k bigint, seq bigint, val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        stream_upsert_to_table(changes, table, ck, on=["k"], seq_col="seq")
+
+    drain()
+    v1 = S.current_version(table)
+    drain()  # nothing new: no commit
+    assert S.current_version(table) == v1
+    _cdc_batch(spark, [(1, 2, "a2")]).coalesce(1).write.parquet(str(src / "f1"))
+    drain()
+    assert S.current_version(table) == v1 + 1
+    got = {r.k: r.val for r in S.read_table(spark, table).collect()}
+    assert got == {1: "a2"}
+
+
+def test_stream_upsert_out_of_order_batches_cannot_regress(spark, tmp_path):
+    """A stale change arriving in a LATER micro-batch must not overwrite
+    a newer row (the out-of-order CDC guard)."""
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.streaming.upsert import (
+        apply_cdc_batch,
+    )
+
+    table = str(tmp_path / "tbl")
+    b0 = _cdc_batch(spark, [(1, 5, "newer"), (2, 1, "b")])
+    b1 = _cdc_batch(spark, [(1, 3, "stale-late")])          # all stale
+    b2 = _cdc_batch(spark, [(1, 4, "still-stale"), (3, 1, "c")])  # mixed
+    assert apply_cdc_batch(spark, b0, 0, table, ["k"], "seq", "a") == "bootstrap"
+    assert apply_cdc_batch(spark, b1, 1, table, ["k"], "seq", "a") == "stale"
+    assert apply_cdc_batch(spark, b2, 2, table, ["k"], "seq", "a") == "merged"
+    got = {r.k: (r.seq, r.val) for r in S.read_table(spark, table).collect()}
+    assert got == {1: (5, "newer"), 2: (1, "b"), 3: (1, "c")}
