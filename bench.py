@@ -117,6 +117,10 @@ HEADLINE = [
     "jpeg_features_images",
     "exif_orient_images",
     "mixed_format_features",
+    # round 5: snapshot-table runtime (copy-on-write MERGE + time travel;
+    # streaming CDC upsert with idempotent per-batch merge commits)
+    "merge_upsert_orders",
+    "stream_upsert_events",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -11,6 +11,8 @@ from query_cost_feature_engineering_spark.runtime.layout import (
 )
 from query_cost_feature_engineering_spark.runtime.snapshots import (
     delete_where,
+    read_changes,
+    txn_version,
     expire_snapshots,
     merge_into,
     read_table,
@@ -30,6 +32,8 @@ __all__ = [
     "expire_snapshots",
     "merge_into",
     "read_table",
+    "read_changes",
+    "txn_version",
     "snapshot_log",
     "write_snapshot",
 ]

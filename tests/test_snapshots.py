@@ -152,3 +152,32 @@ def test_schema_preserved_through_empty_snapshot(spark, tmp_path):
     cur = S.read_table(spark, d)
     assert cur.count() == 0
     assert [f.name for f in cur.schema.fields] == ["k", "grp", "val"]
+
+
+def test_read_changes_append_fast_path_reads_only_added_files(spark, table):
+    """Incremental scan over append-only history touches ONLY the files
+    the commits added — never the base table."""
+    v1 = S.current_version(table)
+    S.write_snapshot(_mk(spark, [(500, 5, 5.0)]), table, mode="append")
+    S.write_snapshot(_mk(spark, [(501, 5, 5.5)]), table, mode="append")
+    v3 = S.current_version(table)
+    ch = S.read_changes(spark, table, v1, v3)
+    got = sorted(r.k for r in ch.collect())
+    assert got == [500, 501]
+    base_files = {
+        str(Path(table) / f) for f in S.snapshot_meta(table, v1)["files"]
+    }
+    touched = {f.removeprefix("file:") for f in ch.inputFiles()}
+    assert touched.isdisjoint(base_files)
+    # empty range
+    assert S.read_changes(spark, table, v3, v3).count() == 0
+
+
+def test_read_changes_rewrite_falls_back_to_exact_diff(spark, table):
+    """A merge in the range forces the row-level diff: carried-over rows
+    must NOT appear as changes."""
+    v1 = S.current_version(table)
+    src = _mk(spark, [(0, 9, -1.0), (700, 7, 7.0)])  # update k=0, insert 700
+    S.merge_into(spark, table, src, on=["k"])
+    ch = {r.k: (r.grp, r.val) for r in S.read_changes(spark, table, v1).collect()}
+    assert ch == {0: (9, -1.0), 700: (7, 7.0)}
