@@ -10,6 +10,7 @@ from query_cost_feature_engineering_spark.runtime.layout import (
     write_zorder_layout,
 )
 from query_cost_feature_engineering_spark.runtime.snapshots import (
+    compact_table,
     delete_where,
     read_changes,
     txn_version,
@@ -28,6 +29,7 @@ __all__ = [
     "read_pruned",
     "write_range_layout",
     "write_zorder_layout",
+    "compact_table",
     "delete_where",
     "expire_snapshots",
     "merge_into",

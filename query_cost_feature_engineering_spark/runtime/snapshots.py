@@ -127,10 +127,14 @@ def read_table(
     readable (until ``expire_snapshots`` physically removes them)."""
     meta = snapshot_meta(table_dir, version)
     files = _data_files(table_dir, version)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
     if not files:
-        schema = StructType.fromJson(json.loads(meta["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    # read under the SNAPSHOT's schema, not a sampled footer: after an
+    # additive schema evolution, files from older commits simply lack the
+    # new columns and surface them as nulls — no mergeSchema footer sweep
+    # (which reads every footer at planning time) needed
+    return spark.read.schema(schema).parquet(*files)
 
 
 def _write_data(df: DataFrame, table_dir: str, version: int) -> list[str]:
@@ -163,6 +167,29 @@ def txn_version(table_dir: str, app_id: str) -> int:
     return int(_txn_map(table_dir, current_version(table_dir)).get(app_id, -1))
 
 
+def _evolve_schema(parent_schema_json: str, df: DataFrame) -> str:
+    """Additive schema evolution for appends: the snapshot schema is the
+    parent's fields (types must match where the new data has them) plus
+    any NEW fields the appended data introduces, in order. Old files
+    never rewrite — ``read_table`` surfaces their missing columns as
+    nulls. Type changes and renames are rejected loudly (they would
+    silently corrupt old data under a positional parquet read)."""
+    parent = StructType.fromJson(json.loads(parent_schema_json))
+    new_by_name = {f.name: f for f in df.schema.fields}
+    for f in parent.fields:
+        g = new_by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution is additive-only: column {f.name!r} "
+                f"changed type {f.dataType} -> {g.dataType}"
+            )
+    known = {f.name for f in parent.fields}
+    merged = list(parent.fields) + [
+        f for f in df.schema.fields if f.name not in known
+    ]
+    return StructType(merged).json()
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -178,6 +205,11 @@ def write_snapshot(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = current_version(table_dir)
     version = parent + 1
+    schema_json = df.schema.json()
+    if mode == "append" and parent:
+        schema_json = _evolve_schema(
+            snapshot_meta(table_dir, parent)["schema"], df
+        )
     new_files = _write_data(df, table_dir, version)
     prev = snapshot_meta(table_dir, parent)["files"] if parent else []
     files = (prev + new_files) if mode == "append" else new_files
@@ -186,7 +218,7 @@ def write_snapshot(
         "parent": parent,
         "operation": mode,
         "files": sorted(files),
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "summary": {"files_added": len(new_files)},
         "stream_txn": _txn_map(table_dir, parent)
         | (dict([txn]) if txn else {}),
@@ -418,6 +450,51 @@ def read_changes(
     return read_table(spark, table_dir, to_v).exceptAll(
         read_table(spark, table_dir, from_version)
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite the current snapshot's files into ~``target_bytes`` files
+    as a NEW snapshot (Iceberg ``rewrite_data_files``): rows are
+    untouched (verified by count before commit), history stays readable,
+    and incremental consumers see zero changes across the compaction
+    (``read_changes`` takes the exact-diff path and returns empty —
+    pinned by test). Unlike `runtime/compact.py` (in-place dir swap for
+    plain parquet dirs), nothing is moved or deleted here — old files
+    fall out via ``expire_snapshots``."""
+    parent = current_version(table_dir)
+    meta = snapshot_meta(table_dir, parent)
+    root = Path(table_dir)
+    files = _data_files(table_dir, parent)
+    total = sum(Path(f).stat().st_size for f in files)
+    df = read_table(spark, table_dir, parent)
+    n_rows = df.count()
+    n_out = max(int(total / target_bytes), 1)
+    version = parent + 1
+    new_files = _write_data(df.repartition(n_out), table_dir, version)
+    n_new = spark.read.parquet(
+        *[str(root / f) for f in new_files]
+    ).count()
+    if n_new != n_rows:
+        raise RuntimeError(f"compaction row mismatch: {n_rows} -> {n_new}")
+    rec = {
+        "version": version,
+        "parent": parent,
+        "operation": "compact",
+        "files": sorted(new_files),
+        "schema": meta["schema"],
+        "summary": {
+            "files_before": len(files),
+            "files_after": len(new_files),
+            "rows": int(n_rows),
+        },
+        "stream_txn": _txn_map(table_dir, parent),
+    }
+    _commit(table_dir, rec)
+    return rec["summary"] | {"version": version}
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

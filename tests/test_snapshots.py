@@ -181,3 +181,46 @@ def test_read_changes_rewrite_falls_back_to_exact_diff(spark, table):
     S.merge_into(spark, table, src, on=["k"])
     ch = {r.k: (r.grp, r.val) for r in S.read_changes(spark, table, v1).collect()}
     assert ch == {0: (9, -1.0), 700: (7, 7.0)}
+
+
+def test_schema_evolution_additive_append(spark, table):
+    """Appending rows with a NEW column evolves the snapshot schema;
+    old files surface the column as null, history keeps the old shape."""
+    v1 = S.current_version(table)
+    evolved = spark.createDataFrame(
+        [(2000, 1, 1.0, "x")], ["k", "grp", "val", "tag"]
+    )
+    S.write_snapshot(evolved, table, mode="append")
+    cur = S.read_table(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["k", "grp", "val", "tag"]
+    assert cur.count() == 101
+    assert cur.filter("tag IS NULL").count() == 100  # old rows
+    assert cur.filter("tag = 'x'").count() == 1
+    # time travel reads the pre-evolution shape
+    old = S.read_table(spark, table, version=v1)
+    assert [f.name for f in old.schema.fields] == ["k", "grp", "val"]
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    bad = spark.createDataFrame([(1, 1, "not-a-double")], ["k", "grp", "val"])
+    with pytest.raises(ValueError, match="additive-only"):
+        S.write_snapshot(bad, table, mode="append")
+
+
+def test_compact_table_rewrites_files_not_rows(spark, table):
+    """Many small appended files compact into fewer; rows identical;
+    incremental consumers see zero changes across the compaction."""
+    for i in range(5):
+        S.write_snapshot(
+            _mk(spark, [(10_000 + i, 0, float(i))]), table, mode="append"
+        )
+    v_before = S.current_version(table)
+    before = _as_dict(S.read_table(spark, table))
+    n_files_before = len(S.snapshot_meta(table)["files"])
+    res = S.compact_table(spark, table)
+    assert res["files_after"] < n_files_before
+    assert res["rows"] == 105
+    assert _as_dict(S.read_table(spark, table)) == before
+    # history still readable, and the compaction produced no row changes
+    assert S.read_table(spark, table, version=v_before).count() == 105
+    assert S.read_changes(spark, table, v_before).count() == 0
