@@ -121,6 +121,7 @@ HEADLINE = [
     # streaming CDC upsert with idempotent per-batch merge commits)
     "merge_upsert_orders",
     "stream_upsert_events",
+    "incremental_read_orders",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -2522,3 +2522,14 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
 """
+
+
+# incremental_read_orders: the change set between the base commit (keys
+# % 3 = 0) and the head is exactly the two appended mod classes.
+ORACLES["incremental_read_orders"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       round(o_totalprice + 1e-9, 4) AS total
+FROM orders
+WHERE o_orderkey % 3 <> 0
+"""

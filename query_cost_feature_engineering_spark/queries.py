@@ -4077,6 +4077,41 @@ def stream_upsert_events(spark, sf_dir):
     )
 
 
+def incremental_read_orders(spark, sf_dir):
+    """Incremental consumption of an append-only snapshot table (Iceberg
+    incremental scan): orders land in three commits split by
+    o_orderkey % 3; a consumer who checkpointed at v1 reads changes
+    (v1, v3] — exactly the rows of commits 2 and 3, never the base.
+
+    Plan shape: `runtime/snapshots.read_changes` over append-only
+    history compiles to a parquet scan of ONLY the files the two later
+    commits added — no join, no diff, no base-table IO (O(delta);
+    pinned via inputFiles in tests/test_snapshots.py). Oracle: the mod
+    split makes the change set `o_orderkey % 3 <> 0`."""
+    import tempfile
+
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="snapinc_", dir=_workdir())
+    S.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 0), d, mode="overwrite"
+    )
+    v1 = S.current_version(d)
+    for m in (1, 2):
+        S.write_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 == m), d, mode="append"
+        )
+    ch = S.read_changes(spark, d, v1)
+    return ch.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        _rq("o_totalprice").alias("total"),
+    )
+
+
 def merge_upsert_orders(spark, sf_dir):
     """Snapshot-table MERGE upsert + time travel, end to end on disk.
 
@@ -4135,6 +4170,7 @@ def merge_upsert_orders(spark, sf_dir):
 REGISTRY = {
     "merge_upsert_orders": merge_upsert_orders,
     "stream_upsert_events": stream_upsert_events,
+    "incremental_read_orders": incremental_read_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4262,6 +4298,7 @@ _DRIVER_UNSEEN_ORACLED = [
     # eight new operators + the two rows-only -> oracle upgrades
     "merge_upsert_orders",
     "stream_upsert_events",
+    "incremental_read_orders",
     "exif_orient_images",
     "mixed_format_features",
     "span_dedup_docs", "lang_id_docs", "domain_dedup_docs",
