@@ -122,6 +122,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "stream_upsert_events",
     "incremental_read_orders",
+    "snapshot_prune_orders",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -2512,6 +2512,20 @@ FROM merged m LEFT JOIN base b ON m.o_orderkey = b.o_orderkey
 """
 
 
+# snapshot_prune_orders: the manifest-pruned read + residual filter is
+# semantically the plain filter (pruning only drops files PROVEN empty
+# for the predicate), so the aggregate mirrors directly; the max/8
+# threshold becomes a scalar subquery (integer division both sides).
+ORACLES["snapshot_prune_orders"] = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 4) AS total
+FROM orders
+WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+GROUP BY 1
+"""
+
+
 # stream_upsert_events: CDC convergence is order-independent — the table
 # ends at the max-event_id row per user whatever the micro-batching.
 ORACLES["stream_upsert_events"] = """

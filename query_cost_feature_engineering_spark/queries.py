@@ -4112,6 +4112,51 @@ def incremental_read_orders(spark, sf_dir):
     )
 
 
+def snapshot_prune_orders(spark, sf_dir):
+    """Manifest-level file pruning on a snapshot table (Iceberg's
+    per-manifest-entry column bounds — the metadata layer that turns a
+    selective scan of a 10^12-row table into O(matching files) instead
+    of O(all footers)): orders are committed range-partitioned on
+    o_orderkey into 8 disjoint-range files, each commit recording
+    per-file min/max from the parquet footers; the read asks for keys
+    ≤ max/8 via ``read_table(where=...)``, which drops ~7 of 8 files
+    DRIVER-SIDE from the stats alone — verified in-query (raises if
+    nothing pruned) and via inputFiles in tests/test_snapshots.py —
+    then applies the same predicate as a residual filter so the result
+    is exact regardless of pruning power.
+
+    Plan shape: the pruned read compiles to a parquet scan of only the
+    kept files + one shuffle for the groupBy; the pruning itself is
+    pure driver-side JSON metadata. Oracle: the same filter+aggregate
+    in DuckDB (the max/8 threshold is the SQL scalar subquery)."""
+    import tempfile
+
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="snapprune_", dir=_workdir())
+    S.write_snapshot(
+        orders.repartitionByRange(8, "o_orderkey"), d, mode="overwrite"
+    )
+    thresh = orders.agg(F.max("o_orderkey")).collect()[0][0] // 8
+    preds = [("o_orderkey", "<=", int(thresh))]
+    kept, pruned = S.prune_files(d, preds)
+    if not pruned:
+        raise RuntimeError(
+            f"manifest pruning had no effect: kept {len(kept)}, pruned 0"
+        )
+    return (
+        S.read_table(spark, d, where=preds)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _rq(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+
+
 def merge_upsert_orders(spark, sf_dir):
     """Snapshot-table MERGE upsert + time travel, end to end on disk.
 
@@ -4168,6 +4213,7 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 REGISTRY = {
+    "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
     "stream_upsert_events": stream_upsert_events,
     "incremental_read_orders": incremental_read_orders,
@@ -4296,6 +4342,7 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "snapshot_prune_orders",
     "merge_upsert_orders",
     "stream_upsert_events",
     "incremental_read_orders",

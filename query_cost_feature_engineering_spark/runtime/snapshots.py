@@ -21,6 +21,16 @@ semantics, implemented over plain parquet files + JSON metadata:
   ``MERGE INTO`` with write.delete.mode=copy-on-write): only the data
   files that actually contain affected rows are rewritten; every other
   file is carried into the new snapshot by reference, byte-identical.
+- **Manifest-level file pruning** (Iceberg: per-manifest-entry column
+  bounds): every commit records per-file min/max/null_count from the
+  new files' parquet footers (metadata-only; carried files keep the
+  bounds their writing commit recorded — immutable files, bounds exact
+  forever). ``read_table(where=[(col, op, lit), ...])`` /
+  ``prune_files`` drop files whose bounds prove no match BEFORE Spark
+  ever opens a footer — the step that makes a point lookup on a
+  10^12-row table O(matching files), not O(all footers).
+- **Rollback** (Iceberg ``rollback_to_snapshot``): one atomic metadata
+  commit pointing back at an old snapshot's files/schema/stats.
 
 Scale notes (the whole point of file-granular metadata at 10^12 rows):
 - Affected-file discovery is ONE Spark job — a semi-join of the target
@@ -39,6 +49,7 @@ dumps rewritten wholesale per run (``tpch_utils_knob.py:283,333-351``).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -50,6 +61,9 @@ from pyspark.sql.types import StructType
 
 SNAP_DIR = "_snapshots"
 _FILE_COL = "__qcfe_file"
+
+# predicate ops read_table(where=...) / prune_files understand; AND-combined
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
 def _snap_path(table_dir: str) -> Path:
@@ -117,24 +131,230 @@ def _data_files(table_dir: str, version: int | None = None) -> list[str]:
     return [str(root / rel) for rel in meta["files"]]
 
 
+def _stat_val(v):
+    """Normalize a parquet footer stat / predicate literal to a
+    JSON-storable, order-preserving primitive: numbers and bools stay
+    as-is, strings stay strings, date/timestamp become ISO-8601 strings
+    (lexicographic order == chronological order for the fixed format).
+    Returns None for types pruning doesn't support (binary, nested)."""
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_stats(
+    table_dir: str, rel_files: list[str], stats_cols: list[str] | None
+) -> dict:
+    """Per-file column min/max/null_count from the parquet FOOTERS of
+    freshly written files — metadata-only reads, no data pages touched
+    (Iceberg writers report the same bounds into the manifest at commit;
+    on a cluster the footer read runs where the commit runs, over the
+    files THIS commit added — O(new files), never O(table)).
+
+    Only stats-able primitive types are recorded (int/float/bool/string/
+    date/timestamp); binary payloads (the image ``bytes`` column) and
+    nested types are skipped. A column whose footer lacks min/max in any
+    row group is omitted for that file — pruning then keeps the file
+    (conservative). parquet-mr may truncate long binary bounds, but its
+    truncation keeps them valid (min prefix-truncated down, max
+    incremented up), so pruning on them stays correct."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    root = Path(table_dir)
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        pf = pq.ParquetFile(str(root / rel))
+        arrow_schema = pf.schema_arrow
+        eligible = []
+        for field in arrow_schema:
+            t = field.type
+            if stats_cols is not None and field.name not in stats_cols:
+                continue
+            if (
+                pat.is_integer(t)
+                or pat.is_floating(t)
+                or pat.is_boolean(t)
+                or pat.is_string(t)
+                or pat.is_large_string(t)
+                or pat.is_date(t)
+                or pat.is_timestamp(t)
+            ):
+                eligible.append(field.name)
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            out[rel] = {}
+            continue
+        # leaf-column index by path (top-level primitives: path == name)
+        rg0 = md.row_group(0)
+        col_idx = {
+            rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)
+        }
+        fstats: dict[str, dict] = {}
+        for name in eligible:
+            ci = col_idx.get(name)
+            if ci is None:
+                continue
+            mins, maxs = [], []
+            nulls: int | None = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                if nulls is not None and st.has_null_count:
+                    nulls += st.null_count
+                else:
+                    nulls = None
+            if not ok:
+                continue
+            lo, hi = _stat_val(min(mins)), _stat_val(max(maxs))
+            if lo is None or hi is None:
+                continue
+            fstats[name] = {
+                "min": lo,
+                "max": hi,
+                "null_count": nulls,
+                "num_rows": md.num_rows,
+            }
+        out[rel] = fstats
+    return out
+
+
+def _commit_stats(
+    table_dir: str,
+    parent_meta: dict | None,
+    keep_files: list[str],
+    new_files: list[str],
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Stats map for a new snapshot: carried files keep the bounds their
+    writing commit recorded (the files are immutable, so the bounds stay
+    exact forever); new files get fresh footer stats."""
+    carried = {}
+    if parent_meta is not None:
+        parent_stats = parent_meta.get("stats", {})
+        carried = {f: parent_stats[f] for f in keep_files if f in parent_stats}
+    return carried | _collect_stats(table_dir, new_files, stats_cols)
+
+
+def _cmp_compatible(a, b) -> bool:
+    """True when two normalized stat/literal values order consistently:
+    numerics compare cross-type (int vs float), everything else must be
+    the same type. bool is NOT numeric here (Python would happily order
+    True < 2, but a bool literal against an int column is a user bug)."""
+    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if a_num and b_num:
+        return True
+    return type(a) is type(b)
+
+
+def _file_may_match(fstats: dict, predicates: list[tuple]) -> bool:
+    """Conservative manifest check: False only when the file's recorded
+    [min, max] bounds PROVE no row can satisfy the AND of predicates.
+    Missing stats for a column ⇒ that predicate can't prune the file."""
+    for col, op, val in predicates:
+        s = fstats.get(col)
+        if not s:
+            continue
+        v = _stat_val(val)
+        lo, hi = s["min"], s["max"]
+        if v is None or not _cmp_compatible(lo, v):
+            continue
+        if (
+            s.get("null_count") is not None
+            and s["null_count"] == s.get("num_rows")
+        ):
+            return False  # every value NULL: no comparison can hold
+        if op == "=" and (v < lo or v > hi):
+            return False
+        if op == "<" and lo >= v:
+            return False
+        if op == "<=" and lo > v:
+            return False
+        if op == ">" and hi <= v:
+            return False
+        if op == ">=" and hi < v:
+            return False
+    return True
+
+
+def prune_files(
+    table_dir: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Split the snapshot's file list into (kept, pruned) under the
+    AND-combined ``(column, op, literal)`` predicates using ONLY the
+    manifest's per-file min/max — pure driver-side metadata, no file is
+    opened (Iceberg's manifest-entry bounds pruning: the step that turns
+    a point lookup on a 10^12-row table from "open every footer" into
+    "read the k files whose range covers the key")."""
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate must be (column, op, literal) with op in "
+                f"{_PRUNE_OPS}, got {p!r}"
+            )
+    meta = snapshot_meta(table_dir, version)
+    stats = meta.get("stats", {})
+    kept, pruned = [], []
+    for f in meta["files"]:
+        (kept if _file_may_match(stats.get(f, {}), predicates) else pruned).append(f)
+    return kept, pruned
+
+
 def read_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest) — time travel.
 
     Reads exactly the files the snapshot lists; files added by later
     commits are invisible, files logically deleted later are still
-    readable (until ``expire_snapshots`` physically removes them)."""
+    readable (until ``expire_snapshots`` physically removes them).
+
+    ``where``: optional list of ``(column, op, literal)`` with op in
+    ``=,<,<=,>,>=`` (AND semantics). The file list is first pruned
+    driver-side against the manifest's per-file min/max (see
+    ``prune_files``), then the SAME predicates are applied as residual
+    Spark filters — so results are exact regardless of how much the
+    stats could prune, and parquet row-group pruning still applies
+    within the kept files."""
     meta = snapshot_meta(table_dir, version)
-    files = _data_files(table_dir, version)
     schema = StructType.fromJson(json.loads(meta["schema"]))
+    if where:
+        kept, _ = prune_files(table_dir, where, version)
+        files = [str(Path(table_dir) / f) for f in kept]
+    else:
+        files = _data_files(table_dir, version)
     if not files:
         return spark.createDataFrame([], schema)
     # read under the SNAPSHOT's schema, not a sampled footer: after an
     # additive schema evolution, files from older commits simply lack the
     # new columns and surface them as nulls — no mergeSchema footer sweep
     # (which reads every footer at planning time) needed
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files)
+    for col, op, val in where or []:
+        c = F.col(col)
+        df = df.filter(
+            {
+                "=": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
+        )
+    return df
 
 
 def _write_data(df: DataFrame, table_dir: str, version: int) -> list[str]:
@@ -211,14 +431,17 @@ def write_snapshot(
             snapshot_meta(table_dir, parent)["schema"], df
         )
     new_files = _write_data(df, table_dir, version)
-    prev = snapshot_meta(table_dir, parent)["files"] if parent else []
-    files = (prev + new_files) if mode == "append" else new_files
+    parent_meta = snapshot_meta(table_dir, parent) if parent else None
+    prev = parent_meta["files"] if parent_meta else []
+    keep = prev if mode == "append" else []
+    files = keep + new_files
     rec = {
         "version": version,
         "parent": parent,
         "operation": mode,
         "files": sorted(files),
         "schema": schema_json,
+        "stats": _commit_stats(table_dir, parent_meta, keep, new_files),
         "summary": {"files_added": len(new_files)},
         "stream_txn": _txn_map(table_dir, parent)
         | (dict([txn]) if txn else {}),
@@ -293,6 +516,7 @@ def delete_where(
         "operation": "delete",
         "files": sorted(keep_files + new_files),
         "schema": meta["schema"],
+        "stats": _commit_stats(table_dir, meta, keep_files, new_files),
         "summary": {
             "files_rewritten": len(affected_rel),
             "rows_deleted": int(n_before - n_after),
@@ -391,6 +615,7 @@ def merge_into(
         "operation": "merge",
         "files": sorted(keep_files + new_files),
         "schema": meta["schema"],
+        "stats": _commit_stats(table_dir, meta, keep_files, new_files),
         "summary": {
             "files_rewritten": len(affected_rel),
             "files_carried": len(keep_files),
@@ -486,6 +711,7 @@ def compact_table(
         "operation": "compact",
         "files": sorted(new_files),
         "schema": meta["schema"],
+        "stats": _commit_stats(table_dir, None, [], new_files),
         "summary": {
             "files_before": len(files),
             "files_after": len(new_files),
@@ -495,6 +721,33 @@ def compact_table(
     }
     _commit(table_dir, rec)
     return rec["summary"] | {"version": version}
+
+
+def rollback_table(table_dir: str, version: int) -> dict:
+    """Roll the table back to ``version`` (Iceberg
+    ``rollback_to_snapshot``): a NEW commit whose file list, schema, and
+    stats are exactly the target snapshot's — nothing is copied or
+    deleted, history stays linear (the bad commits remain time-travel-
+    readable until ``expire_snapshots``), and the rollback itself is
+    one atomic metadata write. Streaming-writer txn state carries from
+    the CURRENT version, not the target: a rolled-back table must still
+    reject replays of micro-batches it has already absorbed."""
+    cur = current_version(table_dir)
+    if version > cur or version < 1:
+        raise ValueError(f"cannot roll back to v{version} (current {cur})")
+    tgt = snapshot_meta(table_dir, version)
+    rec = {
+        "version": cur + 1,
+        "parent": cur,
+        "operation": "rollback",
+        "files": tgt["files"],
+        "schema": tgt["schema"],
+        "stats": tgt.get("stats", {}),
+        "summary": {"rolled_back_to": version},
+        "stream_txn": _txn_map(table_dir, cur),
+    }
+    _commit(table_dir, rec)
+    return rec
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

@@ -224,3 +224,129 @@ def test_compact_table_rewrites_files_not_rows(spark, table):
     # history still readable, and the compaction produced no row changes
     assert S.read_table(spark, table, version=v_before).count() == 105
     assert S.read_changes(spark, table, v_before).count() == 0
+
+
+# --- manifest stats + file pruning + rollback (round 5, session 4) ----------
+
+
+def _ranged(spark, n=400, buckets=8):
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(n)], ["k", "grp", "val"]
+    )
+    return df.repartitionByRange(buckets, "k")
+
+
+def test_commit_records_per_file_stats(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    S.write_snapshot(_ranged(spark), d, mode="overwrite")
+    meta = S.snapshot_meta(d)
+    assert set(meta["stats"]) == set(meta["files"])
+    ks = [s["k"] for s in meta["stats"].values() if "k" in s]
+    assert len(ks) == len(meta["files"])
+    # bounds cover exactly the written domain and files are disjoint-ranged
+    assert min(s["min"] for s in ks) == 0
+    assert max(s["max"] for s in ks) == 399
+    spans = sorted((s["min"], s["max"]) for s in ks)
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # repartitionByRange ⇒ non-overlapping key ranges
+    for s in ks:
+        assert s["null_count"] == 0
+
+
+def test_pruned_read_is_exact_and_reads_fewer_files(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    S.write_snapshot(_ranged(spark), d, mode="overwrite")
+    total = len(S.snapshot_meta(d)["files"])
+    kept, pruned = S.prune_files(d, [("k", "<=", 30)])
+    assert pruned and len(kept) < total
+    df = S.read_table(spark, d, where=[("k", "<=", 30)])
+    # the Spark scan's file list is the pruned list, not the snapshot's
+    assert len(df.inputFiles()) == len(kept)
+    expect = {(i, i % 5, float(i)) for i in range(31)}
+    assert {(r.k, r.grp, r.val) for r in df.collect()} == expect
+
+
+def test_prune_point_lookup_keeps_one_file(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    S.write_snapshot(_ranged(spark), d, mode="overwrite")
+    kept, _ = S.prune_files(d, [("k", "=", 200)])
+    assert len(kept) == 1
+    got = S.read_table(spark, d, where=[("k", "=", 200)]).collect()
+    assert [(r.k, r.grp, r.val) for r in got] == [(200, 0, 200.0)]
+
+
+def test_prune_conjunction_and_string_bounds(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"id_{i:04d}") for i in range(100)], ["k", "name"]
+    ).repartitionByRange(4, "k")
+    S.write_snapshot(df, d, mode="overwrite")
+    kept, pruned = S.prune_files(d, [("k", ">=", 80), ("name", ">=", "id_0080")])
+    assert pruned
+    got = S.read_table(
+        spark, d, where=[("k", ">=", 80), ("name", ">=", "id_0080")]
+    )
+    assert got.count() == 20
+
+
+def test_prune_missing_stats_is_conservative(spark, tmp_path):
+    """A column with no recorded bounds (all-NULL strings: parquet writes
+    no min/max) never prunes; residual filters still make the read exact."""
+    d = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "k int, tag string"
+    )
+    S.write_snapshot(df, d, mode="overwrite")
+    stats = S.snapshot_meta(d)["stats"]
+    assert all("tag" not in s for s in stats.values())
+    kept, pruned = S.prune_files(d, [("tag", "=", "x")])
+    assert not pruned  # cannot prove absence without bounds
+    assert S.read_table(spark, d, where=[("tag", "=", "x")]).count() == 0
+
+
+def test_stats_carry_through_merge_and_survive_pruning(spark, tmp_path):
+    """Carried (unrewritten) files keep their original bounds through a
+    copy-on-write MERGE, and pruning works across the mixed snapshot."""
+    d = str(tmp_path / "tbl")
+    S.write_snapshot(_ranged(spark), d, mode="overwrite")
+    src = spark.createDataFrame([(5, 99, -1.0)], ["k", "grp", "val"])
+    S.merge_into(spark, d, src, on=["k"])
+    meta = S.snapshot_meta(d)
+    assert set(meta["stats"]) == set(meta["files"])  # carried + rewritten
+    # keys ≥ 350 live only in carried files; pruning must still drop most
+    kept, pruned = S.prune_files(d, [("k", ">=", 350)])
+    assert pruned and len(kept) < len(meta["files"])
+    got = S.read_table(spark, d, where=[("k", ">=", 350)])
+    assert got.count() == 50
+    # and the merged row reads back through an unpruned residual filter
+    assert S.read_table(spark, d, where=[("k", "=", 5)]).collect()[0].val == -1.0
+
+
+def test_prune_rejects_bad_predicates(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    S.write_snapshot(_ranged(spark, n=10, buckets=1), d, mode="overwrite")
+    with pytest.raises(ValueError, match="predicate"):
+        S.prune_files(d, [("k", "!=", 3)])
+
+
+def test_rollback_restores_old_version_as_new_commit(spark, table):
+    v1 = S.current_version(table)
+    before = _as_dict(S.read_table(spark, table, version=v1))
+    S.write_snapshot(_mk(spark, [(10_000, 9, 9.9)]), table, mode="append")
+    S.delete_where(spark, table, "k < 10")
+    assert _as_dict(S.read_table(spark, table)) != before
+    rec = S.rollback_table(table, v1)
+    assert rec["operation"] == "rollback"
+    assert _as_dict(S.read_table(spark, table)) == before
+    # the bad commits remain time-travel readable, history stays linear
+    assert 10_000 in _as_dict(S.read_table(spark, table, version=v1 + 1))
+    log = S.snapshot_log(table)
+    assert [r["version"] for r in log] == list(range(1, len(log) + 1))
+    # pruning still works off the restored stats
+    kept, pruned = S.prune_files(table, [("k", "=", 3)])
+    assert len(kept) <= len(S.snapshot_meta(table)["files"])
+
+
+def test_rollback_rejects_future_version(spark, table):
+    with pytest.raises(ValueError, match="roll back"):
+        S.rollback_table(table, S.current_version(table) + 1)
