@@ -2512,6 +2512,17 @@ FROM merged m LEFT JOIN base b ON m.o_orderkey = b.o_orderkey
 """
 
 
+# stream_snapshot_reads_orders: the commit-log stream over append-only
+# history delivers every committed row exactly once, so the streamed
+# union is the plain projection of orders.
+ORACLES["stream_snapshot_reads_orders"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       round(o_totalprice + 1e-9, 4) AS total
+FROM orders
+"""
+
+
 # snapshot_prune_orders: the manifest-pruned read + residual filter is
 # semantically the plain filter (pruning only drops files PROVEN empty
 # for the predicate), so the aggregate mirrors directly; the max/8

@@ -4112,6 +4112,63 @@ def incremental_read_orders(spark, sf_dir):
     )
 
 
+def stream_snapshot_reads_orders(spark, sf_dir):
+    """The versioned table as a STREAMING SOURCE (Delta-style CDF read —
+    the read-side complement of stream_upsert_events' sink-side CDC):
+    orders land in three append commits (o_orderkey mod 3); a
+    `readStream.format("qcfe_snapshot")` consumer tails the commit log
+    with offsets = snapshot versions and availableNow processing, so
+    each micro-batch reads EXACTLY the files its commits added — O(delta)
+    per batch, never the base table — and Spark's checkpoint makes the
+    version watermark exactly-once across restarts (restart-delta and
+    rewrite-handling pinned in tests/test_snapshot_source.py).
+
+    Plan shape: per batch, a BatchScan of the added files (one input
+    partition per immutable data file, Arrow batches end to end) feeding
+    the parquet sink; no joins, no shuffles anywhere. Implemented as a
+    PySpark 4 Python Data Source (spark.dataSource.register). Oracle:
+    appends-only history ⇒ the streamed union is exactly the orders
+    projection."""
+    import os
+    import tempfile
+
+    from query_cost_feature_engineering_spark.runtime import snapshots as S
+    from query_cost_feature_engineering_spark.sources.snapshot_source import (
+        register,
+    )
+
+    register(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="snapstream_", dir=_workdir())
+    d = os.path.join(root, "tbl")
+    for m in (0, 1, 2):
+        S.write_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 == m),
+            d,
+            mode="overwrite" if m == 0 else "append",
+        )
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (
+        spark.readStream.format("qcfe_snapshot")
+        .option("table_dir", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise RuntimeError("snapshot stream did not drain in 300 s")
+    return spark.read.parquet(out).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        _rq("o_totalprice").alias("total"),
+    )
+
+
 def snapshot_prune_orders(spark, sf_dir):
     """Manifest-level file pruning on a snapshot table (Iceberg's
     per-manifest-entry column bounds — the metadata layer that turns a
@@ -4213,6 +4270,7 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 REGISTRY = {
+    "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
     "stream_upsert_events": stream_upsert_events,
@@ -4342,6 +4400,7 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "stream_snapshot_reads_orders",
     "snapshot_prune_orders",
     "merge_upsert_orders",
     "stream_upsert_events",

@@ -59,31 +59,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-SNAP_DIR = "_snapshots"
+# Manifest-reading helpers live in the standalone stdlib-only module so
+# the qcfe_snapshot data source can be pickled by value (manifest.py
+# docstring has the full why); re-exported here to keep this module's
+# public surface unchanged.
+from query_cost_feature_engineering_spark.runtime.manifest import (  # noqa: F401
+    SNAP_DIR,
+    _cmp_compatible,
+    _file_may_match,
+    _snap_path,
+    _stat_val,
+    current_version,
+    snapshot_meta,
+)
+
 _FILE_COL = "__qcfe_file"
 
 # predicate ops read_table(where=...) / prune_files understand; AND-combined
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
-
-
-def _snap_path(table_dir: str) -> Path:
-    return Path(table_dir) / SNAP_DIR
-
-
-def current_version(table_dir: str) -> int:
-    """Latest committed version, or 0 for an empty/nonexistent table."""
-    cur = _snap_path(table_dir) / "CURRENT"
-    if not cur.exists():
-        return 0
-    return int(cur.read_text().strip())
-
-
-def snapshot_meta(table_dir: str, version: int | None = None) -> dict:
-    v = current_version(table_dir) if version is None else version
-    if v == 0:
-        raise FileNotFoundError(f"no snapshots in {table_dir}")
-    p = _snap_path(table_dir) / f"v{v:06d}.json"
-    return json.loads(p.read_text())
 
 
 def snapshot_log(table_dir: str) -> list[dict]:
@@ -129,19 +122,6 @@ def _data_files(table_dir: str, version: int | None = None) -> list[str]:
     meta = snapshot_meta(table_dir, version)
     root = Path(table_dir)
     return [str(root / rel) for rel in meta["files"]]
-
-
-def _stat_val(v):
-    """Normalize a parquet footer stat / predicate literal to a
-    JSON-storable, order-preserving primitive: numbers and bools stay
-    as-is, strings stay strings, date/timestamp become ISO-8601 strings
-    (lexicographic order == chronological order for the fixed format).
-    Returns None for types pruning doesn't support (binary, nested)."""
-    if isinstance(v, (bool, int, float, str)):
-        return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return v.isoformat()
-    return None
 
 
 def _collect_stats(
@@ -241,48 +221,6 @@ def _commit_stats(
         parent_stats = parent_meta.get("stats", {})
         carried = {f: parent_stats[f] for f in keep_files if f in parent_stats}
     return carried | _collect_stats(table_dir, new_files, stats_cols)
-
-
-def _cmp_compatible(a, b) -> bool:
-    """True when two normalized stat/literal values order consistently:
-    numerics compare cross-type (int vs float), everything else must be
-    the same type. bool is NOT numeric here (Python would happily order
-    True < 2, but a bool literal against an int column is a user bug)."""
-    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
-    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
-    if a_num and b_num:
-        return True
-    return type(a) is type(b)
-
-
-def _file_may_match(fstats: dict, predicates: list[tuple]) -> bool:
-    """Conservative manifest check: False only when the file's recorded
-    [min, max] bounds PROVE no row can satisfy the AND of predicates.
-    Missing stats for a column ⇒ that predicate can't prune the file."""
-    for col, op, val in predicates:
-        s = fstats.get(col)
-        if not s:
-            continue
-        v = _stat_val(val)
-        lo, hi = s["min"], s["max"]
-        if v is None or not _cmp_compatible(lo, v):
-            continue
-        if (
-            s.get("null_count") is not None
-            and s["null_count"] == s.get("num_rows")
-        ):
-            return False  # every value NULL: no comparison can hold
-        if op == "=" and (v < lo or v > hi):
-            return False
-        if op == "<" and lo >= v:
-            return False
-        if op == "<=" and lo > v:
-            return False
-        if op == ">" and hi <= v:
-            return False
-        if op == ">=" and hi < v:
-            return False
-    return True
 
 
 def prune_files(

@@ -60,6 +60,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # DSv2-python filter pushdown (sources/snapshot_source.py): lets
+        # Catalyst's pushed filters drive manifest file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
