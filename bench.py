@@ -123,6 +123,7 @@ HEADLINE = [
     "stream_upsert_events",
     "incremental_read_orders",
     "snapshot_prune_orders",
+    "stream_snapshot_reads_orders",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))
