@@ -124,6 +124,7 @@ HEADLINE = [
     "incremental_read_orders",
     "snapshot_prune_orders",
     "stream_snapshot_reads_orders",
+    "stream_asof_purchases",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

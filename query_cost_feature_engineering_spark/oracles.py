@@ -805,6 +805,9 @@ ORACLES: dict[str, str] = {
 # asof_purchases_pandas shares the union-window oracle (same semantics,
 # different physical strategy on the Spark side).
 ORACLES["asof_purchases_pandas"] = ORACLES["asof_purchases_window"]
+# the streaming as-of drains to exactly the batch as-of result (pinned by
+# tests/test_streaming_asof.py), so it shares the batch oracle verbatim
+ORACLES["stream_asof_purchases"] = ORACLES["asof_purchases_window"]
 
 # the connected-components walk needs the RECURSIVE marker on the WITH list
 ORACLES["dedup_clusters_docs"] = ORACLES["dedup_clusters_docs"].replace(

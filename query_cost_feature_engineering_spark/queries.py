@@ -438,6 +438,44 @@ def asof_strict_purchases(spark, sf_dir):
     return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
 
 
+def stream_asof_purchases(spark, sf_dir):
+    """STREAMING backward as-of join — the same probes and updates as
+    asof_purchases_window, but arriving as two live tagged streams folded
+    through ``applyInPandasWithState`` (streaming/asof.py): per-entity
+    watermark-bounded buffers, each probe matched and emitted exactly
+    once when the watermark passes it, append mode. The fully-drained
+    result equals the batch as-of join, so the oracle is the SAME SQL as
+    the batch query — the strongest cross-check a streaming operator can
+    get (hash-exact against DuckDB's native ASOF JOIN)."""
+    import os
+
+    from query_cost_feature_engineering_spark.streaming.asof import (
+        drain_bounded_asof,
+    )
+
+    spine, right = _asof_frames(spark, sf_dir)
+    tagged = right.select(
+        F.lit("u").alias("side"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("probe_id"),
+        "purchase_value",
+    ).unionByName(
+        spine.select(
+            F.lit("p").alias("side"),
+            "user_id",
+            "ts",
+            "probe_id",
+            F.lit(None).cast("double").alias("purchase_value"),
+        )
+    )
+    d = os.path.join(
+        _workdir(), "stream_asof_" + str(abs(hash(sf_dir)) % 10**8)
+    )
+    out = drain_bounded_asof(spark, tagged, d, state_partitions=8)
+    return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
+
+
 # ---------------------------------------------------------------------------
 # Snapshot layer (ref A6/A7/A11)
 # ---------------------------------------------------------------------------
@@ -4307,6 +4345,7 @@ REGISTRY = {
     "asof_purchases_window": asof_purchases_window,
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,
+    "stream_asof_purchases": stream_asof_purchases,
     "snapshot_linear_fit": snapshot_linear_fit,
     "snapshot_fit_dispatch": snapshot_fit_dispatch,
     "shap_feature_reduction": shap_feature_reduction,
@@ -4400,6 +4439,7 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "stream_asof_purchases",
     "stream_snapshot_reads_orders",
     "snapshot_prune_orders",
     "merge_upsert_orders",
