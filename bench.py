@@ -125,6 +125,7 @@ HEADLINE = [
     "snapshot_prune_orders",
     "stream_snapshot_reads_orders",
     "stream_asof_purchases",
+    "feature_store_export",
 ]
 
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000"))

@@ -809,6 +809,32 @@ ORACLES["asof_purchases_pandas"] = ORACLES["asof_purchases_window"]
 # tests/test_streaming_asof.py), so it shares the batch oracle verbatim
 ORACLES["stream_asof_purchases"] = ORACLES["asof_purchases_window"]
 
+# feature-store export: two independent ASOF joins + a spine-side lag —
+# DuckDB's native ASOF LEFT JOIN twice over, then the window
+ORACLES["feature_store_export"] = """
+    WITH spine AS (
+        SELECT event_id AS probe_id, user_id,
+               ts + INTERVAL 60 SECOND AS ts
+        FROM events WHERE event_id % 5 = 0
+    ),
+    purch AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    vw AS (
+        SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT s.probe_id, s.user_id,
+           round(p.purchase_value + 1e-8, 3) AS purchase_value,
+           round(v.view_value + 1e-8, 3) AS view_value,
+           lag(s.ts) OVER (PARTITION BY s.user_id
+                           ORDER BY s.ts, s.probe_id) AS prev_probe_ts
+    FROM spine s
+    ASOF LEFT JOIN purch p ON s.user_id = p.user_id AND s.ts >= p.ts
+    ASOF LEFT JOIN vw v ON s.user_id = v.user_id AND s.ts >= v.ts
+"""
+
 # the connected-components walk needs the RECURSIVE marker on the WITH list
 ORACLES["dedup_clusters_docs"] = ORACLES["dedup_clusters_docs"].replace(
     "WITH", "WITH RECURSIVE", 1

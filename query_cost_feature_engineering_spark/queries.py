@@ -476,6 +476,52 @@ def stream_asof_purchases(spark, sf_dir):
     return out.select("probe_id", "user_id", "purchase_value", "asof_ts")
 
 
+def feature_store_export(spark, sf_dir):
+    """Point-in-time training-set export — the feature-store workload the
+    north rule describes, end to end in ONE query: a probe spine as-of
+    joined against TWO independent feature tables (latest purchase value
+    and latest view value at or before each probe time) plus a spine-side
+    lag feature (the user's previous probe time), all leakage-free by
+    construction (backward-only matches, lag excludes the current row).
+    Five keyed exchanges total regardless of scale (plan-audited): one
+    per feature-table latest-per-ts aggregation, one per as-of window,
+    one for the spine lag — none global, and no join materializes more
+    than one row per probe."""
+    e = _t(spark, sf_dir, "events")
+    spine = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("probe_id"),
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("ts"),
+        )
+    )
+
+    def latest_of(ev_type, out_col):
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias(out_col))
+        )
+
+    purch = latest_of("purchase", "purchase_value")
+    views = latest_of("view", "view_value")
+    j1 = asof_join_union_window(
+        spine, purch, on="ts", by="user_id", value_cols=["purchase_value"]
+    )
+    j2 = asof_join_union_window(
+        j1, views, on="ts", by="user_id", value_cols=["view_value"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "probe_id")
+    return j2.select(
+        "probe_id",
+        "user_id",
+        _rq("purchase_value").alias("purchase_value"),
+        _rq("view_value").alias("view_value"),
+        F.lag("ts").over(w).alias("prev_probe_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snapshot layer (ref A6/A7/A11)
 # ---------------------------------------------------------------------------
@@ -4346,6 +4392,7 @@ REGISTRY = {
     "asof_purchases_pandas": asof_purchases_pandas,
     "asof_strict_purchases": asof_strict_purchases,
     "stream_asof_purchases": stream_asof_purchases,
+    "feature_store_export": feature_store_export,
     "snapshot_linear_fit": snapshot_linear_fit,
     "snapshot_fit_dispatch": snapshot_fit_dispatch,
     "shap_feature_reduction": shap_feature_reduction,
@@ -4440,6 +4487,7 @@ _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
     "stream_asof_purchases",
+    "feature_store_export",
     "stream_snapshot_reads_orders",
     "snapshot_prune_orders",
     "merge_upsert_orders",
