@@ -215,6 +215,115 @@ def test_state_removed_when_drained_and_no_updates():
     assert st.removed
 
 
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume: drain the first half of the corpus, stop, then
+    add the rest and RESTART from the same checkpoint into a parquet
+    sink. The second run must process only the new files (the
+    checkpoint carries both the source offset and the state store), and
+    the union of the two runs' emissions equals the batch as-of with
+    every probe exactly once — the north-rule resumability contract for
+    the streaming path."""
+    from pyspark.sql import functions as F
+
+    from query_cost_feature_engineering_spark.streaming.asof import (
+        TAGGED_SCHEMA,
+        asof_enrich_stream,
+    )
+
+    updates, probes = _corpus(n_users=10, n_updates=300, n_probes=120,
+                              seed=11)
+    tagged = _tagged(spark, updates, probes).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    cp = tmp_path / "cp"
+    src.mkdir()
+
+    bounds = tagged.agg(
+        F.max("ts").alias("mx"),
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("md"),
+    ).collect()[0]
+    med = int(bounds["md"])
+    import datetime as dt
+
+    ents = tagged.select("user_id").distinct()
+
+    def wave(ts):
+        return ents.select(
+            F.lit("w").alias("side"), "user_id",
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit(None).cast("long").alias("probe_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+        )
+
+    w1 = bounds["mx"] + dt.timedelta(hours=6)
+    w2 = bounds["mx"] + dt.timedelta(hours=12)
+    stages = [
+        tagged.filter(F.unix_micros("ts") <= med),
+        tagged.filter(F.unix_micros("ts") > med),
+        wave(w1),
+        wave(w2),
+    ]
+
+    import os
+
+    def stage(i, df):
+        tmp = str(src / f"_s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = str(src / f"b-{i:03d}.parquet")
+        os.replace(os.path.join(tmp, f), dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema(TAGGED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            asof_enrich_stream(stream, watermark="7200 seconds")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0, stages[0])  # first half only, then "crash" (query stops)
+    run()
+    for i, df in enumerate(stages[1:], start=1):
+        stage(i, df)
+    run()  # resume from the same checkpoint
+
+    got = (
+        spark.read.parquet(str(out))
+        .select("probe_id", "user_id", "purchase_value", "asof_ts")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    assert got["probe_id"].is_unique  # exactly once across both runs
+    spine = spark.createDataFrame(probes)
+    right = spark.createDataFrame(updates).withColumn(
+        "asof_ts", F.col("ts")
+    )
+    exp = (
+        asof_join_union_window(
+            spine, right, on="ts", by="user_id",
+            value_cols=["purchase_value", "asof_ts"],
+        )
+        .select("probe_id", "user_id", "purchase_value", "asof_ts")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_timeout_invocation_flushes_pending_probe():
     t = np.datetime64("2024-03-01T00:00:00", "us").astype("int64")
     state_val = ([t + 50 * US], [7], [t], [4.5])
