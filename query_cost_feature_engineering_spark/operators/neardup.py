@@ -456,6 +456,16 @@ def _jaccard_pairs_prefix_join(
     )
 
 
+# Corpora up to this many vectors verify cosine against a driver-built
+# broadcast matrix (128-dim float64 -> ~50 MB at the cap) instead of
+# shuffling both vectors with every candidate pair: the LSH join
+# amplifies rows ~10^3x, so attaching two 1 KB arrays to each candidate
+# turns a 2 MB corpus into GBs of exchange + Arrow traffic. Cached by
+# content fingerprint (bench reps re-broadcast after the cache clear).
+SRP_MATRIX_MAX_ROWS = 50_000
+_SRP_MATRIX_CACHE: dict = {}
+
+
 def srp_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -469,36 +479,61 @@ def srp_candidate_pairs(
     SRP-LSH bucket equi-join (ann.py machinery), exact cosine verify.
 
     Recall < 1 (LSH); the oracle mirrors the identical buckets.
+
+    Plan shape: the candidate self-join and its dropDuplicates shuffle
+    carry ONLY (id_a, id_b) — never the vectors. Verification looks the
+    vectors up from a broadcast (id -> row) float64 matrix when the
+    corpus fits ``SRP_MATRIX_MAX_ROWS`` (one einsum per Arrow batch);
+    past the cap it falls back to joining the vectors back onto the
+    deduped candidates (two equi-joins on a narrow table — still never
+    through the dedup shuffle). At 10^9+ vectors the matrix path is the
+    per-bucket layout instead: vectors stay bucket-local and the verify
+    runs inside the bucket join's partition, same arithmetic.
     """
+    spark = df.sparkSession
     e = with_bucket_keys(
         df.select(id_col, vec_col), vec_col, bits=bits, tables=tables, dim=dim
     )
     # candidate join + cosine verify amplify rows ~10³×; repartition so
     # they run at shuffle parallelism, not the source's file-split count
     e = e.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     )
-    a = e.select(
-        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_v_a"), "_tbl", "_bk"
-    )
-    b = e.select(
-        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_v_b"), "_tbl", "_bk"
-    )
+    keys_a = e.select(F.col(id_col).alias("_id_a"), "_tbl", "_bk")
+    keys_b = e.select(F.col(id_col).alias("_id_b"), "_tbl", "_bk")
     cand = (
-        a.join(b, ["_tbl", "_bk"])
+        keys_a.join(keys_b, ["_tbl", "_bk"])
         .filter(F.col("_id_a") < F.col("_id_b"))
         .dropDuplicates(["_id_a", "_id_b"])
+        .select("_id_a", "_id_b")
     )
+
+    fp = plan_fingerprint(df)
+    ck = (fp, id_col, vec_col, SRP_MATRIX_MAX_ROWS) if fp is not None else None
+    bvecs = _SRP_MATRIX_CACHE.get(ck, _MISS) if ck else _MISS
+    if bvecs is _MISS:
+        head = (
+            df.select(id_col, vec_col)
+            .limit(SRP_MATRIX_MAX_ROWS + 1)
+            .collect()
+        )
+        if len(head) <= SRP_MATRIX_MAX_ROWS:
+            lookup = {r[0]: i for i, r in enumerate(head)}
+            M = np.asarray([r[1] for r in head], dtype=np.float64)
+            bvecs = spark.sparkContext.broadcast((lookup, M))
+        else:
+            bvecs = None
+        if ck:
+            _SRP_MATRIX_CACHE[ck] = bvecs
 
     # Arrow-batched cosine: one float64 matmul per batch instead of an
     # interpreted per-element fold (~10× on 128-dim vectors). Summation
     # order differs from the oracle's sequential fold by ~1 ulp; the
     # contract rounds cos to 4 decimals (+1e-9 nudge), so a mismatch
-    # needs a true value within ~1e-15 of a rounding boundary.
-    @F.pandas_udf("double")
-    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.asarray(va.tolist(), dtype=np.float64)
-        B = np.asarray(vb.tolist(), dtype=np.float64)
+    # needs a true value within ~1e-15 of a rounding boundary. Both
+    # verify paths build the same float64 rows (float32 -> float64 is
+    # exact), so cos is bit-identical between them.
+    def _cos_rows(A: np.ndarray, B: np.ndarray) -> pd.Series:
         if len(A) == 0:
             return pd.Series([], dtype=np.float64)
         num = np.einsum("ij,ij->i", A, B)
@@ -507,9 +542,41 @@ def srp_candidate_pairs(
         )
         return pd.Series(num / den)
 
+    if bvecs is not None:
+
+        @F.pandas_udf("double")
+        def _cos_ids(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            lookup, M = bvecs.value
+            rows_a = M[[lookup[x] for x in ia]] if len(ia) else M[:0]
+            rows_b = M[[lookup[x] for x in ib]] if len(ib) else M[:0]
+            return _cos_rows(rows_a, rows_b)
+
+        scored = cand.withColumn(
+            "cos", _cos_ids(F.col("_id_a"), F.col("_id_b"))
+        )
+    else:
+
+        @F.pandas_udf("double")
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            return _cos_rows(
+                np.asarray(va.tolist(), dtype=np.float64),
+                np.asarray(vb.tolist(), dtype=np.float64),
+            )
+
+        va = df.select(
+            F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_v_a")
+        )
+        vb = df.select(
+            F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_v_b")
+        )
+        scored = (
+            cand.join(va, "_id_a")
+            .join(vb, "_id_b")
+            .withColumn("cos", _cos(F.col("_v_a"), F.col("_v_b")))
+        )
+
     return (
-        cand.withColumn("cos", _cos(F.col("_v_a"), F.col("_v_b")))
-        .filter(F.col("cos") >= threshold)
+        scored.filter(F.col("cos") >= threshold)
         .select(
             F.col("_id_a").alias(f"{id_col}_a"),
             F.col("_id_b").alias(f"{id_col}_b"),
