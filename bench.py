@@ -94,6 +94,8 @@ HEADLINE = [
     # round 5: passage dedup, language ID, domain dedup, token stats,
     # Gopher gates, shard shuffle, SemDeDup, DSIR, BPE training
     "span_dedup_docs",
+    "bloom_dedup_docs",
+    "aspect_bucket_images",
     "lang_id_docs",
     "domain_dedup_docs",
     "token_stats_docs",
@@ -244,9 +246,14 @@ def main() -> None:
         # ADVICE: vocab alone was cleared, under-reporting the prefix/
         # rank/asof queries relative to the stated method).
         neardup._VOCAB_CACHE.clear()
+        neardup._SRP_MATRIX_CACHE.clear()
         prefix._PREFIX_STATS_CACHE.clear()
         rank._RANK_STATS_CACHE.clear()
         asof._SKEW_PROFILE_CACHE.clear()
+        import query_cost_feature_engineering_spark.queries as _q
+
+        if _q._BLOOM_CACHE is not None:
+            _q._BLOOM_CACHE.clear()
 
     detail: dict[str, dict] = {}
     for name in HEADLINE:

@@ -654,6 +654,28 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+def ensure_aspect_meta_fixture(n: int = 400) -> str:
+    """INPUT fixture for aspect_bucket_images: just the (image_id, w, h)
+    spine of the same seeded corpus the Spark side synthesizes. Unlike
+    the recompute fixtures above this carries NO derived values — the
+    bucketing/batching logic is computed independently on both sides
+    (Spark expressions vs the DuckDB VALUES-join SQL), so there is
+    nothing circular to overstate."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].astype(str),
+            "w": imgs["w"].astype("int64"),
+            "h": imgs["h"].astype("int64"),
+        }
+    )
+    return _write_fixture("aspect_meta", out)
+
+
 def ensure_jpeg_features_fixture(n: int = 200, seed: int = 56) -> str:
     """Expected rows for jpeg_features_images via the single-process
     decode core (plumbing-pinning, the image_features idiom). Before

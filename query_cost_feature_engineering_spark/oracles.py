@@ -1702,6 +1702,63 @@ def _fixture_oracles() -> dict[str, str]:
 ORACLES.update(_fixture_oracles())
 
 
+def _aspect_bucket_sql() -> str:
+    """DuckDB mirror of aspect_bucket_images. INDEPENDENT formulation:
+    the fixture carries only the input (image_id, w, h) spine; bucket
+    assignment is re-derived here as a 9-row VALUES cross join +
+    row_number pick ordered by (dist, idx), where dist =
+    greatest(w*bh, h*bw) / least(w*bh, h*bw) — one correctly-rounded
+    IEEE division of two exact longs, so the doubles are bit-identical
+    to Spark's and the tie-break is the same lexicographic order."""
+    from query_cost_feature_engineering_spark import golden as G
+    from query_cost_feature_engineering_spark.queries import (
+        ASPECT_BATCH,
+        ASPECT_BUCKETS,
+    )
+
+    values = ", ".join(
+        f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT image_id, w, h
+      FROM read_parquet('{G.ensure_aspect_meta_fixture()}')
+    ),
+    buckets(idx, bw, bh) AS (VALUES {values}),
+    scored AS (
+      SELECT i.image_id, i.w, i.h, b.idx, b.bw, b.bh,
+             greatest(i.w * b.bh, i.h * b.bw)
+               / least(i.w * b.bh, i.h * b.bw) AS dist,
+             row_number() OVER (
+               PARTITION BY i.image_id
+               ORDER BY greatest(i.w * b.bh, i.h * b.bw)
+                          / least(i.w * b.bh, i.h * b.bw),
+                        b.idx) AS rk
+      FROM imgs i CROSS JOIN buckets b
+    ),
+    assigned AS (
+      SELECT image_id, w, h, idx AS bucket_idx, bw, bh, dist
+      FROM scored WHERE rk = 1
+    ),
+    packed AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY bucket_idx ORDER BY image_id) AS rn,
+             count(*) OVER (PARTITION BY bucket_idx) AS cnt
+      FROM assigned
+    )
+    SELECT image_id, w, h, bucket_idx,
+           CAST(bw AS VARCHAR) || ':' || CAST(bh AS VARCHAR) AS bucket,
+           round(dist + 1e-11, 6) AS ar_dist,
+           CAST((rn - 1) // {ASPECT_BATCH} AS BIGINT) AS batch_id,
+           rn <= (cnt // {ASPECT_BATCH}) * {ASPECT_BATCH} AS kept
+    FROM packed
+    """
+
+
+ORACLES["aspect_bucket_images"] = _aspect_bucket_sql()
+
+
 # Exact token-5-gram collision decontamination (GPT-3-style). The Spark
 # side hash-compacts gram keys to xxhash64 for an 8-byte shuffle; the
 # oracle joins on the gram STRING — identical pair counts unless a hash
@@ -2296,6 +2353,80 @@ def _c4_clean_sql() -> str:
 
 
 ORACLES["c4_clean_docs"] = _c4_clean_sql()
+
+
+def _bloom_dedup_sql() -> str:
+    """DuckDB mirror of bloom_dedup_docs: identical 8-word line
+    synthesis + 2-case boilerplate decoration, then the EXACT
+    membership test the Bloom filter approximates — a LEFT JOIN of
+    probe lines (doc_id % 3 <> 0) against the DISTINCT reference lines
+    (doc_id % 3 = 0). Independent of the Spark bit arithmetic by
+    construction: this SQL never hashes anything, so it matches iff
+    the filter produced zero false positives on this input (false
+    negatives are impossible for a Bloom filter) — the sizing
+    argument and the empirical FP check live at queries.BLOOM_M_BITS
+    and tests/test_bloom_dedup.py."""
+    from query_cost_feature_engineering_spark.queries import (
+        BLOOM_DUP_FRAC_MAX,
+        C4_BOILER,
+        C4_LINE_WORDS,
+    )
+
+    w = C4_LINE_WORDS
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+             array_to_string(ws[i*{w}+1 : i*{w}+{w}], ' ') AS base,
+             md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(i AS VARCHAR)) AS h
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(len(ws) // {w} AS BIGINT) - 1)) AS i)
+      WHERE len(ws) >= {w}
+    ),
+    l2 AS (
+      SELECT doc_id,
+        CASE
+          WHEN substr(h,1,1) IN ('0','1','2','3')
+            THEN CASE WHEN substr(h,2,1) < '8'
+                      THEN '{C4_BOILER[0]}' ELSE '{C4_BOILER[1]}' END
+          ELSE base
+        END AS line
+      FROM ln
+    ),
+    ref AS (
+      SELECT DISTINCT line FROM l2 WHERE doc_id % 3 = 0
+    ),
+    probe AS (
+      SELECT doc_id, line FROM l2 WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id, NULL AS line
+      FROM d WHERE len(ws) < {w} AND doc_id % 3 <> 0
+    ),
+    agg AS (
+      SELECT p.doc_id,
+             CAST(count(p.line) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN r.line IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_lines
+      FROM probe p LEFT JOIN ref r ON p.line = r.line
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_lines, n_dup_lines,
+           round(n_dup_lines / greatest(n_lines, 1) + 1e-11, 6)
+               AS dup_frac,
+           round(n_dup_lines / greatest(n_lines, 1) + 1e-11, 6)
+               <= {BLOOM_DUP_FRAC_MAX} AS kept
+    FROM agg
+    """
+
+
+ORACLES["bloom_dedup_docs"] = _bloom_dedup_sql()
 
 
 def _shard_shuffle_sql() -> str:

@@ -2767,6 +2767,176 @@ def c4_clean_docs(spark, sf_dir):
     )
 
 
+# Bloom-filter reference dedup (the Dolma pipeline's paragraph dedup:
+# a bitset of reference-corpus paragraph keys, probed map-side — no
+# join against the reference ever happens). m/k sized so the expected
+# false-positive count over this corpus is << 1 at every test SF
+# (fill <= 4% at sf0.1 -> per-probe FP ~ (0.04)^5 ~ 1e-7); the DuckDB
+# oracle is the exact membership semi-join, which matches iff the
+# filter produced zero false positives on this deterministic input —
+# verified at sf0.001/0.01/0.1 and pinned by the FP-bound test in
+# tests/test_bloom_dedup.py (false negatives are impossible by
+# construction, which the same test also asserts).
+BLOOM_M_BITS = 1 << 22  # 4.2M bits = 65,536 longs = 512 KiB broadcast
+BLOOM_K = 5
+BLOOM_DUP_FRAC_MAX = 0.3
+_BLOOM_CACHE = None  # lazy StatsCache: bitset keyed by input fingerprint
+
+def _bit_masks():
+    """Literal 2^b masks (b = 0..63; 63 wraps to the sign bit) so the
+    probe stays in pure JVM expressions — Column has no shift operator
+    and F.shiftleft only takes a literal shift amount. Built lazily:
+    Column literals need a live gateway, not import time."""
+    return F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+
+
+def _bloom_lines(spark, sf_dir):
+    """Shared line synthesis for the Bloom dedup: the C4 8-word line
+    split (same ws/posexplode_outer single-scan idiom as c4_clean_docs)
+    with a 2-case decoration — ``md5(doc_id:line_no)[0] in '0123'``
+    swaps the line for one of the two fixed boilerplate strings
+    (variant by ``h[1] < '8'``), everything else keeps the plain words.
+    ~25% boilerplate gives the reference and probe sets genuine
+    cross-document duplicate lines, exactly the footer/cookie-banner
+    mass duplication the Dolma filter exists for."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+        ).alias("ws"),
+    )
+    n_lines = (F.size("ws") / C4_LINE_WORDS).cast("int")
+    arr = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice("ws", i * C4_LINE_WORDS + 1, C4_LINE_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = d.select(
+        "doc_id", F.posexplode_outer(arr).alias("line_no", "base")
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("line_no").cast("string")
+        )
+    )
+    line = F.when(
+        F.col("base").isNull(), F.lit(None).cast("string")
+    ).when(
+        F.substring(h, 1, 1).isin("0", "1", "2", "3"),
+        F.when(
+            F.substring(h, 2, 1) < "8", F.lit(C4_BOILER[0])
+        ).otherwise(F.lit(C4_BOILER[1])),
+    ).otherwise(F.col("base"))
+    return lines.select("doc_id", line.alias("line"))
+
+
+def _bloom_positions(col, m: int, k: int):
+    """k bit positions for a key: pmod(xxhash64(key, i), m) — the
+    i-th hash is Spark's builtin xxhash64 over (key, lit(i)), all JVM."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+
+
+def bloom_dedup_docs(spark, sf_dir):
+    """Dolma-style Bloom-filter dedup against a reference corpus
+    (Soldaini et al. 2024: paragraph-level dedup via a Bloom filter of
+    the reference set, not a join): docs with ``doc_id % 3 == 0`` are
+    the REFERENCE; every other doc is probed line-by-line against a
+    bitset of the reference's distinct lines, emitting ``(doc_id,
+    n_lines, n_dup_lines, dup_frac, kept)`` with ``kept = dup_frac <=
+    0.3`` (the Dolma page rule).
+
+    Plan shape (10^12-doc safe — this is the one dedup variant whose
+    scale path has NO shuffle on the probe side): build = one distinct
+    + one groupBy(word) bit_or over <= m/64 rows, collected once into a
+    512 KiB long-array (cached by input fingerprint, the
+    runtime/statcache contract); probe = map-only scan x 5 xxhash64 +
+    element_at bit tests against the scalar-broadcast bitset (the
+    repo's bnlj-scalar(ok) idiom) feeding ONE groupBy(doc_id). At real
+    scale the reference filter is built once and reused across every
+    probe batch; a 10^10-key reference needs a sharded bitset (hash
+    keys by range -> per-shard bitsets probed after one co-partitioned
+    repartition) — same bit arithmetic, documented not implemented.
+    Oracle: exact membership LEFT JOIN in DuckDB over the identical
+    line synthesis (matches iff zero Bloom false positives — see the
+    sizing note at BLOOM_M_BITS)."""
+    global _BLOOM_CACHE
+    from query_cost_feature_engineering_spark.runtime.statcache import (
+        _MISS,
+        StatsCache,
+        plan_fingerprint,
+    )
+
+    if _BLOOM_CACHE is None:
+        _BLOOM_CACHE = StatsCache()
+    lines = _bloom_lines(spark, sf_dir)
+    ref = (
+        lines.filter((F.col("doc_id") % 3 == 0) & F.col("line").isNotNull())
+        .select("line")
+        .distinct()
+    )
+    fp = plan_fingerprint(ref)
+    key = (fp, BLOOM_M_BITS, BLOOM_K) if fp is not None else None
+    bits = _BLOOM_CACHE.get(key)
+    if bits is _MISS:
+        words = (
+            ref.select(
+                F.explode(
+                    _bloom_positions(F.col("line"), BLOOM_M_BITS, BLOOM_K)
+                ).alias("pos")
+            )
+            .select(
+                F.shiftright(F.col("pos"), 6).cast("int").alias("wi"),
+                F.element_at(
+                    _bit_masks(), (F.col("pos") % 64).cast("int") + 1
+                ).alias("mask"),
+            )
+            .groupBy("wi")
+            .agg(F.expr("bit_or(mask)").alias("w"))
+            .collect()
+        )
+        bits = [0] * (BLOOM_M_BITS // 64)
+        for r in words:
+            bits[r["wi"]] = r["w"]
+        _BLOOM_CACHE.put(key, bits)
+    bitset = spark.createDataFrame([(bits,)], "bits: array<bigint>")
+    probe = lines.filter(F.col("doc_id") % 3 != 0).crossJoin(
+        F.broadcast(bitset)
+    )
+    hit = F.col("line").isNotNull() & F.forall(
+        _bloom_positions(F.col("line"), BLOOM_M_BITS, BLOOM_K),
+        lambda p: (
+            F.element_at(F.col("bits"), F.shiftright(p, 6).cast("int") + 1)
+            .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+            != 0
+        ),
+    )
+    agg = probe.groupBy("doc_id").agg(
+        F.count("line").cast("long").alias("n_lines"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_dup_lines"),
+    )
+    dup_frac = _rq(
+        F.col("n_dup_lines") / F.greatest(F.col("n_lines"), F.lit(1)), 6
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= BLOOM_DUP_FRAC_MAX).alias("kept"),
+    )
+
+
 # Deterministic training-order shuffle: shard count is the operator
 # contract (a real deployment sizes it to the trainer's data-loader
 # world size).
@@ -3271,6 +3441,84 @@ def shard_pack_images(spark, sf_dir):
         .cast("long")
         .alias("shard_id"),
         (prefix % WEBDATASET_SHARD_BYTES).cast("long").alias("shard_off"),
+    )
+
+
+# Aspect-ratio bucketing (the SDXL / diffusion-training batching rule:
+# every batch holds images of ONE target shape, so nothing is cropped
+# to a common size). Bucket = the target ratio minimizing the
+# multiplicative distance max(w*bh, h*bw) / min(w*bh, h*bw) — an exact
+# integer-cross-product comparison (ONE correctly-rounded IEEE divide
+# of two longs, bit-identical across engines), equivalent to argmin
+# |ln(w/h) - ln(bw/bh)| but free of transcendental-function ULP skew.
+# Ties break toward the lower bucket index.
+ASPECT_BUCKETS = [
+    (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16), (2, 1), (1, 2),
+]
+ASPECT_BATCH = 16
+
+
+def aspect_bucket_images(spark, sf_dir):
+    """Aspect-ratio bucketing + per-bucket batch packing over the image
+    spine — emits ``(image_id, w, h, bucket_idx, bucket, ar_dist,
+    batch_id, kept)`` where ``kept`` drops the final partial batch of
+    each bucket (the data-loader contract: every emitted batch is full
+    and shape-uniform).
+
+    Plan shape (10^12-image safe): bucket assignment is map-only (an
+    array_min over 9 literal (dist, idx) structs — no join, no UDF);
+    batch packing is ONE exchange. Nine buckets over 10^12 rows is the
+    textbook skewed-window shape, so at real scale batch ids come from
+    the repo's distributed prefix-sum (operators/prefix.py: range-bucket
+    row counts per (bucket, range) shard + broadcast offsets — exactly
+    how pack_sequences_docs and shard_pack_images already scale); at
+    oracle scale the single window per bucket is the same total order.
+    Oracle: identical cross-product arithmetic in DuckDB (a 9-row
+    VALUES join + row_number pick)."""
+    imgs = _synth_images(spark, n=400).select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.greatest(F.col("w") * bh, F.col("h") * bw)
+                    / F.least(F.col("w") * bh, F.col("h") * bw)
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+        ]
+    )
+    best = F.array_min(cands)
+    names = F.array(
+        *[F.lit(f"{bw}:{bh}") for bw, bh in ASPECT_BUCKETS]
+    )
+    b = imgs.select(
+        "image_id",
+        "w",
+        "h",
+        best["idx"].alias("bucket_idx"),
+        F.element_at(names, best["idx"] + 1).alias("bucket"),
+        _rq(best["dist"], 6).alias("ar_dist"),
+    )
+    win = Window.partitionBy("bucket_idx").orderBy("image_id")
+    cnt = Window.partitionBy("bucket_idx")
+    rn = F.row_number().over(win)
+    n_full = (F.count(F.lit(1)).over(cnt) / ASPECT_BATCH).cast(
+        "long"
+    ) * ASPECT_BATCH
+    return b.select(
+        "image_id",
+        "w",
+        "h",
+        "bucket_idx",
+        "bucket",
+        "ar_dist",
+        ((rn - 1) / ASPECT_BATCH).cast("long").alias("batch_id"),
+        (rn <= n_full).alias("kept"),
     )
 
 
@@ -4354,6 +4602,8 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 REGISTRY = {
+    "bloom_dedup_docs": bloom_dedup_docs,
+    "aspect_bucket_images": aspect_bucket_images,
     "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
@@ -4486,6 +4736,8 @@ REGISTRY = {
 _DRIVER_UNSEEN_ORACLED = [
     # round-5 additions (the driver must hash these on its first look):
     # eight new operators + the two rows-only -> oracle upgrades
+    "bloom_dedup_docs",
+    "aspect_bucket_images",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",

@@ -70,6 +70,8 @@ BENIGN_BNLJ = {
     "baseline; the scale paths are ann_lsh_topk / ann_ivf_topk)",
     "quantized_cosine_topk": "probe side fixed at 20 target vectors (same "
     "bounded shape as embedding_cosine_topk, int8 domain)",
+    "bloom_dedup_docs": "build side = the ONE-row broadcast Bloom bitset "
+    "(512 KiB array<long> local relation; queries.BLOOM_M_BITS)",
 }
 
 
