@@ -96,6 +96,7 @@ HEADLINE = [
     "span_dedup_docs",
     "bloom_dedup_docs",
     "aspect_bucket_images",
+    "vlm_pack_images",
     "lang_id_docs",
     "domain_dedup_docs",
     "token_stats_docs",

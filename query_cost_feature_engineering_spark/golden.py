@@ -676,6 +676,24 @@ def ensure_aspect_meta_fixture(n: int = 400) -> str:
     return _write_fixture("aspect_meta", out)
 
 
+def ensure_vlm_meta_fixture(n: int = 400) -> str:
+    """INPUT fixture for vlm_pack_images: the (image_id, caption) spine
+    of the seeded corpus — input-only, like ensure_aspect_meta_fixture;
+    the packing arithmetic is derived independently on both sides."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_images_pandas,
+    )
+
+    imgs = generate_images_pandas(n, 30, 42)
+    out = pd.DataFrame(
+        {
+            "image_id": imgs["image_id"].astype(str),
+            "caption": imgs["caption"].astype(str),
+        }
+    )
+    return _write_fixture("vlm_meta", out)
+
+
 def ensure_jpeg_features_fixture(n: int = 200, seed: int = 56) -> str:
     """Expected rows for jpeg_features_images via the single-process
     decode core (plumbing-pinning, the image_features idiom). Before

@@ -1759,6 +1759,51 @@ def _aspect_bucket_sql() -> str:
 ORACLES["aspect_bucket_images"] = _aspect_bucket_sql()
 
 
+def _vlm_pack_sql() -> str:
+    """DuckDB mirror of vlm_pack_images: identical integer arithmetic
+    (64 + whitespace caption tokens, 4-case power-of-two quantum,
+    md5(image_id) order, 512//q slots per context, partial tail
+    dropped) over the input-only (image_id, caption) fixture."""
+    from query_cost_feature_engineering_spark import golden as G
+    from query_cost_feature_engineering_spark.queries import (
+        VLM_CTX,
+        VLM_IMG_TOKENS,
+    )
+
+    return f"""
+    WITH c AS (
+      SELECT image_id,
+             CAST({VLM_IMG_TOKENS} +
+                  len(list_filter(string_split(caption, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             md5(image_id) AS _ord
+      FROM read_parquet('{G.ensure_vlm_meta_fixture()}')
+    ),
+    qq AS (
+      SELECT *, CAST(CASE WHEN n_tokens <= 64 THEN 64
+                          WHEN n_tokens <= 128 THEN 128
+                          WHEN n_tokens <= 256 THEN 256
+                          ELSE {VLM_CTX} END AS BIGINT) AS q
+      FROM c
+    ),
+    p AS (
+      SELECT *, {VLM_CTX} // q AS per_ctx,
+             row_number() OVER (
+               PARTITION BY q ORDER BY _ord, image_id) AS rn,
+             count(*) OVER (PARTITION BY q) AS cnt
+      FROM qq
+    )
+    SELECT image_id, n_tokens, q,
+           CAST((rn - 1) % per_ctx AS BIGINT) AS slot,
+           CAST((rn - 1) // per_ctx AS BIGINT) AS ctx_idx,
+           rn <= (cnt // per_ctx) * per_ctx AS kept
+    FROM p
+    """
+
+
+ORACLES["vlm_pack_images"] = _vlm_pack_sql()
+
+
 # Exact token-5-gram collision decontamination (GPT-3-style). The Spark
 # side hash-compacts gram keys to xxhash64 for an 8-byte shuffle; the
 # oracle joins on the gram STRING — identical pair counts unless a hash

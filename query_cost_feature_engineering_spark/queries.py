@@ -3522,6 +3522,78 @@ def aspect_bucket_images(spark, sf_dir):
     )
 
 
+# Vision-language sequence packing (the fixed-shape variant production
+# multimodal trainers use under XLA/static-graph constraints — T5-style
+# "pack to capacity, never straddle"): each image+caption sample costs
+# VLM_IMG_TOKENS patch tokens + its caption's whitespace tokens; costs
+# quantize UP to the next power of two, every context holds exactly
+# CTX // q samples of one quantum, so no sample ever spans two contexts
+# and every emitted context is shape-uniform. The quantization slack is
+# the documented trade vs the straddle-allowed GPT-style packing that
+# pack_sequences_docs implements over text.
+VLM_CTX = 512
+VLM_IMG_TOKENS = 64
+
+
+def vlm_pack_images(spark, sf_dir):
+    """Interleaved image+caption packing into fixed token contexts —
+    emits ``(image_id, n_tokens, q, slot, ctx_idx, kept)``: sample cost
+    = 64 patch tokens + caption whitespace tokens; ``q`` = next
+    power-of-two quantum >= cost; within each quantum samples order by
+    ``md5(image_id)`` (the shard_shuffle seed-free order) and fill
+    contexts of ``CTX // q`` slots; the final partial context per
+    quantum is dropped (``kept``) — the data-loader contract that every
+    batch is shape-static.
+
+    Plan shape (10^12-image safe): cost + quantum are map-only JVM
+    expressions (size(split) + a 4-case quantum ladder); packing is ONE
+    exchange — a window per quantum bucket (<= 4 hot keys here; the
+    same distributed prefix-sum scale path as aspect_bucket_images
+    applies at real scale). Oracle: the identical integer arithmetic
+    in DuckDB — same 4-case ladder, same md5 order, same exact
+    long division/modulo."""
+    imgs = _synth_images(spark, n=400).select("image_id", "caption")
+    cost = (
+        F.lit(VLM_IMG_TOKENS)
+        + F.size(
+            F.filter(
+                F.split(F.col("caption"), " "), lambda w: w != F.lit("")
+            )
+        )
+    ).cast("long")
+    # next power of two >= cost: captions are 3..12 tokens so cost is
+    # 67..76 -> q = 128 for every row of THIS corpus; the expression
+    # stays general (64..512) so the contract survives longer captions
+    q = (
+        F.when(cost <= 64, F.lit(64))
+        .when(cost <= 128, F.lit(128))
+        .when(cost <= 256, F.lit(256))
+        .otherwise(F.lit(VLM_CTX))
+        .cast("long")
+    )
+    b = imgs.select(
+        "image_id",
+        cost.alias("n_tokens"),
+        q.alias("q"),
+        F.md5(F.col("image_id").cast("string")).alias("_ord"),
+    )
+    per_ctx = (F.lit(VLM_CTX) / F.col("q")).cast("long")
+    win = Window.partitionBy("q").orderBy("_ord", "image_id")
+    cnt = Window.partitionBy("q")
+    rn = F.row_number().over(win)
+    n_full = (
+        (F.count(F.lit(1)).over(cnt) / per_ctx).cast("long") * per_ctx
+    )
+    return b.select(
+        "image_id",
+        "n_tokens",
+        "q",
+        ((rn - 1) % per_ctx).cast("long").alias("slot"),
+        ((rn - 1) / per_ctx).cast("long").alias("ctx_idx"),
+        (rn <= n_full).alias("kept"),
+    )
+
+
 # Within-video duplicate-frame removal threshold: Hamming <= 6 of 64
 # phash bits is the conventional "perceptually identical" band; the
 # generator's +/-1 pixel jitter stays well inside it and scene cuts
@@ -4604,6 +4676,7 @@ def merge_upsert_orders(spark, sf_dir):
 REGISTRY = {
     "bloom_dedup_docs": bloom_dedup_docs,
     "aspect_bucket_images": aspect_bucket_images,
+    "vlm_pack_images": vlm_pack_images,
     "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
@@ -4738,6 +4811,7 @@ _DRIVER_UNSEEN_ORACLED = [
     # eight new operators + the two rows-only -> oracle upgrades
     "bloom_dedup_docs",
     "aspect_bucket_images",
+    "vlm_pack_images",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",

@@ -181,6 +181,39 @@ def main() -> None:
     res["c4_clean_dup_lines_removed"] = agg["dups"]
     res["c4_clean_sec"] = round(time.time() - t0, 1)
 
+    # round-5 addition #2: Bloom reference dedup over the same corpus —
+    # exercises the bitset build (distinct -> bit_or -> 512 KiB collect)
+    # at 10x line volume and pins the no-shuffle probe's wall cost; the
+    # exact-join comparison asserts zero false positives at this volume
+    # too (the oracle's zero-FP premise, re-checked at soak scale).
+    from query_cost_feature_engineering_spark.queries import (
+        _bloom_lines,
+        bloom_dedup_docs,
+    )
+
+    t0 = time.time()
+    bl = bloom_dedup_docs(spark, d)
+    bagg = bl.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_dup_lines").alias("dups"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+    ).first()
+    res["bloom_dedup_docs"] = bagg["docs"]
+    res["bloom_dedup_dup_lines"] = bagg["dups"]
+    res["bloom_dedup_kept"] = bagg["kept"]
+    res["bloom_dedup_sec"] = round(time.time() - t0, 1)
+    lines = _bloom_lines(spark, d)
+    ref = (
+        lines.filter((F.col("doc_id") % 3 == 0) & F.col("line").isNotNull())
+        .select("line").distinct().withColumn("_m", F.lit(1))
+    )
+    exact_dups = (
+        lines.filter(F.col("doc_id") % 3 != 0)
+        .join(ref, "line", "left")
+        .agg(F.sum(F.coalesce("_m", F.lit(0)))).first()[0]
+    )
+    res["bloom_false_positives"] = int(bagg["dups"] - exact_dups)
+
     res["jvm_peak_rss_gb"] = jvm_peak_rss_gb()
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2, 2
