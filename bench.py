@@ -97,6 +97,7 @@ HEADLINE = [
     "bloom_dedup_docs",
     "aspect_bucket_images",
     "vlm_pack_images",
+    "ccnet_buckets_docs",
     "lang_id_docs",
     "domain_dedup_docs",
     "token_stats_docs",

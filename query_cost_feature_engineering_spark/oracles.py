@@ -1857,6 +1857,48 @@ ORACLES["lm_quality_docs"] = """
 """
 
 
+# CCNet head/middle/tail bucketing (Wenzek et al. 2020): the lm_quality
+# scoring SQL verbatim as a CTE, + lang join + per-language ntile(3)
+# ordered by (rounded score DESC, doc_id) — the same total order Spark
+# sorts, so tercile assignment is exact.
+ORACLES["ccnet_buckets_docs"] = """
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    db AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY w1, w2),
+    uni AS (SELECT unnest(toks) AS w FROM d),
+    cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS v FROM cu),
+    scored AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(ln((cb + 1.0) / (cu + v))) + 1e-9, 4) AS lm_score
+      FROM db
+      JOIN cb USING (w1, w2)
+      JOIN cu ON db.w1 = cu.w
+      CROSS JOIN v
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, docs.lang, s.n_bigrams, s.lm_score,
+             CAST(ntile(3) OVER (
+               PARTITION BY docs.lang
+               ORDER BY s.lm_score DESC, s.doc_id) AS BIGINT) AS tercile
+      FROM scored s JOIN documents docs ON s.doc_id = docs.doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, lm_score, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           tercile <= 2 AS kept
+    FROM ranked
+"""
+
+
 # approx_profile_orders (round 5): sketch values are engine-specific,
 # so the oracle checks exact anchors + literal TRUE for every sketch's
 # published error bound (the Spark side computes each bound against its

@@ -2273,6 +2273,53 @@ def lm_quality_docs(spark, sf_dir):
     return scored.select("doc_id", "n_bigrams", "lm_score")
 
 
+def ccnet_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020)
+    — the step between lang-ID and dedup in the CCNet pipeline: score
+    every doc under the corpus bigram LM (``lm_quality_docs``), then
+    split each LANGUAGE's docs into score terciles; head+middle are
+    kept, the tail (text least like the corpus: noise, boilerplate,
+    wrong-language shards) is dropped. Emits ``(doc_id, lang,
+    n_bigrams, lm_score, tercile, bucket, kept)``.
+
+    Plan shape: the LM scoring plan (one explode pass, vocabulary-sized
+    shuffles — see lm_quality_docs) + one doc_id equi-join to recover
+    ``lang`` + ONE ntile window per language. An exact per-language
+    ntile needs a per-language global sort, so at 10^12 docs the
+    production form replaces it with approx-quantile CUTOFFS (two
+    numbers per language, broadcast — the deciles_orders idiom; CCNet
+    itself uses fixed precomputed thresholds); the exact ntile is the
+    oracle-able contract at test scale. Determinism: ntile orders by
+    (rounded lm_score DESC, doc_id) — a total order both engines sort
+    identically, and ANSI ntile distributes remainders to the first
+    groups in both. Docs with < 2 tokens have no bigrams and are not
+    scored (the lm_quality contract)."""
+    scored = lm_quality_docs(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id")
+    )
+    t = F.ntile(3).over(w)
+    return (
+        scored.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "lm_score",
+            t.cast("long").alias("tercile"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile").cast("int"),
+            ),
+        )
+        .withColumn("kept", F.col("tercile") <= 2)
+    )
+
+
 # URL/domain dedup: deterministic synthetic URL per doc (same seeded-
 # injection pattern as pii_scrub_docs — the documents table carries no
 # URL column), Zipf-skewed toward domain 0 so the hot-domain path is
@@ -4677,6 +4724,7 @@ REGISTRY = {
     "bloom_dedup_docs": bloom_dedup_docs,
     "aspect_bucket_images": aspect_bucket_images,
     "vlm_pack_images": vlm_pack_images,
+    "ccnet_buckets_docs": ccnet_buckets_docs,
     "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
@@ -4812,6 +4860,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "bloom_dedup_docs",
     "aspect_bucket_images",
     "vlm_pack_images",
+    "ccnet_buckets_docs",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",
