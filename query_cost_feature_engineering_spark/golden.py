@@ -654,6 +654,23 @@ def ensure_image_features_fixture() -> str:
     return _write_fixture("image_features", out)
 
 
+_META_CORPUS_CACHE: dict = {}
+
+
+def _meta_corpus(n: int = 400) -> pd.DataFrame:
+    """One shared generate_images_pandas(n, 30, 42) for the input-only
+    metadata fixtures below — both oracles bake at oracles.py import,
+    so without this memo the identical corpus (pixel synthesis + PNG/
+    JPEG encode included) would be generated once per fixture."""
+    if n not in _META_CORPUS_CACHE:
+        from query_cost_feature_engineering_spark.sources.images import (
+            generate_images_pandas,
+        )
+
+        _META_CORPUS_CACHE[n] = generate_images_pandas(n, 30, 42)
+    return _META_CORPUS_CACHE[n]
+
+
 def ensure_aspect_meta_fixture(n: int = 400) -> str:
     """INPUT fixture for aspect_bucket_images: just the (image_id, w, h)
     spine of the same seeded corpus the Spark side synthesizes. Unlike
@@ -661,11 +678,7 @@ def ensure_aspect_meta_fixture(n: int = 400) -> str:
     bucketing/batching logic is computed independently on both sides
     (Spark expressions vs the DuckDB VALUES-join SQL), so there is
     nothing circular to overstate."""
-    from query_cost_feature_engineering_spark.sources.images import (
-        generate_images_pandas,
-    )
-
-    imgs = generate_images_pandas(n, 30, 42)
+    imgs = _meta_corpus(n)
     out = pd.DataFrame(
         {
             "image_id": imgs["image_id"].astype(str),
@@ -680,11 +693,7 @@ def ensure_vlm_meta_fixture(n: int = 400) -> str:
     """INPUT fixture for vlm_pack_images: the (image_id, caption) spine
     of the seeded corpus — input-only, like ensure_aspect_meta_fixture;
     the packing arithmetic is derived independently on both sides."""
-    from query_cost_feature_engineering_spark.sources.images import (
-        generate_images_pandas,
-    )
-
-    imgs = generate_images_pandas(n, 30, 42)
+    imgs = _meta_corpus(n)
     out = pd.DataFrame(
         {
             "image_id": imgs["image_id"].astype(str),

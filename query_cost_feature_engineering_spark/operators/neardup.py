@@ -46,6 +46,8 @@ from query_cost_feature_engineering_spark.operators.ann import (
     with_bucket_keys,
 )
 from query_cost_feature_engineering_spark.runtime.statcache import (
+    _MISS as _STAT_MISS,
+    StatsCache,
     plan_fingerprint,
 )
 
@@ -460,10 +462,14 @@ def _jaccard_pairs_prefix_join(
 # broadcast matrix (128-dim float64 -> ~50 MB at the cap) instead of
 # shuffling both vectors with every candidate pair: the LSH join
 # amplifies rows ~10^3x, so attaching two 1 KB arrays to each candidate
-# turns a 2 MB corpus into GBs of exchange + Arrow traffic. Cached by
-# content fingerprint (bench reps re-broadcast after the cache clear).
+# turns a 2 MB corpus into GBs of exchange + Arrow traffic. The cache
+# holds the COLLECTED (lookup, matrix) — never a Broadcast handle,
+# which is bound to one SparkContext and would outlive a session
+# restart under the content-keyed fingerprint — bounded by StatsCache's
+# FIFO; the (cheap) sc.broadcast is re-issued per invocation and
+# reclaimed by Spark's ContextCleaner when the plan is dropped.
 SRP_MATRIX_MAX_ROWS = 50_000
-_SRP_MATRIX_CACHE: dict = {}
+_SRP_MATRIX_CACHE = StatsCache()
 
 
 def srp_candidate_pairs(
@@ -510,21 +516,25 @@ def srp_candidate_pairs(
 
     fp = plan_fingerprint(df)
     ck = (fp, id_col, vec_col, SRP_MATRIX_MAX_ROWS) if fp is not None else None
-    bvecs = _SRP_MATRIX_CACHE.get(ck, _MISS) if ck else _MISS
-    if bvecs is _MISS:
-        head = (
-            df.select(id_col, vec_col)
-            .limit(SRP_MATRIX_MAX_ROWS + 1)
-            .collect()
-        )
-        if len(head) <= SRP_MATRIX_MAX_ROWS:
-            lookup = {r[0]: i for i, r in enumerate(head)}
-            M = np.asarray([r[1] for r in head], dtype=np.float64)
-            bvecs = spark.sparkContext.broadcast((lookup, M))
+    mat = _SRP_MATRIX_CACHE.get(ck)  # key=None -> always _MISS, never cached
+    if mat is _STAT_MISS:
+        # narrow size probe first (ids only) — discovering an over-cap
+        # corpus must not ship 50 MB of vectors driver-side
+        n_probe = df.select(id_col).limit(SRP_MATRIX_MAX_ROWS + 1).count()
+        if n_probe <= SRP_MATRIX_MAX_ROWS:
+            head = df.select(id_col, vec_col).collect()
+            # last row wins for a duplicated id — the same one-vector-
+            # per-id semantics the over-cap join path enforces below
+            by_id = {r[0]: r[1] for r in head}
+            lookup = {k: i for i, k in enumerate(by_id)}
+            M = np.asarray(list(by_id.values()), dtype=np.float64)
+            mat = (lookup, M)
         else:
-            bvecs = None
-        if ck:
-            _SRP_MATRIX_CACHE[ck] = bvecs
+            mat = None
+        _SRP_MATRIX_CACHE.put(ck, mat)
+    bvecs = (
+        spark.sparkContext.broadcast(mat) if mat is not None else None
+    )
 
     # Arrow-batched cosine: one float64 matmul per batch instead of an
     # interpreted per-element fold (~10× on 128-dim vectors). Summation
@@ -563,12 +573,15 @@ def srp_candidate_pairs(
                 np.asarray(vb.tolist(), dtype=np.float64),
             )
 
+        # one vector per id (a duplicated id must not multiply pair
+        # rows through the two joins) — mirrors the matrix path's
+        # one-entry-per-id lookup
         va = df.select(
             F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_v_a")
-        )
+        ).dropDuplicates(["_id_a"])
         vb = df.select(
             F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_v_b")
-        )
+        ).dropDuplicates(["_id_b"])
         scored = (
             cand.join(va, "_id_a")
             .join(vb, "_id_b")

@@ -1785,6 +1785,7 @@ def _vlm_pack_sql() -> str:
                           WHEN n_tokens <= 256 THEN 256
                           ELSE {VLM_CTX} END AS BIGINT) AS q
       FROM c
+      WHERE n_tokens <= {VLM_CTX}
     ),
     p AS (
       SELECT *, {VLM_CTX} // q AS per_ctx,

@@ -2717,6 +2717,8 @@ def c4_clean_docs(spark, sf_dir):
     # sequence(0, -1) defaults its step to -1 and would emit two bogus
     # lines) and surface as one NULL-line row, so zero-line pages ride
     # the same single scan instead of a second corpus scan + union.
+    # NOTE: _bloom_lines mirrors this split+guard verbatim (different
+    # decoration); a fix here must be applied there and in BOTH oracles.
     arr = F.when(
         n_lines > 0,
         F.transform(
@@ -3618,12 +3620,17 @@ def vlm_pack_images(spark, sf_dir):
         .otherwise(F.lit(VLM_CTX))
         .cast("long")
     )
+    # samples whose cost exceeds the context length cannot be packed
+    # whole — they would need the truncation path — so they are gated
+    # out rather than silently over-filling a q=CTX context (no row of
+    # the shipped 3..12-token-caption corpus hits this; the oracle
+    # applies the identical WHERE)
     b = imgs.select(
         "image_id",
         cost.alias("n_tokens"),
         q.alias("q"),
         F.md5(F.col("image_id").cast("string")).alias("_ord"),
-    )
+    ).filter(F.col("n_tokens") <= VLM_CTX)
     per_ctx = (F.lit(VLM_CTX) / F.col("q")).cast("long")
     win = Window.partitionBy("q").orderBy("_ord", "image_id")
     cnt = Window.partitionBy("q")

@@ -311,3 +311,66 @@ def test_adaptive_buckets_rejects_implausible_estimates(spark):
     for _ in range(4):  # inflate the size estimate multiplicatively
         joined = joined.crossJoin(spark.range(1024))
     assert adaptive_buckets(joined, floor=8, bytes_per_bucket=1) == 8
+
+
+def test_srp_matrix_cache_is_plain_data_and_bounded(spark):
+    """Review fix: the matrix cache must hold collected (lookup, M)
+    tuples (or None), never a SparkContext-bound Broadcast — a cached
+    Broadcast would outlive a session restart under the content-keyed
+    fingerprint and fail at fetch time. Bounded FIFO via StatsCache."""
+    from query_cost_feature_engineering_spark.operators import neardup
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        srp_candidate_pairs,
+    )
+    from query_cost_feature_engineering_spark.runtime.statcache import (
+        StatsCache,
+    )
+
+    neardup._SRP_MATRIX_CACHE.clear()
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    srp_candidate_pairs(em, "vec_id", "embedding", 0.35).count()
+    assert isinstance(neardup._SRP_MATRIX_CACHE, StatsCache)
+    vals = list(neardup._SRP_MATRIX_CACHE._data.values())
+    assert vals, "fingerprintable input must populate the cache"
+    for v in vals:
+        assert v is None or (
+            isinstance(v, tuple)
+            and isinstance(v[0], dict)
+            and isinstance(v[1], np.ndarray)
+        )
+
+
+def test_srp_duplicate_ids_do_not_multiply_pairs(spark):
+    """Review fix: a duplicated id must contribute ONE vector (one row
+    per candidate pair), matching the matrix path's one-entry-per-id
+    lookup — the vector join-back path dedups per side."""
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        srp_candidate_pairs,
+    )
+
+    from query_cost_feature_engineering_spark.operators import neardup
+
+    em = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    dup = em.limit(5)  # re-ingest five ids verbatim
+    base = {
+        (r[0], r[1])
+        for r in srp_candidate_pairs(
+            em, "vec_id", "embedding", 0.35
+        ).collect()
+    }
+    old_cap = neardup.SRP_MATRIX_MAX_ROWS
+    try:
+        for cap in (old_cap, 10):  # matrix path, then forced join path
+            neardup.SRP_MATRIX_MAX_ROWS = cap
+            neardup._SRP_MATRIX_CACHE.clear()
+            out = srp_candidate_pairs(
+                em.unionByName(dup), "vec_id", "embedding", 0.35
+            ).collect()
+            pairs = [(r[0], r[1]) for r in out]
+            assert len(pairs) == len(set(pairs)), cap
+            assert set(pairs) == base, cap
+    finally:
+        neardup.SRP_MATRIX_MAX_ROWS = old_cap
+        neardup._SRP_MATRIX_CACHE.clear()
