@@ -98,6 +98,7 @@ HEADLINE = [
     "aspect_bucket_images",
     "vlm_pack_images",
     "ccnet_buckets_docs",
+    "corpus_pipeline_docs",
     "lang_id_docs",
     "domain_dedup_docs",
     "token_stats_docs",

@@ -2271,11 +2271,13 @@ ORACLES["mixture_rebalance_docs"] = """
 """
 
 
-def _gopher_quality_sql() -> str:
+def _gopher_quality_sql(min_words=None, min_stopwords=None) -> str:
     """DuckDB mirror of gopher_quality_docs: identical tokenization,
     per-word length/alpha metrics, symbol counting and stopword
     membership; pass/fail thresholds compared on the UNROUNDED doubles
-    (both engines compute them from the same integer arithmetic)."""
+    (both engines compute them from the same integer arithmetic).
+    ``min_words``/``min_stopwords`` mirror the query's calibration
+    knobs (corpus_pipeline_docs passes its calibrated values)."""
     from query_cost_feature_engineering_spark.queries import (
         GOPHER_MAX_MWL,
         GOPHER_MAX_SYMBOL_RATIO,
@@ -2286,6 +2288,11 @@ def _gopher_quality_sql() -> str:
         GOPHER_MIN_WORDS,
         GOPHER_STOPWORDS,
     )
+
+    if min_words is None:
+        min_words = GOPHER_MIN_WORDS
+    if min_stopwords is None:
+        min_stopwords = GOPHER_MIN_STOPWORDS
 
     stop_sum = " + ".join(
         f"(CASE WHEN list_contains(ws, '{s}') THEN 1 ELSE 0 END)"
@@ -2328,11 +2335,11 @@ def _gopher_quality_sql() -> str:
            round(sym + 1e-11, 6) AS symbol_ratio,
            round(alpha_frac + 1e-11, 6) AS frac_alpha_words,
            stopword_hits,
-           (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           (word_count BETWEEN {min_words} AND {GOPHER_MAX_WORDS})
            AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
            AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
-           AND stopword_hits >= {GOPHER_MIN_STOPWORDS} AS passes
+           AND stopword_hits >= {min_stopwords} AS passes
     FROM r
     """
 
@@ -2545,6 +2552,62 @@ def _shard_shuffle_sql() -> str:
 
 
 ORACLES["shard_shuffle_docs"] = _shard_shuffle_sql()
+
+
+def _corpus_pipeline_sql() -> str:
+    """DuckDB mirror of corpus_pipeline_docs: the gopher and c4 oracle
+    SQLs VERBATIM as subqueries (their own green oracles carry the
+    component semantics), plus the same md5 dedup, verdict AND, and
+    shard_shuffle arithmetic over survivors."""
+    from query_cost_feature_engineering_spark.queries import (
+        PIPELINE_GOPHER_MIN_STOPWORDS,
+        PIPELINE_GOPHER_MIN_WORDS,
+        SHUFFLE_SHARDS,
+    )
+
+    gopher_sql = _gopher_quality_sql(
+        min_words=PIPELINE_GOPHER_MIN_WORDS,
+        min_stopwords=PIPELINE_GOPHER_MIN_STOPWORDS,
+    )
+    return f"""
+    WITH gq AS (
+      SELECT doc_id, passes AS gopher_ok FROM ({gopher_sql})
+    ),
+    c4v AS (
+      SELECT doc_id, page_kept AS c4_ok FROM ({_c4_clean_sql()})
+    ),
+    dd AS (
+      SELECT doc_id,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                 AS is_canonical
+      FROM documents
+    ),
+    j AS (
+      SELECT g.doc_id, g.gopher_ok, c.c4_ok, d.is_canonical,
+             g.gopher_ok AND c.c4_ok AND d.is_canonical AS kept
+      FROM gq g
+      JOIN c4v c ON g.doc_id = c.doc_id
+      JOIN dd d ON g.doc_id = d.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % {SHUFFLE_SHARDS} AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST('0x' ||
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) % {SHUFFLE_SHARDS}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS shard_pos
+      FROM j WHERE kept
+    )
+    SELECT j.doc_id, j.gopher_ok, j.c4_ok, j.is_canonical, j.kept,
+           sh.shard, sh.shard_pos
+    FROM j LEFT JOIN sh ON j.doc_id = sh.doc_id
+    """
+
+
+ORACLES["corpus_pipeline_docs"] = _corpus_pipeline_sql()
 
 
 def _semdedup_sql() -> str:

@@ -2590,11 +2590,15 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_quality_docs(spark, sf_dir):
+def gopher_quality_docs(spark, sf_dir, min_words=None, min_stopwords=None):
     """Gopher quality-filter rules — per-document heuristic quality
     gates: word-count bounds, mean word length in [3, 10], symbol-to-
     word ratio (# and …) <= 0.1, >= 80% of words containing an
     alphabetic character, and >= 2 distinct stop words present.
+    ``min_words``/``min_stopwords`` default to the published Rae et al.
+    constants; they are the calibration knobs every real deployment
+    turns per corpus (the published values are English-web-specific) —
+    corpus_pipeline_docs passes corpus-calibrated values.
 
     Plan shape (10^12-doc safe): every metric is a map-only JVM
     expression over the tokenized text (split / filter / aggregate /
@@ -2634,12 +2638,14 @@ def gopher_quality_docs(spark, sf_dir):
         .cast("long")
         .alias("stopword_hits"),
     )
+    mnw = GOPHER_MIN_WORDS if min_words is None else min_words
+    mns = GOPHER_MIN_STOPWORDS if min_stopwords is None else min_stopwords
     passes = (
-        m.word_count.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        m.word_count.between(mnw, GOPHER_MAX_WORDS)
         & m._mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
         & (m._sym <= GOPHER_MAX_SYMBOL_RATIO)
         & (m._alpha >= GOPHER_MIN_ALPHA_FRAC)
-        & (m.stopword_hits >= GOPHER_MIN_STOPWORDS)
+        & (m.stopword_hits >= mns)
     )
     return m.select(
         "doc_id",
@@ -3029,6 +3035,84 @@ def shard_shuffle_docs(spark, sf_dir):
         ((F.col("shard_pos") - 1) * SHUFFLE_SHARDS + F.col("shard")).cast(
             "long"
         ),
+    )
+
+
+# Corpus-calibrated Gopher constants for the capstone pipeline: the
+# published English-web values (>= 50 words, >= 2 of 8 stopwords)
+# reject 100% of this synthetic corpus (docs run 10-99 words with at
+# most ONE listed stopword), which would make the composed `kept`
+# vacuously false. Calibrating the two data-dependent floors to the
+# corpus — exactly what a real deployment does before enabling the
+# gates — keeps every gate live (~78% pass here).
+PIPELINE_GOPHER_MIN_WORDS = 10
+PIPELINE_GOPHER_MIN_STOPWORDS = 1
+
+
+def corpus_pipeline_docs(spark, sf_dir):
+    """Text-side CAPSTONE — the whole cleaning pipeline as ONE
+    declarative plan, the way a production corpus build actually runs
+    it: Gopher heuristic gates AND the C4 page verdict AND exact
+    first-occurrence dedup decide ``kept``; survivors get their
+    training shard + in-shard position (the shard_shuffle arithmetic);
+    dropped docs carry NULL shard columns so the output is a complete
+    per-document audit manifest ``(doc_id, gopher_ok, c4_ok,
+    is_canonical, kept, shard, shard_pos)``.
+
+    Plan shape (10^12-doc safe because each stage already is): the
+    three verdicts are the EXACT plans of their standalone queries
+    (each independently hash-oracled) joined on doc_id — Catalyst
+    co-partitions the three doc_id exchanges; the md5 dedup adds one
+    vocabulary-key groupBy+join; sharding is one window over survivors
+    (shard count scales with corpus size — see shard_shuffle_docs).
+    Composing declaratively instead of materializing between stages is
+    the point: one job, no intermediate tables, full lineage. Oracle:
+    the component oracle SQLs verbatim as subqueries + the same joins."""
+    gq = gopher_quality_docs(
+        spark,
+        sf_dir,
+        min_words=PIPELINE_GOPHER_MIN_WORDS,
+        min_stopwords=PIPELINE_GOPHER_MIN_STOPWORDS,
+    ).select("doc_id", F.col("passes").alias("gopher_ok"))
+    c4 = c4_clean_docs(spark, sf_dir).select(
+        "doc_id", F.col("page_kept").alias("c4_ok")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("_th")
+    )
+    canon = docs.groupBy("_th").agg(F.min("doc_id").alias("_keep"))
+    dd = docs.join(canon, "_th").select(
+        "doc_id", (F.col("doc_id") == F.col("_keep")).alias("is_canonical")
+    )
+    j = (
+        gq.join(c4, "doc_id")
+        .join(dd, "doc_id")
+        .withColumn(
+            "kept",
+            F.col("gopher_ok") & F.col("c4_ok") & F.col("is_canonical"),
+        )
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % SHUFFLE_SHARDS
+    )
+    surv = j.filter("kept").select(
+        "doc_id", key.alias("_k"), shard.alias("_s")
+    )
+    w = Window.partitionBy("_s").orderBy("_k", "doc_id")
+    sh = surv.select(
+        "doc_id",
+        F.col("_s").alias("shard"),
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+    return j.join(sh, "doc_id", "left").select(
+        "doc_id",
+        "gopher_ok",
+        "c4_ok",
+        "is_canonical",
+        "kept",
+        "shard",
+        "shard_pos",
     )
 
 
@@ -4732,6 +4816,7 @@ REGISTRY = {
     "aspect_bucket_images": aspect_bucket_images,
     "vlm_pack_images": vlm_pack_images,
     "ccnet_buckets_docs": ccnet_buckets_docs,
+    "corpus_pipeline_docs": corpus_pipeline_docs,
     "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
@@ -4868,6 +4953,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "aspect_bucket_images",
     "vlm_pack_images",
     "ccnet_buckets_docs",
+    "corpus_pipeline_docs",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",
