@@ -1900,6 +1900,24 @@ ORACLES["ccnet_buckets_docs"] = """
 """
 
 
+# ann_ivf_topk (round-5 close): the trained-k-means step is not
+# SQL-expressible, so — the approx_profile_orders pattern — the query
+# emits invariants the oracle CAN predict: 3 dense ranks per probe
+# target, rank_ok (dense + cosine-sorted, checked Spark-side against
+# its own result list) and recall_ok (global recall vs the exact
+# brute-force top-3 computed in the same job >= ANN_IVF_MIN_RECALL).
+# A collapsed k-means or malformed result list flips a boolean or the
+# row count and fails the hash.
+ORACLES["ann_ivf_topk"] = """
+    SELECT e.vec_id AS target_id,
+           CAST(r.rnk AS BIGINT) AS rnk,
+           TRUE AS rank_ok,
+           TRUE AS recall_ok
+    FROM embeddings e CROSS JOIN (VALUES (1), (2), (3)) r(rnk)
+    WHERE e.vec_id < 20
+"""
+
+
 # approx_profile_orders (round 5): sketch values are engine-specific,
 # so the oracle checks exact anchors + literal TRUE for every sketch's
 # published error bound (the Spark side computes each bound against its

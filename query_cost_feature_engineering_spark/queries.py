@@ -2146,12 +2146,12 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
 
 
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed cosine top-3 — the second ANN scale path
-    (operators/ann.ivf_topk): driver-side seeded k-means on a
-    deterministic sample, distributed cell assignment, one cell-id
-    equi-join for candidates, exact rescoring. Rows-only (iterative
-    k-means is not SQL-expressible); recall pytest-gated."""
+def _ann_ivf_topk_raw(spark, sf_dir):
+    """Raw trained-IVF top-3 (operators/ann.ivf_topk): driver-side
+    seeded k-means on a deterministic sample, distributed cell
+    assignment, one cell-id equi-join for candidates, exact rescoring.
+    Used directly by the recall/determinism tests; the REGISTRY entry
+    wraps it in invariant columns the SQL oracle can predict."""
     from query_cost_feature_engineering_spark.operators.ann import ivf_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -2163,6 +2163,73 @@ def ann_ivf_topk(spark, sf_dir):
     )
     out = ivf_topk(q, c, k=3)
     return out.select("target_id", "neighbor_id", _rq("cos").alias("cos"), "rnk")
+
+
+# The trained path must recover at least this share of the exact top-3
+# pairs (the pytest gate uses the same floor); well below the ~0.9
+# observed so the oracle pins "recall did not collapse", not an epoch.
+ANN_IVF_MIN_RECALL = 0.5
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """Trained-IVF top-3 as an INVARIANT-oracled query (the
+    approx_profile_orders pattern — round-4 verdict asked for harder
+    checks on the rows-only queries): the k-means step itself is not
+    SQL-expressible, so the registry emits per-row invariants the
+    oracle CAN predict — ``(target_id, rnk, rank_ok, recall_ok)``
+    where ``rank_ok`` says the target's result list has exactly k
+    dense ranks with non-increasing cosine, and ``recall_ok`` says
+    global recall vs the EXACT brute-force top-3
+    (embedding_cosine_topk's plan, computed in the same job) clears
+    ``ANN_IVF_MIN_RECALL``. A collapsed k-means, duplicate ranks, a
+    missing result row, or an unsorted list each flip a value or the
+    row count and fail the driver hash. The raw neighbor/cos surface
+    stays pytest-pinned via _ann_ivf_topk_raw."""
+    raw = _ann_ivf_topk_raw(spark, sf_dir)
+    exact = embedding_cosine_topk(spark, sf_dir).select(
+        "target_id", "neighbor_id"
+    )
+    j = raw.join(
+        exact.withColumn("_hit", F.lit(1)),
+        ["target_id", "neighbor_id"],
+        "left",
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("rnk").alias("r"), F.col("cos").alias("c")))
+    )
+    per_t = j.groupBy("target_id").agg(
+        arr.alias("_a"), F.sum(F.coalesce("_hit", F.lit(0))).alias("_hits")
+    )
+    n = F.size("_a")
+    cs = F.transform("_a", lambda s: s["c"])
+    rank_ok = (
+        (n == 3)
+        & (F.transform("_a", lambda s: s["r"].cast("long"))
+           == F.sequence(F.lit(1).cast("long"), n.cast("long")))
+        & F.forall(
+            F.zip_with(
+                F.slice(cs, 1, n - 1),
+                F.slice(cs, 2, n - 1),
+                lambda a, b: a >= b,
+            ),
+            lambda x: x,
+        )
+    )
+    per_t = per_t.select("target_id", rank_ok.alias("rank_ok"), "_hits")
+    tot = per_t.agg(
+        (F.sum("_hits") / F.sum(F.lit(3))).alias("_recall")
+    ).select((F.col("_recall") >= ANN_IVF_MIN_RECALL).alias("recall_ok"))
+    return (
+        per_t.crossJoin(F.broadcast(tot))
+        .select(
+            "target_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(3).cast("long"))
+            ).alias("rnk"),
+            "rank_ok",
+            "recall_ok",
+        )
+    )
 
 
 def ann_ivf_fixed_topk(spark, sf_dir):
@@ -4954,6 +5021,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "vlm_pack_images",
     "ccnet_buckets_docs",
     "corpus_pipeline_docs",
+    "ann_ivf_topk",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",
@@ -4989,12 +5057,13 @@ _DRIVER_UNSEEN_ORACLED = [
     "image_dedup_clusters", "resize_images_meta", "augment_images_meta",
     "video_frame_sample", "audio_features_clips", "format_sniff_images",
 ]
-# ann_ivf_topk: iterative k-means (now RNG-free and digest-stable, but
-# still not SQL-expressible); greedy_ablation_lineitem: driver-side
-# greedy search over Gram stats (pinned by an independent pandas+numpy
-# recompute in tests/test_ablation_metrics.py; a 6x6 OLS solve is not
-# SQL-expressible either).
-_ROWS_ONLY = ["ann_ivf_topk", "greedy_ablation_lineitem"]
+# greedy_ablation_lineitem: driver-side greedy search over Gram stats
+# (pinned by an independent pandas+numpy recompute in
+# tests/test_ablation_metrics.py; a 6x6 OLS solve is not
+# SQL-expressible). ann_ivf_topk graduated to an INVARIANT oracle
+# (rank/recall booleans vs the in-job exact brute force) — its raw
+# neighbor surface stays pytest-pinned via _ann_ivf_topk_raw.
+_ROWS_ONLY = ["greedy_ablation_lineitem"]
 REGISTRY = {
     name: REGISTRY[name]
     for name in (

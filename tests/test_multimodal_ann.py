@@ -127,13 +127,13 @@ def test_ivf_recall_vs_bruteforce(spark):
     """IVF top-3 (seeded k-means cells + n_probe search) must recover a
     meaningful share of the exact top-3; returned cosines are exact."""
     from query_cost_feature_engineering_spark.queries import (
-        ann_ivf_topk,
+        _ann_ivf_topk_raw,
         embedding_cosine_topk,
     )
 
     sf = "/root/testdata/sf0.001"
     exact = embedding_cosine_topk(spark, sf).toPandas()
-    approx = ann_ivf_topk(spark, sf).toPandas()
+    approx = _ann_ivf_topk_raw(spark, sf).toPandas()
     exact_pairs = {(r.target_id, r.neighbor_id) for r in exact.itertuples()}
     approx_pairs = {(r.target_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
@@ -212,12 +212,14 @@ def test_ivf_fixed_recall_and_tiebreak(spark):
 
 
 def test_ivf_determinism(spark):
-    from query_cost_feature_engineering_spark.queries import ann_ivf_topk
+    from query_cost_feature_engineering_spark.queries import (
+        _ann_ivf_topk_raw,
+    )
 
     sf = "/root/testdata/sf0.001"
-    a = ann_ivf_topk(spark, sf).toPandas().sort_values(
+    a = _ann_ivf_topk_raw(spark, sf).toPandas().sort_values(
         ["target_id", "rnk"]).reset_index(drop=True)
-    b = ann_ivf_topk(spark, sf).toPandas().sort_values(
+    b = _ann_ivf_topk_raw(spark, sf).toPandas().sort_values(
         ["target_id", "rnk"]).reset_index(drop=True)
     import pandas as pd
 
