@@ -121,6 +121,7 @@ HEADLINE = [
     "shard_pack_images",
     "jpeg_features_images",
     "exif_orient_images",
+    "exif_scrub_images",
     "mixed_format_features",
     # round 5: snapshot-table runtime (copy-on-write MERGE + time travel;
     # streaming CDC upsert with idempotent per-batch merge commits)

@@ -197,6 +197,60 @@ def with_exif_display_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return r.withColumns({c: F.col(f"_e.{c}") for c in out_cols}).drop("_e")
 
 
+_EXIF_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("had_exif", T.BooleanType()),
+        T.StructField("n_stripped", T.IntegerType()),
+        T.StructField("bytes_removed", T.LongType()),
+        T.StructField("out_nbytes", T.LongType()),
+        T.StructField("clean_ok", T.BooleanType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+    ]
+)
+
+
+def with_exif_scrub(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Metadata-scrub pass (the LAION-style privacy step before
+    publishing an image corpus): strip APP1..APP15 + COM segments from
+    each JPEG (jpeg.strip_metadata), then VERIFY in the same batch that
+    (a) the scrubbed stream parses no orientation tag anymore
+    (``clean_ok``) and (b) decode is byte-identical pre/post
+    (``pixels_ok`` — the dropped segments are decode-inert by spec,
+    and this checks it per image). Map-only Arrow-batched UDF; bytes
+    never shuffled."""
+
+    @F.pandas_udf(_EXIF_SCRUB_SCHEMA)
+    def _scrub(data: pd.Series) -> pd.DataFrame:
+        from query_cost_feature_engineering_spark.jpeg import (
+            decode_jpeg,
+            parse_exif_orientation,
+            strip_metadata,
+        )
+
+        rows = []
+        for b in data:
+            b = bytes(b)
+            had = parse_exif_orientation(b) is not None
+            s, n_rm, b_rm = strip_metadata(b)
+            rows.append(
+                {
+                    "had_exif": had,
+                    "n_stripped": n_rm,
+                    "bytes_removed": b_rm,
+                    "out_nbytes": len(s),
+                    "clean_ok": parse_exif_orientation(s) is None,
+                    "pixels_ok": bool(
+                        np.array_equal(decode_jpeg(b), decode_jpeg(s))
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    r = df.withColumn("_s", _scrub(F.col(bytes_col)))
+    out_cols = [f.name for f in _EXIF_SCRUB_SCHEMA.fields]
+    return r.withColumns({c: F.col(f"_s.{c}") for c in out_cols}).drop("_s")
+
+
 # --- mixed-format decode metadata (scalar struct pandas UDF) ----------------
 
 _DECODE_META_SCHEMA = T.StructType(

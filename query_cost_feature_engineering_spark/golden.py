@@ -318,6 +318,79 @@ def ensure_exif_fixture(n: int = 160, seed: int = 57) -> str:
     return _write_fixture("exif_orient", out)
 
 
+def ensure_exif_scrub_fixture(n: int = 160, seed: int = 57) -> str:
+    """Expected rows for exif_scrub_images via the single-process strip
+    core (plumbing-pinning; the verdict booleans are recomputed, not
+    copied). The BUILD independently ENFORCES the scrub claim with an
+    INDEPENDENT segment scan written here (not strip_metadata's own
+    accounting): no APP1..APP15 or COM marker may survive in any
+    scrubbed stream before SOS, planted orientations must be present
+    pre-scrub and absent post-scrub, and decode must be array-equal
+    pre/post."""
+    import struct as _struct
+
+    from query_cost_feature_engineering_spark.jpeg import (
+        decode_jpeg,
+        parse_exif_orientation,
+        strip_metadata,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_exif_images_pandas,
+    )
+
+    def _scan_meta_markers(data: bytes) -> int:
+        """Independent walk: count APP1..APP15/COM segments before SOS."""
+        pos, hits = 2, 0
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            m = data[pos + 1]
+            if m == 0xDA:
+                break
+            pos += 2
+            if 0xD0 <= m <= 0xD9 or m == 0x01:
+                continue
+            (ln,) = _struct.unpack(">H", data[pos : pos + 2])
+            if 0xE1 <= m <= 0xEF or m == 0xFE:
+                hits += 1
+            pos += ln
+        return hits
+
+    pdf = generate_exif_images_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        b = bytes(pdf["bytes"].iloc[i])
+        true_o = int(pdf["orientation_true"].iloc[i])
+        had = parse_exif_orientation(b) is not None
+        assert had == (true_o != 0), "planted EXIF must be parseable"
+        s, n_rm, b_rm = strip_metadata(b)
+        assert _scan_meta_markers(s) == 0, "metadata survived the scrub"
+        assert parse_exif_orientation(s) is None
+        assert np.array_equal(decode_jpeg(b), decode_jpeg(s))
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                bool(had),
+                int(n_rm),
+                int(b_rm),
+                len(s),
+                True,
+                True,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "had_exif", "n_stripped",
+            "bytes_removed", "out_nbytes", "clean_ok", "pixels_ok",
+        ],
+    )
+    out["n_stripped"] = out["n_stripped"].astype("int64")
+    out["bytes_removed"] = out["bytes_removed"].astype("int64")
+    out["out_nbytes"] = out["out_nbytes"].astype("int64")
+    return _write_fixture("exif_scrub", out)
+
+
 def ensure_mixed_format_fixture(n: int = 180, seed: int = 58) -> str:
     """Expected rows for mixed_format_features via the single-process
     decode core. Before writing, independently ENFORCES each format's

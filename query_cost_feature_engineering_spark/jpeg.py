@@ -781,6 +781,46 @@ def insert_exif_orientation(data: bytes, orientation: int) -> bytes:
     return data[:2] + app1 + data[2:]
 
 
+def strip_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Remove every metadata segment a JPEG can carry identifying
+    information in — APP1..APP15 (EXIF/XMP/ICC/IPTC, incl. GPS tags)
+    and COM comments — keeping SOI, APP0/JFIF and all coding segments
+    byte-identical; from SOS onward the entropy stream is copied
+    verbatim. Returns (scrubbed, n_removed, bytes_removed). The
+    privacy-scrub pass LAION-style pipelines run before publishing:
+    pixels and decode behavior are untouched (the decoder never reads
+    the dropped segments), provenance metadata is gone."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    out = bytearray(b"\xff\xd8")
+    n_removed = 0
+    bytes_removed = 0
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            # desync: keep the remainder verbatim (scrub must never
+            # corrupt a stream it does not fully understand)
+            out += data[pos:]
+            break
+        m = data[pos + 1]
+        if m == 0xDA:  # SOS: entropy data + EOI, verbatim
+            out += data[pos:]
+            break
+        if 0xD0 <= m <= 0xD9 or m == 0x01:  # bare markers
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos : pos + 2 + ln]
+        pos += 2 + ln
+        if 0xE1 <= m <= 0xEF or m == 0xFE:  # APP1..APP15 / COM
+            n_removed += 1
+            bytes_removed += len(seg)
+        else:
+            out += seg
+    return bytes(out), n_removed, bytes_removed
+
+
 def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     """Display-orient a decoded (h, w, c) array per EXIF 1-8:
     1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,

@@ -1624,6 +1624,11 @@ def _fixture_oracles() -> dict[str, str]:
                    round(corner_mean + 1e-9, 4) AS corner_mean
             FROM read_parquet('{G.ensure_exif_fixture()}')
         """,
+        "exif_scrub_images": f"""
+            SELECT image_id, had_exif, n_stripped,
+                   bytes_removed, out_nbytes, clean_ok, pixels_ok
+            FROM read_parquet('{G.ensure_exif_scrub_fixture()}')
+        """,
         "jpeg_features_images": f"""
             SELECT image_id, w, h, quality, subsamp, coding, n_bytes,
                    round(px_mean + 1e-9, 4) AS px_mean,

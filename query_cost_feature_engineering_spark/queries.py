@@ -4114,6 +4114,43 @@ def phash_neardup_images(spark, sf_dir):
     )
 
 
+def exif_scrub_images(spark, sf_dir):
+    """Metadata scrubbing over the EXIF JPEG corpus — the privacy pass
+    (strip APP1/EXIF incl. GPS, APPn, COM) every public image-corpus
+    release runs (LAION, DataComp): emits ``(image_id, had_exif,
+    n_stripped, bytes_removed, out_nbytes, clean_ok, pixels_ok)``
+    where ``clean_ok`` verifies the scrubbed stream parses no
+    orientation tag and ``pixels_ok`` verifies decode is byte-identical
+    pre/post (the dropped segments are decode-inert by spec — checked
+    per image, not assumed).
+
+    Plan shape: map-only, one Arrow-batched UDF, bytes never shuffled
+    (the flagship decode-stage shape). Oracle: pure-Python recompute
+    fixture whose BUILD independently enforces that no APP1..APP15/COM
+    marker survives in any scrubbed stream (an independent segment
+    scan, not the strip function's own accounting) and that planted
+    orientations were present pre-scrub."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_exif_scrub,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_exif_images_pandas,
+    )
+
+    pdf = generate_exif_images_pandas(160, seed=57)
+    img = spark.createDataFrame(pdf)
+    out = with_exif_scrub(img)
+    return out.select(
+        "image_id",
+        "had_exif",
+        F.col("n_stripped").cast("long").alias("n_stripped"),
+        "bytes_removed",
+        "out_nbytes",
+        "clean_ok",
+        "pixels_ok",
+    )
+
+
 def stream_interval_join_events(spark, sf_dir):
     """Stream-stream interval join (click->purchase attribution within 1h,
     same user) — watermarks on BOTH sides + event-time-bounded condition,
@@ -4884,6 +4921,7 @@ REGISTRY = {
     "vlm_pack_images": vlm_pack_images,
     "ccnet_buckets_docs": ccnet_buckets_docs,
     "corpus_pipeline_docs": corpus_pipeline_docs,
+    "exif_scrub_images": exif_scrub_images,
     "stream_snapshot_reads_orders": stream_snapshot_reads_orders,
     "snapshot_prune_orders": snapshot_prune_orders,
     "merge_upsert_orders": merge_upsert_orders,
@@ -5022,6 +5060,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "ccnet_buckets_docs",
     "corpus_pipeline_docs",
     "ann_ivf_topk",
+    "exif_scrub_images",
     "stream_asof_purchases",
     "feature_store_export",
     "stream_snapshot_reads_orders",
