@@ -117,6 +117,7 @@ HEADLINE = [
     "caption_align_images",
     "c4_clean_docs",
     "datacomp_filter_images",
+    "blur_detect_images",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

@@ -133,3 +133,83 @@ def phash_bits_pandas(phash: pd.Series) -> pd.DataFrame:
         for i in range(64)
     }
     return pd.DataFrame(cols)
+
+
+# ---------------------------------------------------------------------------
+# Sharpness / blur detection (variance-of-Laplacian + Tenengrad)
+# ---------------------------------------------------------------------------
+# The standard image-curation sharpness gate (Pech-Pacheco et al. 2000;
+# used by every large-scale image-dataset pipeline to drop blurred or
+# low-detail frames before training). All arithmetic is INTEGER until
+# one final float division of two exactly-representable values, so the
+# distributed UDF and the independent pure-Python fixture oracle match
+# bit-for-bit regardless of traversal order:
+#
+#   lap        = N+S+E+W - 4*center          (interior pixels only)
+#   lap_var    = (n*sum(lap^2) - sum(lap)^2) / n^2
+#   tenengrad  = sum(gx^2 + gy^2) / n        (central differences)
+#
+# Bounds: |lap| <= 1020, lap^2 <= 1.05e6, n <= 62*62 for the 64px cap,
+# so every integer sum stays far below 2^53 and the numerators are
+# exact in float64.
+
+SHARP_COLS = ["dec_w", "dec_h", "lap_var", "tenengrad"]
+
+_SHARP_SCHEMA = T.StructType(
+    [
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("lap_var", T.DoubleType()),
+        T.StructField("tenengrad", T.DoubleType()),
+    ]
+)
+
+
+def sharpness_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Vectorized (numpy-shift) sharpness core — the Spark-side half.
+
+    The fixture oracle (golden.ensure_blur_fixture) recomputes the same
+    integer sums with an explicit per-pixel Python loop — an independent
+    implementation of the math; only the codec decode is shared (the
+    fixture-oracle convention documented in FIXTURES.md). Images with
+    fewer than 3 rows or columns have no interior and emit 0.0."""
+    n_rows = len(data)
+    dec_w = np.empty(n_rows, np.int32)
+    dec_h = np.empty(n_rows, np.int32)
+    lap_var = np.empty(n_rows, np.float64)
+    teng = np.empty(n_rows, np.float64)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        arr = decode_image(bytes(b), f)
+        g = to_gray(arr).astype(np.int64)
+        h, w = g.shape
+        dec_w[i], dec_h[i] = w, h
+        if h < 3 or w < 3:
+            lap_var[i] = 0.0
+            teng[i] = 0.0
+            continue
+        c = g[1:-1, 1:-1]
+        lap = g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:] - 4 * c
+        n = lap.size
+        s = int(lap.sum())
+        ss = int((lap * lap).sum())
+        lap_var[i] = float(n * ss - s * s) / float(n * n)
+        gx = g[1:-1, 2:] - g[1:-1, :-2]
+        gy = g[2:, 1:-1] - g[:-2, 1:-1]
+        teng[i] = float(int((gx * gx + gy * gy).sum())) / float(n)
+    return pd.DataFrame(
+        {"dec_w": dec_w, "dec_h": dec_h, "lap_var": lap_var, "tenengrad": teng}
+    )
+
+
+@F.pandas_udf(_SHARP_SCHEMA)
+def _sharpness_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return sharpness_stats_pandas(data, fmt)
+
+
+def with_sharpness(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append sharpness columns; map-only, one Arrow batch pass, bytes
+    dropped before any downstream exchange (the flagship decode idiom)."""
+    df = df.withColumn("_sh", _sharpness_udf(F.col(bytes_col), F.col("fmt")))
+    return df.withColumns(
+        {c: F.col(f"_sh.{c}") for c in SHARP_COLS}
+    ).drop("_sh", bytes_col)

@@ -1056,3 +1056,61 @@ def ensure_caption_align_fixture(
     )
     out["token_count"] = out["token_count"].astype("int64")
     return _write_fixture("caption_align", out)
+
+
+def ensure_blur_fixture(n: int = 240, seed: int = 42) -> str:
+    """Expected rows for blur_detect_images, recomputed by an
+    INDEPENDENT implementation of the sharpness math: an explicit
+    per-pixel Python loop over the interior (vs the Spark UDF's numpy
+    shift stack). Both sides reduce to the same exact integer sums
+    (all values bounded far below 2^53), then apply the identical
+    two-exact-operand float divisions, so agreement is bit-for-bit.
+    Only the corpus generator and the codec decode are shared (the
+    plumbing-pinning convention — the codec itself is pinned by
+    tests/test_codecs.py and the PSNR-enforcing fixtures)."""
+    from query_cost_feature_engineering_spark.codecs import decode_image, to_gray
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_blur_corpus_pandas,
+    )
+
+    pdf = generate_blur_corpus_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        arr = decode_image(bytes(pdf["bytes"].iloc[i]), str(pdf["fmt"].iloc[i]))
+        g = to_gray(arr).astype(int).tolist()
+        h = len(g)
+        w = len(g[0]) if h else 0
+        if h < 3 or w < 3:
+            lap_var, teng = 0.0, 0.0
+        else:
+            s = ss = tg = 0
+            cnt = 0
+            for y in range(1, h - 1):
+                gm, gc, gp = g[y - 1], g[y], g[y + 1]
+                for x in range(1, w - 1):
+                    lap = gm[x] + gp[x] + gc[x - 1] + gc[x + 1] - 4 * gc[x]
+                    s += lap
+                    ss += lap * lap
+                    dx = gc[x + 1] - gc[x - 1]
+                    dy = gp[x] - gm[x]
+                    tg += dx * dx + dy * dy
+                    cnt += 1
+            lap_var = float(cnt * ss - s * s) / float(cnt * cnt)
+            teng = float(tg) / float(cnt)
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                w,
+                h,
+                lap_var,
+                teng,
+                bool(pdf["blur_true"].iloc[i]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["image_id", "dec_w", "dec_h", "lap_var", "tenengrad", "blur_true"],
+    )
+    out["dec_w"] = out["dec_w"].astype("int32")
+    out["dec_h"] = out["dec_h"].astype("int32")
+    return _write_fixture("blur_detect", out)

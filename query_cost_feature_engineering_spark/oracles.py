@@ -1666,6 +1666,18 @@ def _fixture_oracles() -> dict[str, str]:
                    round(align_score + 1e-11, 6) AS align_score, kept
             FROM read_parquet('{G.ensure_caption_align_fixture()}')
         """,
+        # blur_detect_images (round 5): fixture recomputed by an
+        # INDEPENDENT pure-Python loop implementation of the integer
+        # Laplacian/Tenengrad sums (see golden.ensure_blur_fixture) —
+        # only the corpus generator + codec decode are shared.
+        "blur_detect_images": f"""
+            SELECT image_id, dec_w, dec_h,
+                   round(lap_var + 1e-9, 4) AS lap_var,
+                   round(tenengrad + 1e-9, 4) AS tenengrad,
+                   lap_var >= 800.0 AS is_sharp,
+                   blur_true
+            FROM read_parquet('{G.ensure_blur_fixture()}')
+        """,
         # mscn_serialize_plans (round 5): rows-only -> hash oracle. The
         # serialization contract itself is pinned by the hand-built-tree
         # golden test; this fixture pins the full distributed pipeline's

@@ -4029,6 +4029,46 @@ DATACOMP_MAX_ASPECT = 2.0
 DATACOMP_MIN_CAPTION_TOKENS = 5
 DATACOMP_FMTS = ["png", "jpeg"]
 
+# Sharpness gate threshold: planted 3x3-box-blurred images measure
+# lap_var < 130 on this corpus family; sharp (noise-bearing) images
+# measure > 3800 — 800 sits far from both modes.
+BLUR_LAP_VAR_MIN = 800.0
+
+
+def blur_detect_images(spark, sf_dir):
+    """Blur / low-detail detection — the sharpness gate every
+    image-dataset curation pipeline runs before training (variance of
+    the 3x3 Laplacian, Pech-Pacheco et al. 2000, plus the Tenengrad
+    central-difference gradient energy). Emits ``(image_id, dec_w,
+    dec_h, lap_var, tenengrad, is_sharp, blur_true)`` over a corpus
+    where every 3rd image is a planted 3x3 box-blur.
+
+    Plan shape (100-TB-safe): map-only — ONE Arrow-batched pandas UDF
+    decodes and reduces each image to two scalars; bytes are dropped
+    before the rows go anywhere near an exchange (the flagship decode
+    idiom). All sharpness arithmetic is integer until two final
+    exact-operand float divisions, so the independent pure-Python
+    fixture oracle (golden.ensure_blur_fixture) matches bit-for-bit.
+    """
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_sharpness,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_blur_corpus_pandas,
+    )
+
+    images = spark.createDataFrame(generate_blur_corpus_pandas(240, 42))
+    out = with_sharpness(images.select("image_id", "bytes", "fmt", "blur_true"))
+    return out.select(
+        "image_id",
+        "dec_w",
+        "dec_h",
+        _rq("lap_var").alias("lap_var"),
+        _rq("tenengrad").alias("tenengrad"),
+        (F.col("lap_var") >= BLUR_LAP_VAR_MIN).alias("is_sharp"),
+        "blur_true",
+    )
+
 
 def datacomp_filter_images(spark, sf_dir):
     """DataComp/LAION basic image-pair filter — per-pair gate verdicts
@@ -5038,6 +5078,7 @@ REGISTRY = {
     "format_sniff_images": format_sniff_images,
     "caption_align_images": caption_align_images,
     "datacomp_filter_images": datacomp_filter_images,
+    "blur_detect_images": blur_detect_images,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

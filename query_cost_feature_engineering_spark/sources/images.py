@@ -190,6 +190,44 @@ def generate_images_pandas(
     return df.iloc[perm].reset_index(drop=True)
 
 
+def _box_blur3(arr: np.ndarray) -> np.ndarray:
+    """3x3 integer box blur, edge-replicated pad, floor-div mean.
+
+    Pure integer (sum of 9 // 9) so the blurred corpus is bit-identical
+    wherever it is regenerated. Part of corpus GENERATION (shared by the
+    query and the fixture builder) — the sharpness *metrics* computed on
+    it have independent implementations on the two sides."""
+    p = np.pad(arr.astype(np.int64), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    s = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    )
+    return (s // 9).astype(np.uint8)
+
+
+def generate_blur_corpus_pandas(n: int = 240, seed: int = 42) -> pd.DataFrame:
+    """Sharpness-gate corpus: the standard seeded corpus with every 3rd
+    row (by original draw index, i.e. the digits of ``image_id``)
+    replaced by a 3x3 box-blurred PNG re-encode of its decoded pixels,
+    plus the ground-truth ``blur_true`` label so tests and the oracle can
+    verify the gate recovers the planted classes."""
+    from query_cost_feature_engineering_spark.codecs import decode_image
+
+    pdf = generate_images_pandas(n, 30, seed)
+    blur_true = np.zeros(len(pdf), dtype=bool)
+    for i in range(len(pdf)):
+        idx = int(pdf.at[i, "image_id"][3:])
+        if idx % 3 != 0:
+            continue
+        arr = decode_image(bytes(pdf.at[i, "bytes"]), pdf.at[i, "fmt"])
+        pdf.at[i, "bytes"] = encode_png(_box_blur3(arr))
+        pdf.at[i, "fmt"] = "png"
+        blur_true[i] = True
+    pdf["blur_true"] = blur_true
+    return pdf
+
+
 def generate_spine_pandas(
     images: pd.DataFrame, n: int = 1000, seed: int = 43
 ) -> pd.DataFrame:
