@@ -118,6 +118,7 @@ HEADLINE = [
     "c4_clean_docs",
     "datacomp_filter_images",
     "blur_detect_images",
+    "html_extract_docs",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

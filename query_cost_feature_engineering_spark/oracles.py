@@ -2484,6 +2484,57 @@ def _c4_clean_sql() -> str:
 
 ORACLES["c4_clean_docs"] = _c4_clean_sql()
 
+# html_extract_docs: IDENTICAL page synthesis + IDENTICAL RE2-safe
+# extraction patterns run by DuckDB's own regex engine with the 'g'
+# flag (Spark's regexp_replace is global by default) — a genuine
+# independent execution of the same declarative spec.
+ORACLES["html_extract_docs"] = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title></head><body><nav><a href="/">home</a> <a href="/t/'
+         || CAST(doc_id % 5 AS VARCHAR)
+         || '">topic</a></nav><div class="ad">SALE '
+         || CAST(doc_id % 7 AS VARCHAR)
+         || ' click now</div><article><p>'
+         || replace(text, ' scan ', ' <em>scan</em> ')
+         || '</p></article><div class="related"><a href="/d/'
+         || CAST(doc_id + 1 AS VARCHAR)
+         || '">next</a> <a href="/d/'
+         || CAST(doc_id + 2 AS VARCHAR)
+         || '">more</a></div><footer>(c) ' || source
+         || ' archive</footer></body></html>' AS html,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), ext AS (
+  SELECT doc_id, html, norm,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '<head>.*?</head>', ' ', 'g'),
+                     '<nav>.*?</nav>', ' ', 'g'),
+                   '<div class="ad">.*?</div>', ' ', 'g'),
+                 '<div class="related">.*?</div>', ' ', 'g'),
+               '<footer>.*?</footer>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS main
+  FROM page
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(main) AS BIGINT) AS main_len,
+       CAST(len(regexp_extract_all(html, '<a href')) AS BIGINT) AS n_links,
+       round(1.0 - length(main) / length(html) + 1e-11, 6)
+           AS boilerplate_ratio,
+       md5(main) AS text_digest,
+       main = norm AS roundtrip_ok,
+       length(main) >= 40 AS passes
+FROM ext
+"""
+
 
 def _bloom_dedup_sql() -> str:
     """DuckDB mirror of bloom_dedup_docs: identical 8-word line

@@ -2746,6 +2746,83 @@ C4_BOILER = [
 ]
 
 
+HTML_MIN_MAIN_CHARS = 40  # extraction gate: pages with less main text drop
+
+
+def html_extract_docs(spark, sf_dir):
+    """HTML boilerplate removal — the step every web-crawl corpus
+    pipeline (C4/CCNet/RefinedWeb/Dolma) runs FIRST: strip chrome
+    (nav / ads / related links / footer / head), strip tags, collapse
+    whitespace, keep the article text. Emits ``(doc_id, html_len,
+    main_len, n_links, boilerplate_ratio, text_digest, roundtrip_ok,
+    passes)``.
+
+    Both sides synthesize the page deterministically around
+    ``documents.text`` (title, nav with links, an ad div, the article
+    with an ``<em>`` inline-emphasis injection, related-links div,
+    footer), so ``roundtrip_ok`` is a REAL end-to-end property: the
+    extracted main text must equal the whitespace-normalized original
+    article — chrome exactly removed, inline tags stripped without
+    damaging content.
+
+    Plan shape (10^12-page safe): map-only — a chain of JVM
+    ``replace``/``regexp_replace``/``md5`` expressions inside one
+    whole-stage-codegen span; zero UDFs, zero exchanges (the plan is a
+    bare Scan -> Project). All regexes are RE2-safe (non-greedy
+    ranges, no backreferences), so the DuckDB oracle runs the
+    IDENTICAL patterns with the ``'g'`` flag."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title></head><body><nav><a href=\"/\">home</a> "
+              "<a href=\"/t/"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("\">topic</a></nav><div class=\"ad\">SALE "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" click now</div><article><p>"),
+        F.replace(F.col("text"), F.lit(" scan "), F.lit(" <em>scan</em> ")),
+        F.lit("</p></article><div class=\"related\"><a href=\"/d/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("\">next</a> <a href=\"/d/"),
+        (F.col("doc_id") + 2).cast("string"),
+        F.lit("\">more</a></div><footer>(c) "), F.col("source"),
+        F.lit(" archive</footer></body></html>"),
+    )
+    d = d.withColumn("html", html)
+    main = F.col("html")
+    for pat in (
+        "<head>.*?</head>",
+        "<nav>.*?</nav>",
+        '<div class="ad">.*?</div>',
+        '<div class="related">.*?</div>',
+        "<footer>.*?</footer>",
+        "<[^>]*>",
+    ):
+        main = F.regexp_replace(main, pat, " ")
+    main = F.trim(F.regexp_replace(main, "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+    d = d.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_len"),
+        main.alias("main"),
+        norm.alias("norm"),
+        F.size(F.regexp_extract_all("html", F.lit("<a href"), F.lit(0)))
+        .cast("long").alias("n_links"),
+    )
+    return d.select(
+        "doc_id",
+        "html_len",
+        F.length("main").cast("long").alias("main_len"),
+        "n_links",
+        _rq(F.lit(1.0) - F.length("main") / F.col("html_len"), 6).alias(
+            "boilerplate_ratio"
+        ),
+        F.md5(F.col("main").cast("binary")).alias("text_digest"),
+        (F.col("main") == F.col("norm")).alias("roundtrip_ok"),
+        (F.length("main") >= HTML_MIN_MAIN_CHARS).alias("passes"),
+    )
+
+
 def c4_clean_docs(spark, sf_dir):
     """C4 cleaning pipeline (Raffel et al. 2020) — per-page summary
     ``(doc_id, n_lines, kept_lines, dup_removed, final_lines,
@@ -5079,6 +5156,7 @@ REGISTRY = {
     "caption_align_images": caption_align_images,
     "datacomp_filter_images": datacomp_filter_images,
     "blur_detect_images": blur_detect_images,
+    "html_extract_docs": html_extract_docs,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 
