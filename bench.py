@@ -119,6 +119,7 @@ HEADLINE = [
     "datacomp_filter_images",
     "blur_detect_images",
     "html_extract_docs",
+    "audio_fingerprint_dedup",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

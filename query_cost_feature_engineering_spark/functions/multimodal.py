@@ -625,3 +625,80 @@ def with_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     r = df.withColumn("_a", _afeat(F.col(bytes_col)))
     out_cols = [f.name for f in _AUDIO_SCHEMA.fields]
     return r.withColumns({c: F.col(f"_a.{c}") for c in out_cols}).drop("_a")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (chromaprint-style sign-of-band-energy-delta bits)
+# ---------------------------------------------------------------------------
+# 17 frames of 1024 samples (hop 512); per frame, 4 Haar-filterbank band
+# energies computed in EXACT integer arithmetic (samples are int16, so
+# every sum stays far below 2^63); bit (f, b) = E[f][b] > E[f+1][b],
+# packed 64 bits -> int64. Integer math means the fingerprint is
+# invariant to exact amplitude doubling (energies scale by exactly 4)
+# and bit-identical between the vectorized Spark UDF and the fixture
+# oracle's independent pure-Python loop implementation.
+
+FP_WIN, FP_HOP, FP_DELTAS, FP_BANDS = 1024, 512, 16, 4
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def _band_energies(frame: np.ndarray) -> tuple[int, int, int, int]:
+    """4 Haar-packet band energies of one int64 frame — exact integers."""
+    e0 = int((frame * frame).sum())
+    p = frame.reshape(-1, 2)
+    d1 = p[:, 0] - p[:, 1]
+    e1 = int((d1 * d1).sum())
+    q = frame.reshape(-1, 4)
+    d2 = q[:, 0] + q[:, 1] - q[:, 2] - q[:, 3]
+    e2 = int((d2 * d2).sum())
+    r = frame.reshape(-1, 8)
+    d3 = r[:, :4].sum(axis=1) - r[:, 4:].sum(axis=1)
+    e3 = int((d3 * d3).sum())
+    return e0, e1, e2, e3
+
+
+def audio_fingerprint_pandas(data: pd.Series) -> pd.DataFrame:
+    """Spark-side fingerprint core (numpy reshape/sum reductions)."""
+    fps = np.empty(len(data), dtype=np.int64)
+    nfs = np.empty(len(data), dtype=np.int64)
+    for i, b in enumerate(data):
+        pcm, _rate = decode_audio(bytes(b))
+        x = (pcm[:, 0] if pcm.ndim == 2 else pcm).astype(np.int64)
+        n_frames = 0 if len(x) < FP_WIN else (len(x) - FP_WIN) // FP_HOP + 1
+        take = min(n_frames, FP_DELTAS + 1)
+        E = [
+            _band_energies(x[f * FP_HOP : f * FP_HOP + FP_WIN])
+            for f in range(take)
+        ]
+        v = 0
+        for f in range(FP_DELTAS):
+            if f + 1 >= take:
+                break
+            for band in range(FP_BANDS):
+                if E[f][band] > E[f + 1][band]:
+                    v |= 1 << (63 - (f * FP_BANDS + band))
+        if v >= 1 << 63:
+            v -= 1 << 64
+        fps[i] = v
+        nfs[i] = n_frames
+    return pd.DataFrame({"fingerprint": fps, "n_frames": nfs})
+
+
+@F.pandas_udf(_FP_SCHEMA)
+def _audio_fp_udf(data: pd.Series) -> pd.DataFrame:
+    return audio_fingerprint_pandas(data)
+
+
+def with_audio_fingerprint(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append (fingerprint, n_frames); DROPS the payload column so the
+    dedup shuffle moves 16-byte rows, never audio bytes."""
+    r = df.withColumn("_fp", _audio_fp_udf(F.col(bytes_col)))
+    return r.withColumns(
+        {"fingerprint": F.col("_fp.fingerprint"), "n_frames": F.col("_fp.n_frames")}
+    ).drop("_fp", bytes_col)

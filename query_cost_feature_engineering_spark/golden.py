@@ -1114,3 +1114,72 @@ def ensure_blur_fixture(n: int = 240, seed: int = 42) -> str:
     out["dec_w"] = out["dec_w"].astype("int32")
     out["dec_h"] = out["dec_h"].astype("int32")
     return _write_fixture("blur_detect", out)
+
+
+def ensure_audio_fp_fixture(n: int = 96, seed: int = 59) -> str:
+    """Expected fingerprints for audio_fingerprint_dedup, recomputed by
+    an INDEPENDENT pure-Python per-sample loop (vs the Spark UDF's
+    numpy reshape reductions). All band energies are exact integers, so
+    agreement is bit-for-bit. Only the corpus generator and the WAV
+    decode are shared (plumbing-pinning convention); the DEDUP logic is
+    formulated independently again in the oracle SQL (window min over
+    fingerprint partitions vs the Spark groupBy+join)."""
+    from query_cost_feature_engineering_spark.codecs import decode_wav
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        FP_BANDS,
+        FP_DELTAS,
+        FP_HOP,
+        FP_WIN,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_dedup_pandas,
+    )
+
+    pdf = generate_audio_dedup_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        pcm, _rate = decode_wav(bytes(pdf["bytes"].iloc[i]))
+        x = [int(v) for v in pcm[:, 0]]
+        ln = len(x)
+        n_frames = 0 if ln < FP_WIN else (ln - FP_WIN) // FP_HOP + 1
+        take = min(n_frames, FP_DELTAS + 1)
+        E = []
+        for f in range(take):
+            s = f * FP_HOP
+            e0 = e1 = e2 = e3 = 0
+            for j in range(0, FP_WIN, 8):
+                w = x[s + j : s + j + 8]
+                for v in w:
+                    e0 += v * v
+                for k in (0, 2, 4, 6):
+                    d = w[k] - w[k + 1]
+                    e1 += d * d
+                for k in (0, 4):
+                    d = w[k] + w[k + 1] - w[k + 2] - w[k + 3]
+                    e2 += d * d
+                d = w[0] + w[1] + w[2] + w[3] - w[4] - w[5] - w[6] - w[7]
+                e3 += d * d
+            E.append((e0, e1, e2, e3))
+        v = 0
+        for f in range(FP_DELTAS):
+            if f + 1 >= take:
+                break
+            for band in range(FP_BANDS):
+                if E[f][band] > E[f + 1][band]:
+                    v |= 1 << (63 - (f * FP_BANDS + band))
+        if v >= 1 << 63:
+            v -= 1 << 64
+        rows.append(
+            (
+                str(pdf["clip_id"].iloc[i]),
+                v,
+                n_frames,
+                pdf["dup_of"].iloc[i],
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["clip_id", "fingerprint", "n_frames", "dup_of"]
+    )
+    out["fingerprint"] = out["fingerprint"].astype("int64")
+    out["n_frames"] = out["n_frames"].astype("int64")
+    return _write_fixture("audio_fp", out)

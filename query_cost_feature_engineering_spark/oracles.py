@@ -1666,6 +1666,18 @@ def _fixture_oracles() -> dict[str, str]:
                    round(align_score + 1e-11, 6) AS align_score, kept
             FROM read_parquet('{G.ensure_caption_align_fixture()}')
         """,
+        # audio_fingerprint_dedup (round 5): fingerprints from the
+        # independent pure-Python fixture; dedup re-derived HERE with
+        # a window-min formulation (vs Spark's groupBy + join back).
+        "audio_fingerprint_dedup": f"""
+            SELECT clip_id, fingerprint, n_frames,
+                   min(clip_id) OVER (PARTITION BY fingerprint)
+                       AS canonical_id,
+                   clip_id <> min(clip_id) OVER (PARTITION BY fingerprint)
+                       AS is_dup,
+                   dup_of
+            FROM read_parquet('{G.ensure_audio_fp_fixture()}')
+        """,
         # blur_detect_images (round 5): fixture recomputed by an
         # INDEPENDENT pure-Python loop implementation of the integer
         # Laplacian/Tenengrad sums (see golden.ensure_blur_fixture) —

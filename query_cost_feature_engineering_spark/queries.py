@@ -4147,6 +4147,49 @@ def blur_detect_images(spark, sf_dir):
     )
 
 
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-duplicate detection by acoustic fingerprint — the
+    chromaprint idea (sign of frame-over-frame band-energy deltas,
+    64 bits packed to int64) in exact integer arithmetic, so the
+    fingerprint is invariant to exact amplitude re-mastering (x*2
+    scales every Haar-band energy by exactly 4, preserving every delta
+    sign) while raw-byte dedup is not. The corpus plants groups of
+    [base, exact byte-duplicate, amplitude-doubled re-encode,
+    independent]; ``dup_of`` is the ground truth.
+
+    Plan shape (10^9-clip safe): ONE Arrow-batched decode+fingerprint
+    UDF that DROPS the payload before anything shuffles (16-byte rows
+    from there on); canonicalization is groupBy(fingerprint) ->
+    min(clip_id) with map-side combine — hot fingerprints (viral
+    audio duplicated millions of times) collapse map-side, where a
+    window over the fingerprint partition would serialize them into
+    one task — then one equi-join back (broadcast here; SMJ at scale).
+    Oracle: fixture fingerprints recomputed by an independent
+    pure-Python loop (golden.ensure_audio_fp_fixture) + an independent
+    dedup formulation (window min) in DuckDB."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_audio_fingerprint,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_dedup_pandas,
+    )
+
+    clips = spark.createDataFrame(generate_audio_dedup_pandas(96, 59))
+    fp = with_audio_fingerprint(clips)
+    winners = fp.groupBy("fingerprint").agg(
+        F.min("clip_id").alias("canonical_id")
+    )
+    out = fp.join(F.broadcast(winners), "fingerprint")
+    return out.select(
+        "clip_id",
+        "fingerprint",
+        "n_frames",
+        "canonical_id",
+        (F.col("clip_id") != F.col("canonical_id")).alias("is_dup"),
+        "dup_of",
+    )
+
+
 def datacomp_filter_images(spark, sf_dir):
     """DataComp/LAION basic image-pair filter — per-pair gate verdicts
     ``(image_id, w, h, aspect, caption_tokens, size_ok, aspect_ok,
@@ -5157,6 +5200,7 @@ REGISTRY = {
     "datacomp_filter_images": datacomp_filter_images,
     "blur_detect_images": blur_detect_images,
     "html_extract_docs": html_extract_docs,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

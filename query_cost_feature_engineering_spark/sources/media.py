@@ -208,3 +208,42 @@ def generate_audio_pandas(n: int, seed: int = 53) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def generate_audio_dedup_pandas(n: int = 96, seed: int = 59) -> pd.DataFrame:
+    """Fingerprint-dedup corpus: groups of 4 clips — [base, exact
+    byte-duplicate, amplitude-DOUBLED re-encode (different bytes, same
+    fingerprint: x*2 scales every band energy by exactly 4, preserving
+    every frame-delta sign), independent clip]. ``dup_of`` carries the
+    planted ground truth (clip_id of the original, else None). Base
+    amplitude is clipped to ±8000 so the doubled copy never clips."""
+    from query_cost_feature_engineering_spark.codecs import encode_wav_pcm16
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    last_pcm, last_id = None, None
+    for i in range(n):
+        cid = f"fpc{i:06d}"
+        role = i % 4
+        if role in (0, 3):
+            ns = int(rng.integers(12000, 48000))
+            pcm = (
+                np.clip(rng.standard_normal(ns) * 2500, -8000, 8000)
+                .astype(np.int16)
+            )
+            data = encode_wav_pcm16(pcm, rate=16000)
+            dup_of = None
+            if role == 0:
+                last_pcm, last_id = pcm, cid
+        elif role == 1:
+            data = encode_wav_pcm16(last_pcm, rate=16000)
+            dup_of = last_id
+        else:  # role == 2: louder re-master of the same recording
+            data = encode_wav_pcm16(
+                (last_pcm.astype(np.int32) * 2).astype(np.int16), rate=16000
+            )
+            dup_of = last_id
+        rows.append(
+            {"clip_id": cid, "bytes": data, "fmt": "wav", "dup_of": dup_of}
+        )
+    return pd.DataFrame(rows)
