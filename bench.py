@@ -120,6 +120,7 @@ HEADLINE = [
     "blur_detect_images",
     "html_extract_docs",
     "audio_fingerprint_dedup",
+    "border_crop_images",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

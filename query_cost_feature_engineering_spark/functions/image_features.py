@@ -213,3 +213,61 @@ def with_sharpness(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.withColumns(
         {c: F.col(f"_sh.{c}") for c in SHARP_COLS}
     ).drop("_sh", bytes_col)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-border (letterbox / pillarbox) detection
+# ---------------------------------------------------------------------------
+# The crop gate image-curation pipelines run before training: detect
+# constant-color margins (scanner beds, letterboxed video stills, ad
+# padding) and emit the content crop box. Semantics (identical on both
+# oracle sides, exact — no tolerance): a row is border iff every pixel
+# equals ITS OWN first pixel (self-anchored, so a bottom-only or
+# right-only border is still found); border_t/b (l/r) are the
+# leading/trailing runs of such rows (cols, anchored on their row-0
+# pixel). A fully-uniform image is all border: t=h, b=0, l=w, r=0.
+
+BORDER_COLS = ["img_w", "img_h", "border_t", "border_b", "border_l", "border_r"]
+
+_BORDER_SCHEMA = T.StructType(
+    [T.StructField(c, T.IntegerType()) for c in BORDER_COLS]
+)
+
+
+def _run_len(mask: np.ndarray) -> int:
+    """Length of the leading True run."""
+    return int(mask.size if mask.all() else np.argmin(mask))
+
+
+def border_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Vectorized border detector — the Spark-side half; the fixture
+    oracle (golden.ensure_border_fixture) recounts the runs with
+    explicit per-pixel Python loops."""
+    out = np.empty((len(data), len(BORDER_COLS)), dtype=np.int32)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        arr = decode_image(bytes(b), f)
+        h, w = arr.shape[:2]
+        rows_u = (arr == arr[:, :1, :]).all(axis=(1, 2))
+        cols_u = (arr == arr[:1, :, :]).all(axis=(0, 2))
+        if rows_u.all():
+            t, bt, l, r = h, 0, w, 0
+        else:
+            t = _run_len(rows_u)
+            bt = _run_len(rows_u[::-1])
+            l = _run_len(cols_u)
+            r = _run_len(cols_u[::-1])
+        out[i] = (w, h, t, bt, l, r)
+    return pd.DataFrame(out, columns=BORDER_COLS)
+
+
+@F.pandas_udf(_BORDER_SCHEMA)
+def _border_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return border_stats_pandas(data, fmt)
+
+
+def with_border_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append border columns; map-only, payload dropped afterwards."""
+    df = df.withColumn("_bd", _border_udf(F.col(bytes_col), F.col("fmt")))
+    return df.withColumns(
+        {c: F.col(f"_bd.{c}") for c in BORDER_COLS}
+    ).drop("_bd", bytes_col)

@@ -1183,3 +1183,70 @@ def ensure_audio_fp_fixture(n: int = 96, seed: int = 59) -> str:
     out["fingerprint"] = out["fingerprint"].astype("int64")
     out["n_frames"] = out["n_frames"].astype("int64")
     return _write_fixture("audio_fp", out)
+
+
+def ensure_border_fixture(n: int = 200, seed: int = 61) -> str:
+    """Expected rows for border_crop_images: run lengths recounted by
+    explicit per-pixel Python loops (vs the Spark UDF's vectorized
+    all-axis reductions) over the same decoded arrays. Integer counts,
+    so agreement is exact; crop/ratio arithmetic is re-derived in the
+    oracle SQL from these counts (a second independent formulation)."""
+    from query_cost_feature_engineering_spark.codecs import decode_image
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_letterbox_corpus_pandas,
+    )
+
+    pdf = generate_letterbox_corpus_pandas(n, seed)
+    rows = []
+    for i in range(len(pdf)):
+        arr = decode_image(bytes(pdf["bytes"].iloc[i]), "png")
+        h, w = arr.shape[:2]
+        def _row_uniform(y):
+            a = arr[y, 0]
+            return all(
+                int(arr[y, x][k]) == int(a[k])
+                for x in range(w) for k in range(3)
+            )
+
+        def _col_uniform(x):
+            a = arr[0, x]
+            return all(
+                int(arr[y, x][k]) == int(a[k])
+                for y in range(h) for k in range(3)
+            )
+
+        t = 0
+        while t < h and _row_uniform(t):
+            t += 1
+        if t == h:
+            t, b, l, r = h, 0, w, 0
+        else:
+            b = 0
+            while _row_uniform(h - 1 - b):
+                b += 1
+            l = 0
+            while _col_uniform(l):
+                l += 1
+            r = 0
+            while _col_uniform(w - 1 - r):
+                r += 1
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                w, h, t, b, l, r,
+                int(pdf["pad_t"].iloc[i]),
+                int(pdf["pad_b"].iloc[i]),
+                int(pdf["pad_l"].iloc[i]),
+                int(pdf["pad_r"].iloc[i]),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "img_w", "img_h", "border_t", "border_b",
+            "border_l", "border_r", "pad_t", "pad_b", "pad_l", "pad_r",
+        ],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int32")
+    return _write_fixture("border_crop", out)

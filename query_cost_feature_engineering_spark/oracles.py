@@ -1678,6 +1678,24 @@ def _fixture_oracles() -> dict[str, str]:
                    dup_of
             FROM read_parquet('{G.ensure_audio_fp_fixture()}')
         """,
+        # border_crop_images (round 5): run lengths from the
+        # per-pixel-loop fixture; crop box + border fraction
+        # re-derived HERE from the counts (second independent
+        # formulation of the JVM arithmetic).
+        "border_crop_images": f"""
+            SELECT image_id, img_w, img_h,
+                   border_t, border_b, border_l, border_r,
+                   img_w - border_l - border_r AS crop_w,
+                   img_h - border_t - border_b AS crop_h,
+                   round(1.0 - ((img_w - border_l - border_r)
+                                * (img_h - border_t - border_b))
+                             / (img_w * img_h) + 1e-11, 6)
+                       AS border_frac,
+                   border_t > 0 OR border_b > 0 OR border_l > 0
+                       OR border_r > 0 AS is_letterboxed,
+                   pad_t, pad_b, pad_l, pad_r
+            FROM read_parquet('{G.ensure_border_fixture()}')
+        """,
         # blur_detect_images (round 5): fixture recomputed by an
         # INDEPENDENT pure-Python loop implementation of the integer
         # Laplacian/Tenengrad sums (see golden.ensure_blur_fixture) —

@@ -4147,6 +4147,55 @@ def blur_detect_images(spark, sf_dir):
     )
 
 
+def border_crop_images(spark, sf_dir):
+    """Uniform-border (letterbox/pillarbox) detection — the crop gate
+    image-curation pipelines run before training: find constant-color
+    margins and emit the content crop box + border fraction. The
+    corpus plants borders of known widths (0-6 px per side, one of
+    three colors, a third of images unpadded); detection is exact
+    (self-anchored uniform-run counting, no tolerance), so the planted
+    widths are recovered EXACTLY — pinned by the ``pad_*`` truth
+    columns riding through the output.
+
+    Plan shape (10^12-image safe): map-only — one Arrow-batched UDF
+    reduces each image to six small ints, payload dropped before
+    anything else happens; the crop/ratio arithmetic is JVM
+    expressions. Oracle: run lengths recounted by explicit per-pixel
+    Python loops (golden.ensure_border_fixture); crop box + ratio
+    re-derived independently in the oracle SQL."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_border_stats,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_letterbox_corpus_pandas,
+    )
+
+    images = spark.createDataFrame(generate_letterbox_corpus_pandas(200, 61))
+    out = with_border_stats(images)
+    crop_w = F.col("img_w") - F.col("border_l") - F.col("border_r")
+    crop_h = F.col("img_h") - F.col("border_t") - F.col("border_b")
+    return out.select(
+        "image_id",
+        "img_w",
+        "img_h",
+        "border_t",
+        "border_b",
+        "border_l",
+        "border_r",
+        crop_w.alias("crop_w"),
+        crop_h.alias("crop_h"),
+        _rq(
+            F.lit(1.0) - (crop_w * crop_h) / (F.col("img_w") * F.col("img_h")),
+            6,
+        ).alias("border_frac"),
+        (
+            (F.col("border_t") > 0) | (F.col("border_b") > 0)
+            | (F.col("border_l") > 0) | (F.col("border_r") > 0)
+        ).alias("is_letterboxed"),
+        "pad_t", "pad_b", "pad_l", "pad_r",
+    )
+
+
 def audio_fingerprint_dedup(spark, sf_dir):
     """Audio near-duplicate detection by acoustic fingerprint — the
     chromaprint idea (sign of frame-over-frame band-energy deltas,
@@ -5201,6 +5250,7 @@ REGISTRY = {
     "blur_detect_images": blur_detect_images,
     "html_extract_docs": html_extract_docs,
     "audio_fingerprint_dedup": audio_fingerprint_dedup,
+    "border_crop_images": border_crop_images,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

@@ -444,3 +444,36 @@ def generate_mixed_images_pandas(n: int, seed: int = 58) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def generate_letterbox_corpus_pandas(n: int = 200, seed: int = 61) -> pd.DataFrame:
+    """Border-crop corpus: noise-bearing base images (interior can never
+    be a uniform border color) wrapped in planted constant-color
+    borders — per image, pad widths (t, b, l, r) drawn from 0-6 and a
+    border luma from {0, 128, 255}; every 3rd image is left unpadded.
+    Ground-truth pad widths ride along for gate verification."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.choice(SIZES))
+        w = int(rng.choice(SIZES))
+        arr = _pixels(rng, h, w)
+        if i % 3 == 0:
+            t = b = l = r = 0
+        else:
+            t, b, l, r = (int(v) for v in rng.integers(0, 7, size=4))
+        c = int(rng.choice([0, 128, 255]))
+        padded = np.full((h + t + b, w + l + r, 3), c, dtype=np.uint8)
+        padded[t : t + h, l : l + w] = arr
+        rows.append(
+            {
+                "image_id": f"lbx{i:06d}",
+                "bytes": encode_png(padded),
+                "fmt": "png",
+                "pad_t": np.int32(t),
+                "pad_b": np.int32(b),
+                "pad_l": np.int32(l),
+                "pad_r": np.int32(r),
+            }
+        )
+    return pd.DataFrame(rows)
