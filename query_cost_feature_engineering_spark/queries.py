@@ -4224,7 +4224,11 @@ def audio_fingerprint_dedup(spark, sf_dir):
     )
 
     clips = spark.createDataFrame(generate_audio_dedup_pandas(96, 59))
-    fp = with_audio_fingerprint(clips)
+    # materialize the fingerprints ONCE (lazy localCheckpoint, the
+    # repo's neardup idiom): the frame feeds both the winners
+    # aggregation and the join probe side — without this the decode
+    # UDF lineage would execute twice
+    fp = with_audio_fingerprint(clips).localCheckpoint(eager=False)
     winners = fp.groupBy("fingerprint").agg(
         F.min("clip_id").alias("canonical_id")
     )
