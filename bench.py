@@ -121,6 +121,7 @@ HEADLINE = [
     "html_extract_docs",
     "audio_fingerprint_dedup",
     "border_crop_images",
+    "image_curation_pipeline",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

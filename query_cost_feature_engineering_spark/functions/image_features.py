@@ -180,25 +180,30 @@ def sharpness_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     teng = np.empty(n_rows, np.float64)
     for i, (b, f) in enumerate(zip(data, fmt)):
         arr = decode_image(bytes(b), f)
-        g = to_gray(arr).astype(np.int64)
-        h, w = g.shape
+        h, w = arr.shape[:2]
         dec_w[i], dec_h[i] = w, h
-        if h < 3 or w < 3:
-            lap_var[i] = 0.0
-            teng[i] = 0.0
-            continue
-        c = g[1:-1, 1:-1]
-        lap = g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:] - 4 * c
-        n = lap.size
-        s = int(lap.sum())
-        ss = int((lap * lap).sum())
-        lap_var[i] = float(n * ss - s * s) / float(n * n)
-        gx = g[1:-1, 2:] - g[1:-1, :-2]
-        gy = g[2:, 1:-1] - g[:-2, 1:-1]
-        teng[i] = float(int((gx * gx + gy * gy).sum())) / float(n)
+        lap_var[i], teng[i] = _sharpness_ints(arr)
     return pd.DataFrame(
         {"dec_w": dec_w, "dec_h": dec_h, "lap_var": lap_var, "tenengrad": teng}
     )
+
+
+def _sharpness_ints(arr: np.ndarray) -> tuple[float, float]:
+    """(lap_var, tenengrad) of one decoded array — the shared
+    vectorized integer-sum core (sharpness UDF + curation capstone)."""
+    g = to_gray(arr).astype(np.int64)
+    h, w = g.shape
+    if h < 3 or w < 3:
+        return 0.0, 0.0
+    c = g[1:-1, 1:-1]
+    lap = g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:] - 4 * c
+    n = lap.size
+    s = int(lap.sum())
+    ss = int((lap * lap).sum())
+    gx = g[1:-1, 2:] - g[1:-1, :-2]
+    gy = g[2:, 1:-1] - g[:-2, 1:-1]
+    teng = float(int((gx * gx + gy * gy).sum())) / float(n)
+    return float(n * ss - s * s) / float(n * n), teng
 
 
 @F.pandas_udf(_SHARP_SCHEMA)
@@ -239,6 +244,22 @@ def _run_len(mask: np.ndarray) -> int:
     return int(mask.size if mask.all() else np.argmin(mask))
 
 
+def _border_runs(arr: np.ndarray) -> tuple[int, int, int, int]:
+    """(t, b, l, r) self-anchored uniform runs — the shared vectorized
+    detector core (border_stats_pandas + the curation capstone)."""
+    h, w = arr.shape[:2]
+    rows_u = (arr == arr[:, :1, :]).all(axis=(1, 2))
+    if rows_u.all():
+        return h, 0, w, 0
+    cols_u = (arr == arr[:1, :, :]).all(axis=(0, 2))
+    return (
+        _run_len(rows_u),
+        _run_len(rows_u[::-1]),
+        _run_len(cols_u),
+        _run_len(cols_u[::-1]),
+    )
+
+
 def border_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     """Vectorized border detector — the Spark-side half; the fixture
     oracle (golden.ensure_border_fixture) recounts the runs with
@@ -247,15 +268,7 @@ def border_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     for i, (b, f) in enumerate(zip(data, fmt)):
         arr = decode_image(bytes(b), f)
         h, w = arr.shape[:2]
-        rows_u = (arr == arr[:, :1, :]).all(axis=(1, 2))
-        cols_u = (arr == arr[:1, :, :]).all(axis=(0, 2))
-        if rows_u.all():
-            t, bt, l, r = h, 0, w, 0
-        else:
-            t = _run_len(rows_u)
-            bt = _run_len(rows_u[::-1])
-            l = _run_len(cols_u)
-            r = _run_len(cols_u[::-1])
+        t, bt, l, r = _border_runs(arr)
         out[i] = (w, h, t, bt, l, r)
     return pd.DataFrame(out, columns=BORDER_COLS)
 
@@ -271,3 +284,67 @@ def with_border_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.withColumns(
         {c: F.col(f"_bd.{c}") for c in BORDER_COLS}
     ).drop("_bd", bytes_col)
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone core: sharpness + border crop + phash-of-content
+# ---------------------------------------------------------------------------
+# ONE decode per image serving all three gates — the reason the engine
+# fuses metrics into a single Arrow pass (decode dominates; a second
+# pass would double the pipeline's hot cost). The perceptual hash is
+# computed on the CROPPED content, so a letterboxed copy hashes
+# identically to its original and dedups against it — raw-byte or
+# full-frame phash dedup would miss it.
+
+CURATION_COLS = [
+    "dec_w", "dec_h", "border_t", "border_b", "border_l", "border_r",
+    "crop_w", "crop_h", "lap_var", "crop_phash",
+]
+
+_CURATION_SCHEMA = T.StructType(
+    [T.StructField(c, T.IntegerType()) for c in CURATION_COLS[:8]]
+    + [
+        T.StructField("lap_var", T.DoubleType()),
+        T.StructField("crop_phash", T.LongType()),
+    ]
+)
+
+
+def curation_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    from query_cost_feature_engineering_spark.codecs import phash64
+
+    n_rows = len(data)
+    out = {c: np.empty(n_rows, np.int32) for c in CURATION_COLS[:8]}
+    lap_var = np.empty(n_rows, np.float64)
+    ph = np.empty(n_rows, np.int64)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        arr = decode_image(bytes(b), f)
+        h, w = arr.shape[:2]
+        t, bt, l, r = _border_runs(arr)
+        crop = arr[t : h - bt, l : w - r]
+        ch, cw = crop.shape[:2]
+        if ch == 0 or cw == 0:
+            lap_var[i], ph[i] = 0.0, 0
+        else:
+            lap_var[i] = _sharpness_ints(crop)[0]
+            ph[i] = phash64(crop)
+        for c, v in zip(
+            CURATION_COLS[:8], (w, h, t, bt, l, r, cw, ch)
+        ):
+            out[c][i] = v
+    out["lap_var"] = lap_var
+    out["crop_phash"] = ph
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(_CURATION_SCHEMA)
+def _curation_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return curation_stats_pandas(data, fmt)
+
+
+def with_curation_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append the fused gate columns; map-only, payload dropped."""
+    df = df.withColumn("_cu", _curation_udf(F.col(bytes_col), F.col("fmt")))
+    return df.withColumns(
+        {c: F.col(f"_cu.{c}") for c in CURATION_COLS}
+    ).drop("_cu", bytes_col)

@@ -1058,6 +1058,65 @@ def ensure_caption_align_fixture(
     return _write_fixture("caption_align", out)
 
 
+def _sharpness_loop_py(g: list) -> tuple[float, float]:
+    """Independent per-pixel-loop sharpness recompute (list-of-lists
+    int luma) — shared by the blur and curation fixtures; the Spark
+    side uses numpy shift reductions (functions/image_features)."""
+    h = len(g)
+    w = len(g[0]) if h else 0
+    if h < 3 or w < 3:
+        return 0.0, 0.0
+    s = ss = tg = 0
+    cnt = 0
+    for y in range(1, h - 1):
+        gm, gc, gp = g[y - 1], g[y], g[y + 1]
+        for x in range(1, w - 1):
+            lap = gm[x] + gp[x] + gc[x - 1] + gc[x + 1] - 4 * gc[x]
+            s += lap
+            ss += lap * lap
+            dx = gc[x + 1] - gc[x - 1]
+            dy = gp[x] - gm[x]
+            tg += dx * dx + dy * dy
+            cnt += 1
+    return float(cnt * ss - s * s) / float(cnt * cnt), float(tg) / float(cnt)
+
+
+def _border_runs_loop_py(arr) -> tuple[int, int, int, int]:
+    """Independent per-pixel-loop border-run recount — shared by the
+    border and curation fixtures."""
+    h, w = arr.shape[:2]
+
+    def _row_uniform(y):
+        a = arr[y, 0]
+        return all(
+            int(arr[y, x][k]) == int(a[k])
+            for x in range(w) for k in range(3)
+        )
+
+    def _col_uniform(x):
+        a = arr[0, x]
+        return all(
+            int(arr[y, x][k]) == int(a[k])
+            for y in range(h) for k in range(3)
+        )
+
+    t = 0
+    while t < h and _row_uniform(t):
+        t += 1
+    if t == h:
+        return h, 0, w, 0
+    b = 0
+    while _row_uniform(h - 1 - b):
+        b += 1
+    l = 0
+    while _col_uniform(l):
+        l += 1
+    r = 0
+    while _col_uniform(w - 1 - r):
+        r += 1
+    return t, b, l, r
+
+
 def ensure_blur_fixture(n: int = 240, seed: int = 42) -> str:
     """Expected rows for blur_detect_images, recomputed by an
     INDEPENDENT implementation of the sharpness math: an explicit
@@ -1078,25 +1137,9 @@ def ensure_blur_fixture(n: int = 240, seed: int = 42) -> str:
     for i in range(len(pdf)):
         arr = decode_image(bytes(pdf["bytes"].iloc[i]), str(pdf["fmt"].iloc[i]))
         g = to_gray(arr).astype(int).tolist()
+        lap_var, teng = _sharpness_loop_py(g)
         h = len(g)
         w = len(g[0]) if h else 0
-        if h < 3 or w < 3:
-            lap_var, teng = 0.0, 0.0
-        else:
-            s = ss = tg = 0
-            cnt = 0
-            for y in range(1, h - 1):
-                gm, gc, gp = g[y - 1], g[y], g[y + 1]
-                for x in range(1, w - 1):
-                    lap = gm[x] + gp[x] + gc[x - 1] + gc[x + 1] - 4 * gc[x]
-                    s += lap
-                    ss += lap * lap
-                    dx = gc[x + 1] - gc[x - 1]
-                    dy = gp[x] - gm[x]
-                    tg += dx * dx + dy * dy
-                    cnt += 1
-            lap_var = float(cnt * ss - s * s) / float(cnt * cnt)
-            teng = float(tg) / float(cnt)
         rows.append(
             (
                 str(pdf["image_id"].iloc[i]),
@@ -1201,35 +1244,7 @@ def ensure_border_fixture(n: int = 200, seed: int = 61) -> str:
     for i in range(len(pdf)):
         arr = decode_image(bytes(pdf["bytes"].iloc[i]), "png")
         h, w = arr.shape[:2]
-        def _row_uniform(y):
-            a = arr[y, 0]
-            return all(
-                int(arr[y, x][k]) == int(a[k])
-                for x in range(w) for k in range(3)
-            )
-
-        def _col_uniform(x):
-            a = arr[0, x]
-            return all(
-                int(arr[y, x][k]) == int(a[k])
-                for y in range(h) for k in range(3)
-            )
-
-        t = 0
-        while t < h and _row_uniform(t):
-            t += 1
-        if t == h:
-            t, b, l, r = h, 0, w, 0
-        else:
-            b = 0
-            while _row_uniform(h - 1 - b):
-                b += 1
-            l = 0
-            while _col_uniform(l):
-                l += 1
-            r = 0
-            while _col_uniform(w - 1 - r):
-                r += 1
+        t, b, l, r = _border_runs_loop_py(arr)
         rows.append(
             (
                 str(pdf["image_id"].iloc[i]),
@@ -1250,3 +1265,57 @@ def ensure_border_fixture(n: int = 200, seed: int = 61) -> str:
     for c in out.columns[1:]:
         out[c] = out[c].astype("int32")
     return _write_fixture("border_crop", out)
+
+
+def ensure_curation_fixture(n_base: int = 80, seed: int = 67) -> str:
+    """Expected rows for image_curation_pipeline: the fused gate
+    metrics recomputed by the INDEPENDENT loop implementations
+    (_border_runs_loop_py + _sharpness_loop_py on the cropped region);
+    the perceptual hash of the crop reuses codecs.phash64 (shared
+    plumbing — the phash function itself is pinned by the phash
+    banding goldens), and the DEDUP/gate logic is re-derived a second
+    independent way in the oracle SQL (sharp-only window min)."""
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_image,
+        phash64,
+        to_gray,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_curation_corpus_pandas,
+    )
+
+    pdf = generate_curation_corpus_pandas(n_base, seed)
+    rows = []
+    for i in range(len(pdf)):
+        arr = decode_image(bytes(pdf["bytes"].iloc[i]), "png")
+        h, w = arr.shape[:2]
+        t, b, l, r = _border_runs_loop_py(arr)
+        crop = arr[t : h - b, l : w - r]
+        ch, cw = crop.shape[:2]
+        if ch == 0 or cw == 0:
+            lap_var, ph = 0.0, 0
+        else:
+            lap_var = _sharpness_loop_py(to_gray(crop).astype(int).tolist())[0]
+            ph = phash64(crop)
+        rows.append(
+            (
+                str(pdf["image_id"].iloc[i]),
+                int(pdf["group_id"].iloc[i]),
+                str(pdf["role"].iloc[i]),
+                w, h, t, b, l, r, cw, ch, lap_var, ph,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "group_id", "role", "dec_w", "dec_h",
+            "border_t", "border_b", "border_l", "border_r",
+            "crop_w", "crop_h", "lap_var", "crop_phash",
+        ],
+    )
+    for c in ["dec_w", "dec_h", "border_t", "border_b", "border_l",
+              "border_r", "crop_w", "crop_h"]:
+        out[c] = out[c].astype("int32")
+    out["group_id"] = out["group_id"].astype("int64")
+    out["crop_phash"] = out["crop_phash"].astype("int64")
+    return _write_fixture("curation", out)

@@ -1678,6 +1678,32 @@ def _fixture_oracles() -> dict[str, str]:
                    dup_of
             FROM read_parquet('{G.ensure_audio_fp_fixture()}')
         """,
+        # image_curation_pipeline (round 5): fused gate metrics from
+        # the independent-loop fixture; the dedup re-derived HERE with
+        # a window-min-over-sharp formulation (vs Spark's filtered
+        # groupBy + broadcast join back).
+        "image_curation_pipeline": f"""
+            WITH f AS (
+              SELECT * FROM read_parquet('{G.ensure_curation_fixture()}')
+            ), s AS (
+              SELECT image_id,
+                     min(image_id) OVER (PARTITION BY crop_phash)
+                         AS canonical_id
+              FROM f WHERE lap_var >= 800.0
+            )
+            SELECT f.image_id, f.group_id, f.role, f.crop_w, f.crop_h,
+                   round(1.0 - (f.crop_w * f.crop_h)
+                             / (f.dec_w * f.dec_h) + 1e-11, 6)
+                       AS border_frac,
+                   round(f.lap_var + 1e-9, 4) AS lap_var,
+                   f.lap_var >= 800.0 AS is_sharp,
+                   f.crop_phash,
+                   s.canonical_id,
+                   CASE WHEN f.lap_var >= 800.0
+                        THEN f.image_id <> s.canonical_id
+                        ELSE false END AS is_dup
+            FROM f LEFT JOIN s USING (image_id)
+        """,
         # border_crop_images (round 5): run lengths from the
         # per-pixel-loop fixture; crop box + border fraction
         # re-derived HERE from the counts (second independent

@@ -4196,6 +4196,66 @@ def border_crop_images(spark, sf_dir):
     )
 
 
+def image_curation_pipeline(spark, sf_dir):
+    """Image-curation capstone — the multimodal sibling of
+    ``corpus_pipeline_docs``: sharpness gate + border crop + content
+    dedup in ONE declarative plan over ONE decode pass. The perceptual
+    hash is computed on the CROPPED content, so a letterboxed re-post
+    dedups against its original (raw-byte or full-frame-phash dedup
+    would miss it — the planted corpus proves both claims: every
+    padded variant carries different bytes AND a different full-frame
+    phash, yet lands in its original's cluster).
+
+    Plan shape (10^12-image safe): one Arrow UDF fuses all three
+    metrics (decode dominates; a second pass would double the hot
+    cost) and drops the payload; the frame is materialized once (lazy
+    localCheckpoint) because it feeds both the winners aggregation and
+    the join probe; canonicalization = groupBy(crop_phash) -> min with
+    map-side combine + one join back (broadcast here, SMJ at scale).
+    Gate verdicts (canonical_id/is_dup) are masked to sharp rows —
+    dropped rows carry NULL, the corpus_pipeline_docs audit-manifest
+    convention. Oracle: fused metrics from the independent-loop
+    fixture (golden.ensure_curation_fixture); dedup re-derived with a
+    window-min-over-sharp formulation in DuckDB."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_curation_stats,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_curation_corpus_pandas,
+    )
+
+    images = spark.createDataFrame(generate_curation_corpus_pandas(80, 67))
+    st = with_curation_stats(images).localCheckpoint(eager=False)
+    st = st.withColumn("is_sharp", F.col("lap_var") >= BLUR_LAP_VAR_MIN)
+    winners = (
+        st.filter(F.col("is_sharp"))
+        .groupBy("crop_phash")
+        .agg(F.min("image_id").alias("canonical_id"))
+    )
+    out = st.join(F.broadcast(winners), "crop_phash", "left")
+    canonical = F.when(F.col("is_sharp"), F.col("canonical_id"))
+    return out.select(
+        "image_id",
+        "group_id",
+        "role",
+        "crop_w",
+        "crop_h",
+        _rq(
+            F.lit(1.0)
+            - (F.col("crop_w") * F.col("crop_h"))
+            / (F.col("dec_w") * F.col("dec_h")),
+            6,
+        ).alias("border_frac"),
+        _rq("lap_var").alias("lap_var"),
+        "is_sharp",
+        "crop_phash",
+        canonical.alias("canonical_id"),
+        F.when(
+            F.col("is_sharp"), F.col("image_id") != F.col("canonical_id")
+        ).otherwise(F.lit(False)).alias("is_dup"),
+    )
+
+
 def audio_fingerprint_dedup(spark, sf_dir):
     """Audio near-duplicate detection by acoustic fingerprint — the
     chromaprint idea (sign of frame-over-frame band-energy deltas,
@@ -5255,6 +5315,7 @@ REGISTRY = {
     "html_extract_docs": html_extract_docs,
     "audio_fingerprint_dedup": audio_fingerprint_dedup,
     "border_crop_images": border_crop_images,
+    "image_curation_pipeline": image_curation_pipeline,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

@@ -477,3 +477,41 @@ def generate_letterbox_corpus_pandas(n: int = 200, seed: int = 61) -> pd.DataFra
             }
         )
     return pd.DataFrame(rows)
+
+
+def generate_curation_corpus_pandas(
+    n_base: int = 80, seed: int = 67
+) -> pd.DataFrame:
+    """Image-curation-capstone corpus: per base image, THREE variants —
+    the original, a letterboxed copy (planted 2-6 px constant borders;
+    same content, different bytes AND different raw phash), and a 3x3
+    box-blurred copy (should fail the sharpness gate). Ground truth:
+    ``group_id`` (base index) and ``role`` in {orig, padded, blurred}.
+    The capstone must (a) drop every blurred row, (b) dedup each padded
+    row against its original via the phash of the CROPPED content —
+    which is bit-identical to the original array by construction."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_base):
+        h = int(rng.choice(SIZES))
+        w = int(rng.choice(SIZES))
+        arr = _pixels(rng, h, w)
+        t, b, l, r = (int(v) for v in rng.integers(2, 7, size=4))
+        c = int(rng.choice([0, 128, 255]))
+        padded = np.full((h + t + b, w + l + r, 3), c, dtype=np.uint8)
+        padded[t : t + h, l : l + w] = arr
+        for role, px in (
+            ("orig", arr),
+            ("padded", padded),
+            ("blurred", _box_blur3(arr)),
+        ):
+            rows.append(
+                {
+                    "image_id": f"cur{g:05d}_{role}",
+                    "bytes": encode_png(px),
+                    "fmt": "png",
+                    "group_id": np.int64(g),
+                    "role": role,
+                }
+            )
+    return pd.DataFrame(rows)

@@ -1,0 +1,68 @@
+"""Image-curation capstone (image_curation_pipeline).
+
+The DuckDB oracle pins the fused metrics against independent-loop
+recomputes and re-derives the dedup with a window formulation; these
+tests pin the planted three-variant semantics end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from query_cost_feature_engineering_spark.functions.image_features import (
+    curation_stats_pandas,
+)
+from query_cost_feature_engineering_spark.sources.images import (
+    generate_curation_corpus_pandas,
+)
+
+
+def test_padded_variant_hashes_like_its_original():
+    pdf = generate_curation_corpus_pandas(20, 67)
+    st = curation_stats_pandas(pdf["bytes"], pdf["fmt"])
+    st["role"] = pdf["role"].values
+    st["gid"] = pdf["group_id"].values
+    piv = st.pivot_table(index="gid", columns="role", values="crop_phash")
+    assert (piv["padded"] == piv["orig"]).all()
+    # ...while the padded FULL-FRAME bytes differ (different dims)
+    dims = st.pivot_table(index="gid", columns="role", values="dec_w")
+    assert (dims["padded"] > dims["orig"]).all()
+
+
+@pytest.fixture(scope="module")
+def out_rows(spark):
+    from query_cost_feature_engineering_spark.queries import (
+        image_curation_pipeline,
+    )
+
+    return image_curation_pipeline(spark, "unused").collect()
+
+
+def test_blurred_rows_dropped(out_rows):
+    for r in out_rows:
+        if r.role == "blurred":
+            assert not r.is_sharp
+            assert r.canonical_id is None and not r.is_dup
+        else:
+            assert r.is_sharp
+
+
+def test_padded_dedups_to_original(out_rows):
+    by_id = {r.image_id: r for r in out_rows}
+    for r in out_rows:
+        if r.role == "padded":
+            orig_id = r.image_id.replace("_padded", "_orig")
+            assert r.is_dup
+            assert r.canonical_id == by_id[orig_id].canonical_id
+        elif r.role == "orig":
+            assert not r.is_dup  # orig sorts before padded in each group
+
+
+def test_crop_recovers_content_dims(out_rows):
+    by_id = {r.image_id: r for r in out_rows}
+    for r in out_rows:
+        if r.role == "padded":
+            orig = by_id[r.image_id.replace("_padded", "_orig")]
+            assert (r.crop_w, r.crop_h) == (orig.crop_w, orig.crop_h)
+            assert r.border_frac > 0.0
