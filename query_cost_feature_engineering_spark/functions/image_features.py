@@ -310,15 +310,27 @@ _CURATION_SCHEMA = T.StructType(
 )
 
 
-def curation_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+def curation_stats_pandas(
+    data: pd.Series, fmt: pd.Series, on_error: str = "fail"
+) -> pd.DataFrame:
+    """``on_error='null'``: web corpora always contain corrupt payloads
+    — undecodable rows emit NaN lap_var / zero dims instead of failing
+    the task (the with_image_features salvage discipline); callers
+    derive ``decode_ok`` from ``lap_var`` nullness."""
     from query_cost_feature_engineering_spark.codecs import phash64
 
     n_rows = len(data)
-    out = {c: np.empty(n_rows, np.int32) for c in CURATION_COLS[:8]}
+    out = {c: np.zeros(n_rows, np.int32) for c in CURATION_COLS[:8]}
     lap_var = np.empty(n_rows, np.float64)
-    ph = np.empty(n_rows, np.int64)
+    ph = np.zeros(n_rows, np.int64)
     for i, (b, f) in enumerate(zip(data, fmt)):
-        arr = decode_image(bytes(b), f)
+        try:
+            arr = decode_image(bytes(b), f)
+        except Exception:
+            if on_error == "fail":
+                raise
+            lap_var[i] = np.nan
+            continue
         h, w = arr.shape[:2]
         t, bt, l, r = _border_runs(arr)
         crop = arr[t : h - bt, l : w - r]
@@ -342,9 +354,28 @@ def _curation_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return curation_stats_pandas(data, fmt)
 
 
-def with_curation_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Append the fused gate columns; map-only, payload dropped."""
-    df = df.withColumn("_cu", _curation_udf(F.col(bytes_col), F.col("fmt")))
-    return df.withColumns(
+@F.pandas_udf(_CURATION_SCHEMA)
+def _curation_tolerant_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    return curation_stats_pandas(data, fmt, on_error="null")
+
+
+def with_curation_stats(
+    df: DataFrame, bytes_col: str = "bytes", on_error: str = "fail"
+) -> DataFrame:
+    """Append the fused gate columns; map-only, payload dropped.
+    ``on_error='null'`` adds a ``decode_ok`` flag; corrupt rows carry
+    NULL lap_var (never sharp, never a dedup winner) instead of
+    failing the job."""
+    udf = _curation_udf if on_error == "fail" else _curation_tolerant_udf
+    df = df.withColumn("_cu", udf(F.col(bytes_col), F.col("fmt")))
+    out = df.withColumns(
         {c: F.col(f"_cu.{c}") for c in CURATION_COLS}
     ).drop("_cu", bytes_col)
+    if on_error != "fail":
+        # the UDF's NaN sentinel arrives as NULL (Arrow's from_pandas
+        # NaN->null semantics), so test nullness, not isnan
+        ok = F.col("lap_var").isNotNull() & ~F.isnan("lap_var")
+        out = out.withColumn("decode_ok", ok).withColumn(
+            "lap_var", F.when(F.col("decode_ok"), F.col("lap_var"))
+        )
+    return out

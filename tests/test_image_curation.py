@@ -66,3 +66,36 @@ def test_crop_recovers_content_dims(out_rows):
             orig = by_id[r.image_id.replace("_padded", "_orig")]
             assert (r.crop_w, r.crop_h) == (orig.crop_w, orig.crop_h)
             assert r.border_frac > 0.0
+
+
+def test_corrupt_payload_tolerance(spark):
+    """on_error='null': corrupt bytes flow through as decode_ok=False
+    rows (never sharp, never dedup winners) instead of failing the job."""
+    import pandas as pd
+
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_curation_stats,
+    )
+
+    pdf = generate_curation_corpus_pandas(4, 67)
+    pdf.loc[1, "bytes"] = b"\x89PNGgarbage-not-a-real-file"
+    pdf.loc[2, "bytes"] = b""
+    df = spark.createDataFrame(pdf[["image_id", "bytes", "fmt"]])
+    rows = {
+        r.image_id: r
+        for r in with_curation_stats(df, on_error="null").collect()
+    }
+    bad = [pdf.at[1, "image_id"], pdf.at[2, "image_id"]]
+    for i, r in rows.items():
+        if i in bad:
+            assert not r.decode_ok and r.lap_var is None
+            assert (r.crop_w, r.crop_h, r.crop_phash) == (0, 0, 0)
+        else:
+            assert r.decode_ok and r.lap_var is not None
+
+    # fail mode still fails loudly
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    with _pt.raises(Exception):
+        with_curation_stats(df).collect()
