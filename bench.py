@@ -122,6 +122,7 @@ HEADLINE = [
     "audio_fingerprint_dedup",
     "border_crop_images",
     "image_curation_pipeline",
+    "image_decontam_phash",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

@@ -1319,3 +1319,20 @@ def ensure_curation_fixture(n_base: int = 80, seed: int = 67) -> str:
     out["group_id"] = out["group_id"].astype("int64")
     out["crop_phash"] = out["crop_phash"].astype("int64")
     return _write_fixture("curation", out)
+
+
+def ensure_decontam_fixture(n: int = 300, seed: int = 44) -> str:
+    """INPUT fixture for image_decontam_phash: (image_id, phash, side,
+    leak_of) straight from the corpus generator. Unlike the metric
+    fixtures, the COMPUTATION is not recomputed here — the oracle SQL
+    brute-forces the full train × bench hamming join in DuckDB
+    (bit_count(xor(...))), an independent execution of the pairing the
+    Spark side reaches via lossless pigeonhole banding."""
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_decontam_corpus_pandas,
+    )
+
+    pdf = generate_decontam_corpus_pandas(n, seed)
+    out = pdf[["image_id", "phash", "side", "leak_of"]].copy()
+    out["phash"] = out["phash"].astype("int64")
+    return _write_fixture("decontam", out)

@@ -108,6 +108,55 @@ def hamming_neardup_pairs(
     )
 
 
+def hamming_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Cross-corpus pairs (left_id, right_id) with hamming <= max_dist —
+    the DECONTAMINATION shape: probe corpus (train) against a reference
+    corpus (eval/bench). Same lossless pigeonhole banding as
+    hamming_neardup_pairs, but asymmetric: no id-ordering filter, and
+    each side explodes its own band table before the ONE equi-join.
+    At scale the bench side is small (eval sets are thousands of
+    images), so its exploded band table broadcasts and the train
+    corpus never shuffles."""
+    bands = band_layout(bits, max_dist)
+
+    def _explode(df: DataFrame, tag: str) -> DataFrame:
+        band_vals = F.array(
+            *[
+                F.shiftrightunsigned(F.col(hash_col), s).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+                for s, w in bands
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"_id_{tag}"),
+            F.col(hash_col).alias(f"_h_{tag}"),
+            F.posexplode(band_vals).alias("_band", "_bv"),
+        )
+
+    a = _explode(left, "a")
+    b = _explode(right, "b")
+    return (
+        a.join(b, ["_band", "_bv"])
+        .select(
+            F.col("_id_a").alias(f"{id_col}_a"),
+            F.col("_id_b").alias(f"{id_col}_b"),
+            F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 _MISS = object()
 _VOCAB_CACHE: dict = {}
 

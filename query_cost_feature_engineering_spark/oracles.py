@@ -1704,6 +1704,24 @@ def _fixture_oracles() -> dict[str, str]:
                         ELSE false END AS is_dup
             FROM f LEFT JOIN s USING (image_id)
         """,
+        # image_decontam_phash (round 5): INPUT-only fixture; the
+        # pairing is brute-forced HERE (full train x bench hamming
+        # cross join) vs Spark's lossless pigeonhole banding.
+        "image_decontam_phash": f"""
+            WITH f AS (
+              SELECT * FROM read_parquet('{G.ensure_decontam_fixture()}')
+            ),
+            t AS (SELECT image_id, phash, leak_of FROM f
+                  WHERE side = 'train'),
+            b AS (SELECT image_id, phash FROM f WHERE side = 'bench')
+            SELECT t.image_id AS train_id,
+                   b.image_id AS bench_id,
+                   CAST(bit_count(xor(t.phash, b.phash)) AS BIGINT)
+                       AS hamming,
+                   coalesce(t.leak_of = b.image_id, false) AS is_planted
+            FROM t, b
+            WHERE bit_count(xor(t.phash, b.phash)) <= 8
+        """,
         # border_crop_images (round 5): run lengths from the
         # per-pixel-loop fixture; crop box + border fraction
         # re-derived HERE from the counts (second independent

@@ -4256,6 +4256,53 @@ def image_curation_pipeline(spark, sf_dir):
     )
 
 
+def image_decontam_phash(spark, sf_dir):
+    """Image benchmark decontamination — the eval-set-in-the-crawl
+    check LAION/DataComp run before training: probe the train corpus
+    against the bench corpus by perceptual hash, flag any train image
+    within hamming <= 8 of an eval image. Planted verbatim leaks
+    (bench bytes copied into train under new ids) must ALL surface;
+    random content collides with probability ~0 at this radius.
+
+    Plan shape (10^12 x 10^4-safe): the same lossless pigeonhole
+    banding as phash_neardup_images, but CROSS-corpus
+    (operators/neardup.hamming_cross_pairs): each side explodes its
+    13-band table once, ONE equi-join on (band, value), bit_count
+    verify. The bench side is small in production (eval sets), so its
+    band table broadcasts and the train corpus never shuffles. Oracle:
+    the full train x bench hamming join brute-forced in DuckDB
+    (bit_count(xor(...))) over the input fixture — an independent
+    execution of the pairing."""
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        hamming_cross_pairs,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_decontam_corpus_pandas,
+    )
+
+    pdf = generate_decontam_corpus_pandas(300, 44)
+    corpus = spark.createDataFrame(
+        pdf[["image_id", "phash", "side", "leak_of"]]
+    )
+    train = corpus.filter(F.col("side") == "train")
+    bench = corpus.filter(F.col("side") == "bench").select("image_id", "phash")
+    pairs = hamming_cross_pairs(
+        train.select("image_id", "phash"), bench, "image_id", "phash",
+        max_dist=8,
+    )
+    truth = train.select(
+        F.col("image_id").alias("image_id_a"), "leak_of"
+    )
+    return pairs.join(F.broadcast(truth), "image_id_a").select(
+        F.col("image_id_a").alias("train_id"),
+        F.col("image_id_b").alias("bench_id"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.coalesce(
+            F.col("leak_of") == F.col("image_id_b"), F.lit(False)
+        ).alias("is_planted"),
+    )
+
+
 def audio_fingerprint_dedup(spark, sf_dir):
     """Audio near-duplicate detection by acoustic fingerprint — the
     chromaprint idea (sign of frame-over-frame band-energy deltas,
@@ -5316,6 +5363,7 @@ REGISTRY = {
     "audio_fingerprint_dedup": audio_fingerprint_dedup,
     "border_crop_images": border_crop_images,
     "image_curation_pipeline": image_curation_pipeline,
+    "image_decontam_phash": image_decontam_phash,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

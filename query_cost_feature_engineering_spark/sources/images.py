@@ -515,3 +515,25 @@ def generate_curation_corpus_pandas(
                 }
             )
     return pd.DataFrame(rows)
+
+
+def generate_decontam_corpus_pandas(n: int = 300, seed: int = 44) -> pd.DataFrame:
+    """Decontamination corpus: every 10th image (by draw index) is a
+    BENCH member, the rest are TRAIN; every 20th image's bytes are
+    additionally copied verbatim into train under a ``leak...`` id
+    (the eval-image-in-the-crawl case). ``leak_of`` carries the truth."""
+    pdf = generate_images_pandas(n, 30, seed)
+    pdf["side"] = "train"
+    pdf["leak_of"] = None
+    leaks = []
+    for i in range(len(pdf)):
+        idx = int(pdf.at[i, "image_id"][3:])
+        if idx % 10 == 0:
+            pdf.at[i, "side"] = "bench"
+            if idx % 20 == 0:
+                r = pdf.loc[i].copy()
+                r["image_id"] = f"leak{idx:08d}"
+                r["side"] = "train"
+                r["leak_of"] = pdf.at[i, "image_id"]
+                leaks.append(r)
+    return pd.concat([pdf, pd.DataFrame(leaks)], ignore_index=True)
