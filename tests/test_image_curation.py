@@ -99,3 +99,25 @@ def test_corrupt_payload_tolerance(spark):
 
     with _pt.raises(Exception):
         with_curation_stats(df).collect()
+
+
+def test_curation_core_handles_all_nine_formats():
+    """The fused gate runs on the full mixed-format corpus (png, gif,
+    bmp, tiff, ico, ppm, tga + both jpeg codings) through the same
+    magic-dispatch decode the mixed_format_features query uses."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        curation_stats_pandas,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_mixed_images_pandas,
+    )
+
+    pdf = generate_mixed_images_pandas(45, 58)
+    fmts = pdf["fmt"].map(lambda f: "jpeg" if f.startswith("jpeg") else f)
+    st = curation_stats_pandas(pdf["bytes"], fmts)
+    assert len(st) == 45
+    assert (st["crop_w"] > 0).all() and (st["crop_h"] > 0).all()
+    assert st["lap_var"].notna().all()
+    assert pdf["fmt"].map(
+        lambda f: "jpeg" if f.startswith("jpeg") else f
+    ).nunique() >= 8
