@@ -1704,6 +1704,16 @@ def _fixture_oracles() -> dict[str, str]:
                         ELSE false END AS is_dup
             FROM f LEFT JOIN s USING (image_id)
         """,
+        # stream_image_curation (round 5): gate columns of the batch
+        # capstone's fixture — streaming adds micro-batching, not
+        # semantics, so the SAME independent-loop recompute pins it.
+        "stream_image_curation": f"""
+            SELECT image_id, group_id, role, crop_w, crop_h,
+                   round(lap_var + 1e-9, 4) AS lap_var,
+                   lap_var >= 800.0 AS is_sharp,
+                   crop_phash
+            FROM read_parquet('{G.ensure_curation_fixture()}')
+        """,
         # image_decontam_phash (round 5): INPUT-only fixture; the
         # pairing is brute-forced HERE (full train x bench hamming
         # cross join) vs Spark's lossless pigeonhole banding.

@@ -4994,6 +4994,66 @@ def stream_image_features(spark, sf_dir):
     )
 
 
+CURATION_STREAM_SCHEMA = (
+    "image_id string, bytes binary, fmt string, group_id long, role string"
+)
+
+
+def stream_image_curation(spark, sf_dir):
+    """Streaming variant of the curation GATE: the fused
+    sharpness+border+crop-phash Arrow UDF is stateless, so it streams
+    — each micro-batch (1 file per trigger, 4 files) runs the
+    IDENTICAL plan as the batch capstone's decode stage and appends
+    gate verdicts; bytes dropped in-flight. The dedup stage is
+    deliberately NOT streamed (same design note as the window layer in
+    streaming/images.py: canonical selection needs the corpus-wide
+    min, which is the batch pass over the narrow gate table — or
+    first-arrival dropDuplicates state when incremental emission is
+    required, at the price of arrival-order canonical choice).
+    Oracle: the same independent-loop fixture as the batch capstone
+    (gate columns only) — streaming adds batching, not semantics."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        with_curation_stats,
+    )
+    from query_cost_feature_engineering_spark.sources.images import (
+        generate_curation_corpus_pandas,
+    )
+    from query_cost_feature_engineering_spark.streaming.sessions import (
+        run_stream_to_memory,
+    )
+
+    d = os.path.join(_workdir(), "stream_curation")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        spark.createDataFrame(
+            generate_curation_corpus_pandas(80, 67)[
+                ["image_id", "bytes", "fmt", "group_id", "role"]
+            ]
+        ).to(StructType.fromDDL(CURATION_STREAM_SCHEMA)).repartition(
+            4
+        ).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(CURATION_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    gated = with_curation_stats(stream)
+    out = run_stream_to_memory(gated)
+    return out.select(
+        "image_id",
+        "group_id",
+        "role",
+        "crop_w",
+        "crop_h",
+        _rq("lap_var").alias("lap_var"),
+        (F.col("lap_var") >= BLUR_LAP_VAR_MIN).alias("is_sharp"),
+        "crop_phash",
+    )
+
+
 def stream_upsert_events(spark, sf_dir):
     """Streaming CDC upsert: the events table split into three change
     files, drained one per micro-batch through `streaming/upsert` into a
@@ -5364,6 +5424,7 @@ REGISTRY = {
     "border_crop_images": border_crop_images,
     "image_curation_pipeline": image_curation_pipeline,
     "image_decontam_phash": image_decontam_phash,
+    "stream_image_curation": stream_image_curation,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 

@@ -121,3 +121,23 @@ def test_curation_core_handles_all_nine_formats():
     assert pdf["fmt"].map(
         lambda f: "jpeg" if f.startswith("jpeg") else f
     ).nunique() >= 8
+
+
+def test_stream_gate_matches_batch(spark):
+    """Streaming adds micro-batching, not semantics: the streamed gate
+    output is row-identical to the batch UDF over the same corpus."""
+    from query_cost_feature_engineering_spark.functions.image_features import (
+        curation_stats_pandas,
+    )
+    from query_cost_feature_engineering_spark.queries import (
+        stream_image_curation,
+    )
+
+    rows = stream_image_curation(spark, "unused").collect()
+    pdf = generate_curation_corpus_pandas(80, 67)
+    st = curation_stats_pandas(pdf["bytes"], pdf["fmt"])
+    st["image_id"] = pdf["image_id"].values
+    want = dict(zip(st["image_id"], st["crop_phash"]))
+    assert len(rows) == 240
+    for r in rows:
+        assert r.crop_phash == want[r.image_id]
