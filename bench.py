@@ -123,6 +123,7 @@ HEADLINE = [
     "border_crop_images",
     "image_curation_pipeline",
     "image_decontam_phash",
+    "stream_image_curation",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",
