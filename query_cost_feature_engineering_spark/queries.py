@@ -5439,7 +5439,16 @@ REGISTRY = {
 # sampled slot spent on one records only `no_oracle`). Nothing is added
 # or removed — this is a permutation of the same registry.
 _DRIVER_UNSEEN_ORACLED = [
-    # round-5 additions (the driver must hash these on its first look):
+    # round-5 SESSION-2 additions, newest first (the driver must hash
+    # these on its first look):
+    "image_curation_pipeline",
+    "stream_image_curation",
+    "image_decontam_phash",
+    "audio_fingerprint_dedup",
+    "border_crop_images",
+    "blur_detect_images",
+    "html_extract_docs",
+    # round-5 session-1 additions:
     # eight new operators + the two rows-only -> oracle upgrades
     "bloom_dedup_docs",
     "aspect_bucket_images",
