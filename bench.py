@@ -124,6 +124,7 @@ HEADLINE = [
     "image_curation_pipeline",
     "image_decontam_phash",
     "stream_image_curation",
+    "audio_neardup_pairs",
     "video_frame_dedup",
     "shard_pack_images",
     "jpeg_features_images",

@@ -1159,6 +1159,53 @@ def ensure_blur_fixture(n: int = 240, seed: int = 42) -> str:
     return _write_fixture("blur_detect", out)
 
 
+def _audio_fp_loop_py(wav_bytes: bytes) -> tuple[int, int]:
+    """Independent pure-Python per-sample fingerprint recompute
+    (explicit 8-sample unrolled Haar sums vs the Spark UDF's numpy
+    reshape reductions) — shared by the audio dedup and near-dup
+    fixtures. Returns (fingerprint, n_frames)."""
+    from query_cost_feature_engineering_spark.codecs import decode_wav
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        FP_BANDS,
+        FP_DELTAS,
+        FP_HOP,
+        FP_WIN,
+    )
+
+    pcm, _rate = decode_wav(wav_bytes)
+    x = [int(v) for v in pcm[:, 0]]
+    ln = len(x)
+    n_frames = 0 if ln < FP_WIN else (ln - FP_WIN) // FP_HOP + 1
+    take = min(n_frames, FP_DELTAS + 1)
+    E = []
+    for f in range(take):
+        s = f * FP_HOP
+        e0 = e1 = e2 = e3 = 0
+        for j in range(0, FP_WIN, 8):
+            w = x[s + j : s + j + 8]
+            for v in w:
+                e0 += v * v
+            for k in (0, 2, 4, 6):
+                d = w[k] - w[k + 1]
+                e1 += d * d
+            for k in (0, 4):
+                d = w[k] + w[k + 1] - w[k + 2] - w[k + 3]
+                e2 += d * d
+            d = w[0] + w[1] + w[2] + w[3] - w[4] - w[5] - w[6] - w[7]
+            e3 += d * d
+        E.append((e0, e1, e2, e3))
+    v = 0
+    for f in range(FP_DELTAS):
+        if f + 1 >= take:
+            break
+        for band in range(FP_BANDS):
+            if E[f][band] > E[f + 1][band]:
+                v |= 1 << (63 - (f * FP_BANDS + band))
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, n_frames
+
+
 def ensure_audio_fp_fixture(n: int = 96, seed: int = 59) -> str:
     """Expected fingerprints for audio_fingerprint_dedup, recomputed by
     an INDEPENDENT pure-Python per-sample loop (vs the Spark UDF's
@@ -1181,37 +1228,7 @@ def ensure_audio_fp_fixture(n: int = 96, seed: int = 59) -> str:
     pdf = generate_audio_dedup_pandas(n, seed)
     rows = []
     for i in range(len(pdf)):
-        pcm, _rate = decode_wav(bytes(pdf["bytes"].iloc[i]))
-        x = [int(v) for v in pcm[:, 0]]
-        ln = len(x)
-        n_frames = 0 if ln < FP_WIN else (ln - FP_WIN) // FP_HOP + 1
-        take = min(n_frames, FP_DELTAS + 1)
-        E = []
-        for f in range(take):
-            s = f * FP_HOP
-            e0 = e1 = e2 = e3 = 0
-            for j in range(0, FP_WIN, 8):
-                w = x[s + j : s + j + 8]
-                for v in w:
-                    e0 += v * v
-                for k in (0, 2, 4, 6):
-                    d = w[k] - w[k + 1]
-                    e1 += d * d
-                for k in (0, 4):
-                    d = w[k] + w[k + 1] - w[k + 2] - w[k + 3]
-                    e2 += d * d
-                d = w[0] + w[1] + w[2] + w[3] - w[4] - w[5] - w[6] - w[7]
-                e3 += d * d
-            E.append((e0, e1, e2, e3))
-        v = 0
-        for f in range(FP_DELTAS):
-            if f + 1 >= take:
-                break
-            for band in range(FP_BANDS):
-                if E[f][band] > E[f + 1][band]:
-                    v |= 1 << (63 - (f * FP_BANDS + band))
-        if v >= 1 << 63:
-            v -= 1 << 64
+        v, n_frames = _audio_fp_loop_py(bytes(pdf["bytes"].iloc[i]))
         rows.append(
             (
                 str(pdf["clip_id"].iloc[i]),
@@ -1336,3 +1353,25 @@ def ensure_decontam_fixture(n: int = 300, seed: int = 44) -> str:
     out = pdf[["image_id", "phash", "side", "leak_of"]].copy()
     out["phash"] = out["phash"].astype("int64")
     return _write_fixture("decontam", out)
+
+
+def ensure_audio_neardup_fixture(n_pairs: int = 30, seed: int = 62) -> str:
+    """Fingerprints for audio_neardup_pairs via the independent loop
+    recompute; the PAIRING is brute-forced in the oracle SQL
+    (bit_count(xor) over all id-ordered pairs) vs Spark's banding."""
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_neardup_pandas,
+    )
+
+    pdf = generate_audio_neardup_pandas(n_pairs, seed)
+    rows = [
+        (
+            str(pdf["clip_id"].iloc[i]),
+            _audio_fp_loop_py(bytes(pdf["bytes"].iloc[i]))[0],
+            pdf["near_of"].iloc[i],
+        )
+        for i in range(len(pdf))
+    ]
+    out = pd.DataFrame(rows, columns=["clip_id", "fingerprint", "near_of"])
+    out["fingerprint"] = out["fingerprint"].astype("int64")
+    return _write_fixture("audio_neardup", out)

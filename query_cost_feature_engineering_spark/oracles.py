@@ -1704,6 +1704,21 @@ def _fixture_oracles() -> dict[str, str]:
                         ELSE false END AS is_dup
             FROM f LEFT JOIN s USING (image_id)
         """,
+        # audio_neardup_pairs (round 5): fingerprints from the
+        # independent loop fixture; pairing brute-forced HERE vs
+        # Spark's pigeonhole banding.
+        "audio_neardup_pairs": f"""
+            WITH f AS (
+              SELECT * FROM read_parquet('{G.ensure_audio_neardup_fixture()}')
+            )
+            SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+                   CAST(bit_count(xor(a.fingerprint, b.fingerprint))
+                        AS BIGINT) AS hamming,
+                   coalesce(b.near_of = a.clip_id, false) AS is_planted
+            FROM f a, f b
+            WHERE a.clip_id < b.clip_id
+              AND bit_count(xor(a.fingerprint, b.fingerprint)) <= 12
+        """,
         # stream_image_curation (round 5): gate columns of the batch
         # capstone's fixture — streaming adds micro-batching, not
         # semantics, so the SAME independent-loop recompute pins it.

@@ -4147,6 +4147,49 @@ def blur_detect_images(spark, sf_dir):
     )
 
 
+def audio_neardup_pairs(spark, sf_dir):
+    """Audio NEAR-duplicate pairs — the case exact-fingerprint dedup
+    misses: a noised re-master flips a FEW band-delta bits (measured
+    hamming <= 9 on the planted corpus; unrelated clips >= 23), so
+    pairing runs the same lossless pigeonhole banding as the image
+    phash near-dup (13 bands over 64 bits guarantee an exact band
+    match at hamming <= 12). Complements audio_fingerprint_dedup
+    (exact groupBy) the way phash_neardup_images complements
+    image exact dedup.
+
+    Plan shape: one decode+fingerprint Arrow UDF (payload dropped),
+    then band explode -> ONE equi-join -> bit_count verify. Oracle:
+    fingerprints from the independent pure-Python loop fixture; the
+    pairing brute-forced in DuckDB (bit_count(xor) over all
+    id-ordered pairs)."""
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        with_audio_fingerprint,
+    )
+    from query_cost_feature_engineering_spark.operators.neardup import (
+        hamming_neardup_pairs,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_neardup_pandas,
+    )
+
+    pdf = generate_audio_neardup_pandas(30, 62)
+    clips = spark.createDataFrame(pdf)
+    fp = with_audio_fingerprint(clips).localCheckpoint(eager=False)
+    pairs = hamming_neardup_pairs(
+        fp.select("clip_id", "fingerprint"), "clip_id", "fingerprint",
+        bits=64, max_dist=12,
+    )
+    truth = fp.select(F.col("clip_id").alias("clip_id_b"), "near_of")
+    return pairs.join(F.broadcast(truth), "clip_id_b").select(
+        F.col("clip_id_a").alias("clip_a"),
+        F.col("clip_id_b").alias("clip_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.coalesce(
+            F.col("near_of") == F.col("clip_id_a"), F.lit(False)
+        ).alias("is_planted"),
+    )
+
+
 def border_crop_images(spark, sf_dir):
     """Uniform-border (letterbox/pillarbox) detection — the crop gate
     image-curation pipelines run before training: find constant-color
@@ -5425,6 +5468,7 @@ REGISTRY = {
     "image_curation_pipeline": image_curation_pipeline,
     "image_decontam_phash": image_decontam_phash,
     "stream_image_curation": stream_image_curation,
+    "audio_neardup_pairs": audio_neardup_pairs,
     "greedy_ablation_lineitem": greedy_ablation_lineitem,
 }
 
@@ -5444,6 +5488,7 @@ _DRIVER_UNSEEN_ORACLED = [
     "image_curation_pipeline",
     "stream_image_curation",
     "image_decontam_phash",
+    "audio_neardup_pairs",
     "audio_fingerprint_dedup",
     "border_crop_images",
     "blur_detect_images",

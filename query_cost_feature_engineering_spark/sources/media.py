@@ -247,3 +247,38 @@ def generate_audio_dedup_pandas(n: int = 96, seed: int = 59) -> pd.DataFrame:
             {"clip_id": cid, "bytes": data, "fmt": "wav", "dup_of": dup_of}
         )
     return pd.DataFrame(rows)
+
+
+def generate_audio_neardup_pandas(n_pairs: int = 30, seed: int = 62) -> pd.DataFrame:
+    """Near-dup corpus: pairs of [base, NOISED re-master] — per-sample
+    uniform noise of amplitude cycling {200, 400, 800} over a sigma-2500
+    signal, so the copy's fingerprint differs in a FEW bits (measured:
+    hamming <= 9 at the strongest level; unrelated clips measure >= 23)
+    — the case exact-fingerprint dedup misses and banded hamming
+    catches. ``near_of`` carries the planted truth."""
+    from query_cost_feature_engineering_spark.codecs import encode_wav_pcm16
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_pairs):
+        ns = int(rng.integers(12000, 48000))
+        pcm = (
+            np.clip(rng.standard_normal(ns) * 2500, -8000, 8000)
+            .astype(np.int16)
+        )
+        amp = (200, 400, 800)[i % 3]
+        noised = np.clip(
+            pcm.astype(np.int32) + rng.integers(-amp, amp + 1, ns),
+            -32768, 32767,
+        ).astype(np.int16)
+        base_id = f"nda{i:06d}"
+        rows.append(
+            {"clip_id": base_id, "bytes": encode_wav_pcm16(pcm, 16000),
+             "fmt": "wav", "near_of": None}
+        )
+        rows.append(
+            {"clip_id": f"ndb{i:06d}",
+             "bytes": encode_wav_pcm16(noised, 16000),
+             "fmt": "wav", "near_of": base_id}
+        )
+    return pd.DataFrame(rows)

@@ -73,3 +73,47 @@ def test_query_dedup_verdicts(spark):
             # a planted duplicate lands in its original's cluster
             assert canon[r.clip_id] == canon[r.dup_of]
             assert r.is_dup  # dup ids sort after their base id
+
+
+def test_neardup_pairs_recover_planted_and_only_planted(spark):
+    from query_cost_feature_engineering_spark.queries import (
+        audio_neardup_pairs,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_neardup_pandas,
+    )
+
+    rows = audio_neardup_pairs(spark, "unused").collect()
+    pdf = generate_audio_neardup_pandas(30, 62)
+    planted = {
+        (r["near_of"], r["clip_id"])
+        for _, r in pdf.iterrows()
+        if r["near_of"] is not None
+    }
+    got = {(r.clip_a, r.clip_b) for r in rows}
+    assert got == planted  # all 30 pairs, nothing spurious
+    for r in rows:
+        assert r.is_planted and 0 <= r.hamming <= 12
+
+
+def test_noised_copy_is_near_not_exact():
+    import numpy as np
+
+    from query_cost_feature_engineering_spark.functions.multimodal import (
+        audio_fingerprint_pandas,
+    )
+    from query_cost_feature_engineering_spark.sources.media import (
+        generate_audio_neardup_pandas,
+    )
+
+    pdf = generate_audio_neardup_pandas(6, 62)
+    fp = audio_fingerprint_pandas(pdf["bytes"])["fingerprint"]
+    by_id = dict(zip(pdf["clip_id"], fp))
+    diffs = [
+        int(by_id[r["clip_id"]]) != int(by_id[r["near_of"]])
+        for _, r in pdf.iterrows()
+        if r["near_of"] is not None
+    ]
+    # exact dedup would MISS most of these (a light-noise pair can
+    # land at hamming 0 — then exact dedup catches it too, fine)
+    assert sum(diffs) >= len(diffs) - 1 and any(diffs)
