@@ -246,18 +246,20 @@ def _run_len(mask: np.ndarray) -> int:
 
 def _border_runs(arr: np.ndarray) -> tuple[int, int, int, int]:
     """(t, b, l, r) self-anchored uniform runs — the shared vectorized
-    detector core (border_stats_pandas + the curation capstone)."""
+    detector core (border_stats_pandas + the curation capstone).
+
+    Degenerate all-border cases are normalized so the crop box is
+    empty but never negative: all rows uniform -> (h, 0, w, 0); all
+    columns uniform (vertical stripes — every column constant while
+    some row is not) -> (0/b from rows, l=w, r=0)."""
     h, w = arr.shape[:2]
     rows_u = (arr == arr[:, :1, :]).all(axis=(1, 2))
     if rows_u.all():
         return h, 0, w, 0
     cols_u = (arr == arr[:1, :, :]).all(axis=(0, 2))
-    return (
-        _run_len(rows_u),
-        _run_len(rows_u[::-1]),
-        _run_len(cols_u),
-        _run_len(cols_u[::-1]),
-    )
+    l = _run_len(cols_u)
+    r = 0 if l == w else _run_len(cols_u[::-1])
+    return (_run_len(rows_u), _run_len(rows_u[::-1]), l, r)
 
 
 def border_stats_pandas(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:

@@ -1109,8 +1109,10 @@ def _border_runs_loop_py(arr) -> tuple[int, int, int, int]:
     while _row_uniform(h - 1 - b):
         b += 1
     l = 0
-    while _col_uniform(l):
+    while l < w and _col_uniform(l):
         l += 1
+    if l == w:  # vertical stripes: every column uniform -> all border
+        return t, b, w, 0
     r = 0
     while _col_uniform(w - 1 - r):
         r += 1
@@ -1214,13 +1216,6 @@ def ensure_audio_fp_fixture(n: int = 96, seed: int = 59) -> str:
     decode are shared (plumbing-pinning convention); the DEDUP logic is
     formulated independently again in the oracle SQL (window min over
     fingerprint partitions vs the Spark groupBy+join)."""
-    from query_cost_feature_engineering_spark.codecs import decode_wav
-    from query_cost_feature_engineering_spark.functions.multimodal import (
-        FP_BANDS,
-        FP_DELTAS,
-        FP_HOP,
-        FP_WIN,
-    )
     from query_cost_feature_engineering_spark.sources.media import (
         generate_audio_dedup_pandas,
     )

@@ -64,6 +64,20 @@ def band_layout(bits: int, max_dist: int) -> list[tuple[int, int]]:
     return layout
 
 
+def _band_values(hash_col: str, bands) -> "F.Column":
+    """Array of per-band integer values for the pigeonhole banding —
+    shared by the self-join and cross-corpus hamming shapes so the
+    encoding can never drift between them."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), s).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+            for s, w in bands
+        ]
+    )
+
+
 def hamming_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -78,14 +92,7 @@ def hamming_neardup_pairs(
     bit_count verify. Hashes ride along (8 bytes), so no re-join.
     """
     bands = band_layout(bits, max_dist)
-    band_vals = F.array(
-        *[
-            F.shiftrightunsigned(F.col(hash_col), s).bitwiseAND(
-                F.lit((1 << w) - 1)
-            )
-            for s, w in bands
-        ]
-    )
+    band_vals = _band_values(hash_col, bands)
     e = df.select(
         F.col(id_col), F.col(hash_col), F.posexplode(band_vals).alias("_band", "_bv")
     )
@@ -127,14 +134,7 @@ def hamming_cross_pairs(
     bands = band_layout(bits, max_dist)
 
     def _explode(df: DataFrame, tag: str) -> DataFrame:
-        band_vals = F.array(
-            *[
-                F.shiftrightunsigned(F.col(hash_col), s).bitwiseAND(
-                    F.lit((1 << w) - 1)
-                )
-                for s, w in bands
-            ]
-        )
+        band_vals = _band_values(hash_col, bands)
         return df.select(
             F.col(id_col).alias(f"_id_{tag}"),
             F.col(hash_col).alias(f"_h_{tag}"),

@@ -221,8 +221,11 @@ def generate_blur_corpus_pandas(n: int = 240, seed: int = 42) -> pd.DataFrame:
         if idx % 3 != 0:
             continue
         arr = decode_image(bytes(pdf.at[i, "bytes"]), pdf.at[i, "fmt"])
-        pdf.at[i, "bytes"] = encode_png(_box_blur3(arr))
+        blurred = _box_blur3(arr)
+        pdf.at[i, "bytes"] = encode_png(blurred)
         pdf.at[i, "fmt"] = "png"
+        # keep the phash column consistent with the new payload
+        pdf.at[i, "phash"] = np.int64(phash64(blurred))
         blur_true[i] = True
     pdf["blur_true"] = blur_true
     return pdf

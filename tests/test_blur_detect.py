@@ -89,3 +89,17 @@ def test_query_gate_recovers_planted_labels(spark):
     assert len(rows) == 240
     for r in rows:
         assert r.is_sharp == (not r.blur_true)
+
+
+def test_blur_corpus_phash_consistent_with_payload():
+    """The generator recomputes phash for blurred rows so the public
+    corpus never carries a hash of pixels that are not in the payload."""
+    from query_cost_feature_engineering_spark.codecs import (
+        decode_image,
+        phash64,
+    )
+
+    pdf = generate_blur_corpus_pandas(18, 42)
+    for _, r in pdf.iterrows():
+        arr = decode_image(bytes(r["bytes"]), r["fmt"])
+        assert int(r["phash"]) == phash64(arr) or r["fmt"] == "jpeg"

@@ -81,3 +81,34 @@ def test_query_crop_consistency(spark):
         assert r.is_letterboxed == (
             (r.pad_t, r.pad_b, r.pad_l, r.pad_r) != (0, 0, 0, 0)
         )
+
+
+def test_vertical_stripes_is_all_border_both_sides():
+    """Every column uniform while rows are not (the degenerate twin of
+    the fully-uniform image): normalized to an empty-but-never-negative
+    crop box, identically in the vectorized detector and the fixture's
+    loop recompute."""
+    from query_cost_feature_engineering_spark.golden import (
+        _border_runs_loop_py,
+    )
+
+    img = np.zeros((6, 6, 3), dtype=np.uint8)
+    for x in range(6):
+        img[:, x, :] = x * 40  # vertical stripes
+    assert _detect(img) == (0, 0, 6, 0)
+    assert _border_runs_loop_py(img) == (0, 0, 6, 0)
+    # crop box is empty, not negative
+    t, b, l, r = _detect(img)
+    assert 6 - l - r == 0 and 6 - t - b == 6
+
+
+def test_horizontal_stripes_parity():
+    from query_cost_feature_engineering_spark.golden import (
+        _border_runs_loop_py,
+    )
+
+    img = np.zeros((6, 6, 3), dtype=np.uint8)
+    for y in range(6):
+        img[y, :, :] = y * 40  # horizontal stripes: all rows uniform
+    assert _detect(img) == (6, 0, 6, 0)
+    assert _border_runs_loop_py(img) == (6, 0, 6, 0)
